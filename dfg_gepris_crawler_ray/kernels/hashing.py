@@ -1,0 +1,70 @@
+"""Deterministic, cross-process-stable hash kernels.
+
+Python's builtin ``hash`` is salted per process, so it must never be
+used for routing or dedup across Ray workers. Everything here is
+stable across processes and runs:
+
+- ``stable_hash64``: blake2b-based 64-bit hash of bytes/str (shard
+  routing, URL-seen keys, content fingerprints).
+- ``crc32_shard``: cheap shard router for small K.
+- ``minhash_permutations``: the (a, b) multiplier/offset arrays for
+  universal-hash MinHash, seeded.
+
+Vectorised variants operate on numpy object arrays of str and return
+uint64 arrays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def stable_hash64(value: bytes | str) -> int:
+    """64-bit stable hash (blake2b digest_size=8, big-endian)."""
+    if isinstance(value, str):
+        value = value.encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(value, digest_size=8).digest(), "big")
+
+
+def stable_hash64_array(values) -> np.ndarray:
+    """Vector form over an iterable of str/bytes → uint64 ndarray."""
+    out = np.empty(len(values), dtype=np.uint64)
+    h = hashlib.blake2b
+    for i, v in enumerate(values):
+        if isinstance(v, str):
+            v = v.encode("utf-8")
+        out[i] = int.from_bytes(h(v, digest_size=8).digest(), "big")
+    return out
+
+
+def crc32_shard(value: bytes | str, num_shards: int) -> int:
+    """Cheap, stable shard id in [0, num_shards)."""
+    if isinstance(value, str):
+        value = value.encode("utf-8")
+    return zlib.crc32(value) % num_shards
+
+
+def key_hash(context: str, element_id: int) -> int:
+    """Stable 64-bit hash of the canonical crawl key ``(context, id)``.
+
+    The reference's primary key is ``(id, context)``
+    (``database/init/dfg-gepris.sql:31``); this is its hashed form for
+    seen-filters and shard routing.
+    """
+    return stable_hash64(f"{context}/{element_id}")
+
+
+def minhash_permutations(num_perm: int, seed: int = 42):
+    """(a, b) arrays for ``h_i(x) = (a_i * x + b_i) mod p`` MinHash."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+MERSENNE61 = _MERSENNE61

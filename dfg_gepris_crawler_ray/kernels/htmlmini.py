@@ -1,0 +1,180 @@
+"""Minimal stdlib HTML DOM with just the selector algebra the engine needs.
+
+The reference uses parsel/lxml selectors; neither is available in this
+environment, so this module provides a tiny permissive DOM:
+
+- fast path: ``xml.etree.ElementTree`` (C expat) for well-formed
+  (XHTML-ish) pages — the common case for our corpus;
+- fallback: ``html.parser.HTMLParser`` (pure Python, permissive —
+  handles unclosed void tags, stray end tags, named entities).
+
+Both build the same :class:`Node` model: ``tag``, ``attrib`` and an
+ordered ``children`` list interleaving child elements and text chunks
+(the shape parsel's ``./*|./text()`` iteration exposes —
+``spiders/base.py:146``).
+
+Only the query primitives the reference's spiders actually use are
+implemented (direct-child filters, descendant search by tag/class/id,
+descendant text in document order). Parsing is row-local and runs
+inside ``map_batches`` actor stages; per-actor state (compiled
+nothing — parsers are cheap to instantiate) is not required.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from xml.etree import ElementTree as ET
+
+__all__ = ["Node", "parse_html"]
+
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class Node:
+    __slots__ = ("tag", "attrib", "children")
+
+    def __init__(self, tag: str, attrib: dict | None = None):
+        self.tag = tag
+        self.attrib = attrib or {}
+        self.children: list = []  # Node | str interleaved, document order
+
+    # --- attribute / class helpers -------------------------------------
+    def get(self, name: str, default=None):
+        return self.attrib.get(name, default)
+
+    @property
+    def classes(self) -> list[str]:
+        return (self.attrib.get("class") or "").split()
+
+    def has_class(self, cls: str) -> bool:
+        """CSS ``.cls`` semantics: class *token* match."""
+        return cls in self.classes
+
+    # --- child access ---------------------------------------------------
+    def child_elems(self, tag: str | None = None) -> list["Node"]:
+        """Direct child elements, optionally filtered by tag (xpath ``./tag``)."""
+        return [c for c in self.children
+                if isinstance(c, Node) and (tag is None or c.tag == tag)]
+
+    def child_texts(self) -> list[str]:
+        """Direct text children (xpath ``./text()``)."""
+        return [c for c in self.children if isinstance(c, str)]
+
+    # --- descendant access ----------------------------------------------
+    def iter_elems(self):
+        """All descendant elements, document order, self excluded."""
+        for c in self.children:
+            if isinstance(c, Node):
+                yield c
+                yield from c.iter_elems()
+
+    def iter_texts(self):
+        """All descendant text chunks, document order (xpath ``.//text()``)."""
+        for c in self.children:
+            if isinstance(c, str):
+                yield c
+            else:
+                yield from c.iter_texts()
+
+    def find_all(self, tag: str | None = None, cls: str | None = None,
+                 id: str | None = None, pred=None) -> list["Node"]:
+        """Descendant search (xpath ``.//``), AND of the given filters.
+
+        ``cls`` matches a class *token* (CSS semantics).
+        """
+        out = []
+        for el in self.iter_elems():
+            if tag is not None and el.tag != tag:
+                continue
+            if cls is not None and not el.has_class(cls):
+                continue
+            if id is not None and el.attrib.get("id") != id:
+                continue
+            if pred is not None and not pred(el):
+                continue
+            out.append(el)
+        return out
+
+    def find(self, tag: str | None = None, cls: str | None = None,
+             id: str | None = None, pred=None):
+        found = self.find_all(tag=tag, cls=cls, id=id, pred=pred)
+        return found[0] if found else None
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return f"<Node {self.tag} {self.attrib}>"
+
+
+# --- ElementTree fast path ------------------------------------------------
+
+def _from_et(el) -> Node:
+    node = Node(el.tag, dict(el.attrib))
+    if el.text:
+        node.children.append(el.text)
+    for child in el:
+        node.children.append(_from_et(child))
+        if child.tail:
+            node.children.append(child.tail)
+    return node
+
+
+# --- permissive fallback parser ------------------------------------------
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(data: bytes | str) -> Node:
+    """Parse a page into a :class:`Node` tree (root = document element).
+
+    Tries the C expat parser first (fast; requires well-formed markup,
+    which our generated corpus satisfies), then falls back to the
+    permissive ``html.parser`` tree builder for real-world tag soup.
+    """
+    if isinstance(data, bytes):
+        text = data.decode("utf-8", errors="replace")
+    else:
+        text = data
+    stripped = text.lstrip()
+    if stripped[:9].lower().startswith("<!doctype"):
+        # expat chokes on HTML doctypes without a DTD; skip past it
+        end = stripped.find(">")
+        stripped = stripped[end + 1:].lstrip() if end != -1 else stripped
+    try:
+        return _from_et(ET.fromstring(stripped))
+    except ET.ParseError:
+        builder = _TreeBuilder()
+        builder.feed(text)
+        builder.close()
+        # unwrap the #document node when it has a single element child
+        elems = builder.root.child_elems()
+        if len(elems) == 1:
+            return elems[0]
+        return builder.root
