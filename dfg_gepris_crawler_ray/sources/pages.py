@@ -1,0 +1,104 @@
+"""Pages-table source: read + canonicalise (the frontier key function).
+
+``read_pages`` prunes columns at the read (only what the consumer
+needs leaves storage); ``annotate_pages`` adds the canonical crawl-key
+columns (kind, context, id, language, host, bucket) via a vectorised
+``map_batches`` stage — the engine's equivalent of the reference's
+``is_gepris_path`` / ``extract_id`` canonicalisation
+(gepris_helper.py:100-106, data_transformations.py:10-27) applied at
+corpus scale.
+
+``bucket`` is a stable hash-partition of the canonical entity key:
+all page variants (de/en/result, all warc_ts copies) of one entity land
+in one bucket, so the downstream per-entity chain assembly is a single
+keyed shuffle with bounded, tunable parallelism (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..kernels.hashing import stable_hash64
+from ..kernels.urls import parse_page_url
+
+DETAIL_KINDS = ("details", "result")
+
+
+def read_pages(pages_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Read the pages corpus with column pruning."""
+    return ray.data.read_parquet(
+        pages_dir, columns=columns or ["url", "warc_ts", "html"]
+    )
+
+
+def annotate_batch(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
+    """Add canonical-key columns to a pages batch (zero-copy append)."""
+    urls = batch.column("url").to_pylist()
+    n = len(urls)
+    kind = [""] * n
+    context = [""] * n
+    ids = np.empty(n, dtype=np.int64)
+    language = [""] * n
+    host = [""] * n
+    bucket = np.empty(n, dtype=np.int32)
+    for i, url in enumerate(urls):
+        info = parse_page_url(url)
+        kind[i] = info["kind"]
+        context[i] = info["context"]
+        ids[i] = info["id"]
+        language[i] = info["language"]
+        host[i] = info["host"]
+        bucket[i] = stable_hash64(f"{info['context']}/{info['id']}") % num_buckets
+    return (
+        batch.append_column("kind", pa.array(kind))
+        .append_column("context", pa.array(context))
+        .append_column("id", pa.array(ids))
+        .append_column("language", pa.array(language))
+        .append_column("host", pa.array(host))
+        .append_column("bucket", pa.array(bucket, type=pa.int32()))
+    )
+
+
+def annotate_pages(ds: "ray.data.Dataset", num_buckets: int = 64) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda b: annotate_batch(b, num_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def filter_detail_pages(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Keep only details/result pages (vectorised predicate)."""
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("kind"), value_set=pa.array(DETAIL_KINDS))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def semi_join_frontier(
+    ds: "ray.data.Dataset", frontier_keys_ref
+) -> "ray.data.Dataset":
+    """Broadcast semi-join: keep pages whose (context, id) is in the
+    frontier batch.
+
+    The frontier batch is budget-bounded (the reference's daily crawl
+    budget, scheduler_cronfile:19-33), i.e. small relative to the
+    corpus — so this is a ``ray.put`` broadcast + per-batch hash lookup
+    instead of an all-to-all shuffle join (ray_guide: semi/anti join).
+    """
+    import ray
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        keys = ray.get(frontier_keys_ref)  # set[(context, id)] — cached per worker
+        ctx = batch.column("context").to_pylist()
+        ids = batch.column("id").to_pylist()
+        mask = [(c, i) in keys for c, i in zip(ctx, ids)]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)

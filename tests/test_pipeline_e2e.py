@@ -1,0 +1,98 @@
+"""End-to-end pipeline test over the deterministic sf0.001 corpus."""
+
+import json
+
+import pytest
+
+from dfg_gepris_crawler_ray.testdata import gen_pages as G
+
+SF_DIR = "/root/testdata/sf0.001"
+N_DOCS = 500
+
+
+@pytest.fixture(scope="module")
+def pages_dir(ray_session):
+    return G.ensure_pages(SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def items_df(pages_dir):
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+
+    return run_details_extraction(pages_dir, num_buckets=16).to_pandas()
+
+
+def test_row_counts_and_statuses(items_df):
+    assert len(items_df) == N_DOCS
+    counts = items_df["status"].value_counts().to_dict()
+    moved = len([d for d in range(N_DOCS) if d % 101 == 5])
+    error = len([d for d in range(N_DOCS) if d % 101 != 5 and d % 103 == 7])
+    assert counts.get("moved", 0) == moved
+    assert counts.get("error", 0) == error
+    assert counts["success"] == N_DOCS - moved - error
+    # status invariant from details_items_history (dfg-gepris.sql:44)
+    assert (items_df["item"].notna() == (items_df["status"] == "success")).all()
+
+
+def test_langretry_rows_succeed_with_two_attempts(items_df):
+    # doc_id % 97 == 3 rows have a bad cached copy + good refreshed copy
+    retry_ids = [1000 + d for d in range(N_DOCS)
+                 if G.corrupt_kind(d) == "langretry"]
+    assert retry_ids, "fixture must contain langretry rows"
+    rows = items_df[items_df["id"].isin(retry_ids)]
+    assert (rows["status"] == "success").all()
+    assert (rows["attempts"] >= 2).all()
+
+
+def test_projekt_item_matches_formulas(items_df):
+    doc_id = 30  # projekt with result pages (30 % 15 == 0)
+    row = items_df[items_df["id"] == 1000 + doc_id].iloc[0]
+    item = json.loads(row["item"])
+    assert item["name_de"] == f"Projekt {doc_id}"
+    assert item["name_en"] == f"Project {doc_id}"
+    attrs = item["attributes"]
+    assert attrs["antragsteller_personen"] == [G.person_ref(doc_id, 1, N_DOCS)]
+    assert attrs["leiter_personen"] == [G.person_ref(doc_id, 2, N_DOCS)]
+    assert attrs["male_personen"] == [G.person_ref(doc_id, 1, N_DOCS)]
+    assert attrs["female_personen"] == [G.person_ref(doc_id, 2, N_DOCS)]
+    assert attrs["antragstellende_institutionen"] == [G.institution_ref(doc_id, 1, N_DOCS)]
+    # doc 30: Förderung variant 30 % 4 == 2 → "in {1999+30%20}" → beginn == ende
+    assert attrs["foerderung_beginn"] == attrs["foerderung_ende"] == 1999 + 30 % 20
+    assert item["result"]["attributes"]["ergebnis_erstellungsjahr"] == 2004 + doc_id % 16
+    assert item["result"]["ergebnis_publikationen"][0][0] == f"Publikation {doc_id}"
+
+
+def test_person_item_matches_formulas(items_df):
+    doc_id = 85  # person: 85 % 3 == 1; orcid (85 % 5 == 0); crucifix (85 % 17 == 0)
+    row = items_df[(items_df["id"] == 1000 + doc_id)].iloc[0]
+    item = json.loads(row["item"])
+    assert item["verstorben"] is True
+    assert item["name_de"].endswith(" ")  # crucifix removed, space kept
+    assert item["gender"] == ["male", "female", "male", "unknown"][doc_id % 4]
+    assert item["attributes"]["mail"] == f"user{doc_id}@example.org"
+    assert item["attributes"]["orcid_id"] == f"0000-0002-{doc_id % 10000}"
+    assert item["trees"]["normalised_projects"] == [
+        {"Als Antragsteller": [str(G.projekt_ref(doc_id, 1, N_DOCS)),
+                               str(G.projekt_ref(doc_id, 2, N_DOCS))]}
+    ]
+
+
+def test_institution_item_matches_formulas(items_df):
+    doc_id = 8  # institution: 8 % 3 == 2; subinst tree (8 % 2 == 0)
+    row = items_df[(items_df["id"] == 1000 + doc_id)].iloc[0]
+    item = json.loads(row["item"])
+    assert item["name_de"] == f"Institution {doc_id}, Abteilung {doc_id % 7}"
+    assert item["attributes"]["telefon"] == f"+49 30 {doc_id}"
+    subs = item["trees"]["normalised_subinstitutions"]
+    assert subs[0] == str(G.institution_ref(doc_id, 1, N_DOCS))
+    assert subs[1] == {
+        str(G.institution_ref(doc_id, 2, N_DOCS)): [str(G.institution_ref(doc_id, 3, N_DOCS))]
+    }
+
+
+def test_frontier_semi_join_limits_output(pages_dir):
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+
+    keys = [("person", 1001), ("projekt", 1000), ("institution", 1002)]
+    df = run_details_extraction(pages_dir, frontier_keys=keys, num_buckets=4).to_pandas()
+    assert sorted(zip(df["context"], df["id"])) == sorted(keys)
