@@ -1,0 +1,97 @@
+"""Run ledger + per-partition manifests — checkpoint/resume/lineage.
+
+The reference's resume story is durable Postgres state + an HTTP cache
+(settings.py:130-138). A batch engine needs explicit artifacts
+(BASELINE.json north_rule): every run writes
+
+    <store>/runs/run=<id>/items/part-*.parquet     (history delta)
+    <store>/runs/run=<id>/manifest.json            (lineage + counts)
+    <store>/state.parquet, runs.parquet            (atomically replaced)
+
+``manifest.json`` records the input corpus, frontier spec, per-status
+row counts, a content hash of the delta, and the parent run id — the
+per-partition lineage a resuming driver uses to skip completed runs
+(anti-join frontier vs completed manifests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pandas as pd
+
+
+class CrawlStore:
+    """File-backed crawl state directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "runs"), exist_ok=True)
+
+    # --- state tables ------------------------------------------------------
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.parquet")
+
+    def load_table(self, name: str, empty: pd.DataFrame) -> pd.DataFrame:
+        path = self._table_path(name)
+        if os.path.exists(path):
+            return pd.read_parquet(path)
+        return empty
+
+    def save_table(self, name: str, df: pd.DataFrame) -> None:
+        path = self._table_path(name)
+        tmp = path + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)  # atomic publish
+
+    # --- run artifacts -----------------------------------------------------
+    def run_dir(self, run_id: int) -> str:
+        d = os.path.join(self.root, "runs", f"run={run_id}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def write_run_delta(self, run_id: int, delta: pd.DataFrame) -> str:
+        d = os.path.join(self.run_dir(run_id), "items")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part-0.parquet")
+        delta.to_parquet(path, index=False)
+        return path
+
+    def write_manifest(self, run_id: int, **fields) -> dict:
+        manifest = dict(run_id=run_id, **fields)
+        path = os.path.join(self.run_dir(run_id), "manifest.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        os.replace(tmp, path)
+        return manifest
+
+    def read_manifest(self, run_id: int) -> dict | None:
+        path = os.path.join(self.run_dir(run_id), "manifest.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def completed_runs(self) -> list[int]:
+        runs_dir = os.path.join(self.root, "runs")
+        out = []
+        for name in os.listdir(runs_dir):
+            if name.startswith("run=") and os.path.exists(
+                os.path.join(runs_dir, name, "manifest.json")
+            ):
+                out.append(int(name.split("=")[1]))
+        return sorted(out)
+
+
+def content_hash(df: pd.DataFrame, cols: list[str] | None = None) -> str:
+    """Order-insensitive content hash of a delta (lineage fingerprint)."""
+    cols = cols or list(df.columns)
+    h = hashlib.sha256()
+    payload = df[cols].astype(str).apply(lambda r: "\x1f".join(r), axis=1)
+    for line in sorted(payload):
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()

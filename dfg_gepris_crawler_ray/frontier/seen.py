@@ -1,0 +1,120 @@
+"""Sharded URL-seen filter — actor-pool state for frontier dedup.
+
+The reference's URL-seen state is an exact in-process set
+(spiders/search_results.py:26) plus the ``available_items`` table.
+At 10^10-URL scale the seen-set no longer fits one process, so we
+shard it across K actors routed by a stable hash of the canonical key
+(``hash(key) % K``); each shard holds either
+
+- an exact Python set (test scale / correctness oracle), or
+- a Bloom bit-array (numpy, k hashes) — the scale path: 10^10 keys at
+  10 bits/key ≈ 12.5 GB total, i.e. ~49 MB per shard on a 256-shard
+  cluster, with a documented false-positive rate (~0.9% at k=3).
+
+The exact Parquet state table remains the source of truth; the filter
+is the fast streaming membership test (SURVEY.md §2.6 note). Batch
+APIs only — one actor round-trip per (shard × batch), never per key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from ..kernels.hashing import stable_hash64_array
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One shard of the seen-filter. Keys arrive pre-hashed (uint64)."""
+
+    def __init__(self, mode: str = "exact", bloom_bits: int = 1 << 24, bloom_hashes: int = 3):
+        self.mode = mode
+        if mode == "exact":
+            self.keys: set[int] = set()
+        elif mode == "bloom":
+            self.bits = np.zeros(bloom_bits // 64 + 1, dtype=np.uint64)
+            self.nbits = bloom_bits
+            self.k = bloom_hashes
+        else:
+            raise ValueError(f"unknown seen-filter mode {mode!r}")
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        # k derived hash positions via multiply-shift re-mixing
+        out = np.empty((self.k, len(hashes)), dtype=np.uint64)
+        h = hashes.copy()
+        for i in range(self.k):
+            h = (h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(i + 1))
+            out[i] = h % np.uint64(self.nbits)
+        return out
+
+    def add(self, hashes: np.ndarray) -> np.ndarray:
+        """Insert; returns bool array: True where the key was NEW."""
+        if self.mode == "exact":
+            new = np.fromiter(
+                (h not in self.keys for h in hashes.tolist()), dtype=bool, count=len(hashes)
+            )
+            self.keys.update(hashes.tolist())
+            return new
+        pos = self._positions(hashes)
+        word, bit = pos // np.uint64(64), pos % np.uint64(64)
+        present = np.ones(len(hashes), dtype=bool)
+        for i in range(self.k):
+            present &= (self.bits[word[i]] >> bit[i]) & np.uint64(1) == 1
+            # ufunc.at handles duplicate word indices (|= would drop them)
+            np.bitwise_or.at(self.bits, word[i], np.uint64(1) << bit[i])
+        return ~present
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        if self.mode == "exact":
+            return np.fromiter(
+                (h in self.keys for h in hashes.tolist()), dtype=bool, count=len(hashes)
+            )
+        pos = self._positions(hashes)
+        word, bit = pos // np.uint64(64), pos % np.uint64(64)
+        present = np.ones(len(hashes), dtype=bool)
+        for i in range(self.k):
+            present &= (self.bits[word[i]] >> bit[i]) & np.uint64(1) == 1
+        return present
+
+    def size(self) -> int:
+        return len(self.keys) if self.mode == "exact" else int(-1)
+
+
+class SeenFilter:
+    """Driver/worker facade over the shard pool.
+
+    Route each key batch to its shard by ``hash % num_shards``; all
+    shard calls run concurrently (one round-trip per shard per batch).
+    """
+
+    def __init__(self, num_shards: int = 8, mode: str = "exact", **shard_kwargs):
+        self.num_shards = num_shards
+        self.shards = [
+            SeenShard.remote(mode=mode, **shard_kwargs) for _ in range(num_shards)
+        ]
+
+    def _route(self, keys: list[str]):
+        hashes = stable_hash64_array(keys)
+        shard_ids = (hashes % np.uint64(self.num_shards)).astype(np.int64)
+        return hashes, shard_ids
+
+    def _scatter_gather(self, method: str, keys: list[str]) -> np.ndarray:
+        hashes, shard_ids = self._route(keys)
+        result = np.zeros(len(keys), dtype=bool)
+        futures, positions = [], []
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_ids == s)[0]
+            if len(idx):
+                futures.append(getattr(self.shards[s], method).remote(hashes[idx]))
+                positions.append(idx)
+        for out, idx in zip(ray.get(futures), positions):
+            result[idx] = out
+        return result
+
+    def add(self, keys: list[str]) -> np.ndarray:
+        """Mark seen; True where newly added (dedup-pass filter)."""
+        return self._scatter_gather("add", keys)
+
+    def contains(self, keys: list[str]) -> np.ndarray:
+        return self._scatter_gather("contains", keys)

@@ -1,0 +1,254 @@
+"""Run orchestration: the reference's three spiders as batch runs.
+
+Each run is one driver invocation (≙ one ``scrapy crawl`` / one
+``ray job submit``) over the pages corpus + the durable CrawlStore:
+
+- ``run_search``  ≙ ``scrapy crawl search_results -a context=…``
+  (SURVEY.md §3.1): listing pages → SearchResultItems → J2 state
+  upsert + J6 not-found marking + duplicate-id detection (ST1).
+- ``run_details`` ≙ ``scrapy crawl details -a context=… -a ids=…``
+  (SURVEY.md §3.2): id source (S4–S6) → J1 priority frontier → host
+  budget + planned fetch order → fetch+extract chain → J3 upsert +
+  J4 history append + J5/J7/J8 post-jobs → manifest.
+- ``run_data_monitor`` ≙ ``scrapy crawl data_monitor`` (§3.3).
+
+The heavy lifting (page scan, parse, chain assembly) streams through
+Ray Data; the state-table transitions are the exact pandas semantics
+of ``frontier.state`` — at reference corpus scale (~10^5 keys/context)
+the state fits comfortably on the driver, while the pages corpus never
+does and never leaves the streaming path.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import datetime, timezone
+
+import pandas as pd
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..frontier import state as S
+from ..frontier.manifests import CrawlStore, content_hash
+from ..frontier.politeness import apply_host_budget
+from ..sources.pages import annotate_pages, filter_detail_pages, read_pages, semi_join_frontier
+from ..stages.extract_stage import extract_bucket
+from ..stages.search_stage import extract_search_batch
+
+
+def _now():
+    return datetime.now(timezone.utc).isoformat()
+
+
+def _load(store: CrawlStore):
+    return (
+        store.load_table("state", S.empty_state()),
+        store.load_table("runs", S.empty_runs()),
+        store.load_table("history", S.empty_history()),
+    )
+
+
+# ---------------------------------------------------------------------------
+# id sources (S4–S6, spiders/details.py:29-51)
+# ---------------------------------------------------------------------------
+
+def parse_ids_spec(ids_spec, state: pd.DataFrame, runs: pd.DataFrame, context: str) -> list[int]:
+    """``[1,2,3]`` literal | ``file.json`` | ``db:all:N`` | ``db:needed:N``."""
+    if isinstance(ids_spec, (list, tuple, set)):
+        return sorted(int(i) for i in set(ids_spec))
+    if isinstance(ids_spec, str) and ids_spec.startswith("[") and ids_spec.endswith("]"):
+        return sorted({int(x) for x in ids_spec[1:-1].split(",")})
+    if isinstance(ids_spec, str) and ids_spec.endswith(".json"):
+        with open(ids_spec) as f:
+            return sorted({int(p["id"]) for p in json.load(f)})
+    if isinstance(ids_spec, str) and re.match(r"db:(all|needed):\d+", ids_spec):
+        _, mode, limit = ids_spec.split(":")
+        return S.get_ids(
+            state, runs, context, only_needed=(mode == "needed"), limit=int(limit)
+        )
+    raise ValueError(f"Wrong format of the 'ids' argument: {ids_spec!r}")
+
+
+def plan_frontier(
+    ids: list[int],
+    context: str,
+    host_lookup=None,
+    max_per_host: int | None = None,
+) -> pd.DataFrame:
+    """J1-ordered ids → planned frontier (host cap + fetch_seq).
+
+    ``ids`` arrive in J1 priority order (never-checked first, stalest
+    first) and that order is preserved through the host budget — the
+    deterministic crawl-order contract (SURVEY.md §2.7)."""
+    hosts = [host_lookup(context, i) if host_lookup else "default" for i in ids]
+    frontier = pd.DataFrame({"context": context, "id": ids, "host": hosts})
+    return apply_host_budget(frontier, max_per_host=max_per_host)
+
+
+# ---------------------------------------------------------------------------
+# details run
+# ---------------------------------------------------------------------------
+
+def run_details(
+    store: CrawlStore,
+    pages_dir: str,
+    context: str,
+    ids_spec="db:all:0",
+    host_lookup=None,
+    max_per_host: int | None = None,
+    num_buckets: int = 64,
+    politeness=None,
+) -> dict:
+    state, runs, history = _load(store)
+    runs, run_id = S.store_run(runs, "details", context, _now())
+
+    ids = parse_ids_spec(ids_spec, state, runs, context)
+    frontier = plan_frontier(ids, context, host_lookup, max_per_host)
+    frontier_keys = [(context, int(i)) for i in frontier["id"]]
+
+    ds = filter_detail_pages(annotate_pages(read_pages(pages_dir), num_buckets))
+    if frontier_keys:
+        import ray
+
+        ds = semi_join_frontier(ds, ray.put(set(frontier_keys)))
+    items = ds.groupby("bucket").map_groups(
+        lambda b: extract_bucket(b, politeness=politeness), batch_format="pyarrow"
+    )
+    delta = items.to_pandas()
+
+    # J3 upsert for every processed id (success AND moved/error rows all
+    # call upsert_available_item(id, None, details) — pipelines.py:52-54,
+    # middlewares.py:35,50)
+    state = S.upsert_from_details(state, list(delta["id"]), context, run_id)
+    # J4 history append with per-key change dedup
+    history = S.insert_detail_items(
+        history,
+        runs,
+        [
+            dict(id=int(r.id), context=context, created_at=run_id,
+                 item=r.item if r.status == "success" else None, status=r.status)
+            for r in delta.itertuples()
+        ],
+    )
+    # post-run jobs (pipelines.py:36-43)
+    if context == "projekt":
+        state = S.expand_person_frontier(state, history, run_id)  # J5
+    else:
+        latest = S.latest_detail_items(history, runs)
+        if context == "person":
+            refs = S.person_projekt_references(latest)
+        else:
+            refs = S.institution_projekt_references(latest)
+        state = S.mark_projekts_for_moved(state, history, run_id, context, refs)  # J7
+        if context == "institution":
+            hierarchy = S.institution_hierarchy(S.latest_items(latest, state))
+            state = S.mark_roots_for_moved_subinstitutions(state, history, run_id, hierarchy)  # J8
+
+    scraped = int((delta["status"] == "success").sum())
+    runs = S.update_run_result(runs, run_id, _now(), scraped)
+
+    store.save_table("state", state)
+    store.save_table("runs", runs)
+    store.save_table("history", history)
+    store.write_run_delta(run_id, delta)
+    status_counts = delta["status"].value_counts().to_dict()
+    manifest = store.write_manifest(
+        run_id,
+        spider="details",
+        context=context,
+        pages_dir=pages_dir,
+        ids_spec=str(ids_spec),
+        frontier_size=len(frontier),
+        planned_order_hash=content_hash(frontier, ["fetch_seq", "context", "id"]),
+        status_counts=status_counts,
+        delta_hash=content_hash(delta, ["id", "context", "status"]),
+        parent_run=run_id - 1 if run_id > 1 else None,
+    )
+    return dict(run_id=run_id, frontier=frontier, delta=delta,
+                manifest=manifest, **{f"n_{k}": v for k, v in status_counts.items()})
+
+
+# ---------------------------------------------------------------------------
+# search run
+# ---------------------------------------------------------------------------
+
+def run_search(store: CrawlStore, pages_dir: str, context: str) -> dict:
+    state, runs, history = _load(store)
+    runs, run_id = S.store_run(runs, "search_results", context, _now())
+
+    ds = annotate_pages(read_pages(pages_dir), num_buckets=8)
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(b.column("kind"), "search"),
+                pc.equal(b.column("context"), context),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    results = ds.map_batches(extract_search_batch, batch_format="pyarrow").to_pandas()
+
+    # ST1 duplicate-id detection across pages (warn-only in the reference)
+    duplicate_ids = [
+        int(i) for i, n in results["id"].value_counts().items() if n > 1
+    ]
+    # pagination sanity (ST2): every page reported the same total
+    totals = set(int(t) for t in results["page_total"].unique() if t >= 0)
+
+    observations = [(int(r.id), r.item) for r in results.itertuples()]
+    state = S.upsert_from_search(state, observations, context, run_id)
+    state = S.mark_not_found(state, context, run_id)  # J6
+
+    runs = S.update_run_result(runs, run_id, _now(), len(results))
+    store.save_table("state", state)
+    store.save_table("runs", runs)
+    store.write_run_delta(run_id, results)
+    manifest = store.write_manifest(
+        run_id,
+        spider="search_results",
+        context=context,
+        pages_dir=pages_dir,
+        items=len(results),
+        duplicate_ids=duplicate_ids,
+        reported_totals=sorted(totals),
+        delta_hash=content_hash(results, ["id", "context"]),
+    )
+    return dict(run_id=run_id, items=results, duplicate_ids=duplicate_ids,
+                totals=sorted(totals), manifest=manifest)
+
+
+# ---------------------------------------------------------------------------
+# data monitor run
+# ---------------------------------------------------------------------------
+
+def run_data_monitor(store: CrawlStore, pages_dir: str) -> dict:
+    from ..extract.data_monitor import parse_data_monitor
+    from ..kernels.htmlmini import parse_html
+    from ..kernels.jsoncanon import dumps_canonical
+
+    ds = annotate_pages(read_pages(pages_dir), num_buckets=2)
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), "monitor")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rows = ds.take_all()  # exactly one monitor page
+    if not rows:
+        raise ValueError("no data-monitor page in corpus")
+    item = parse_data_monitor(parse_html(rows[0]["html"]))
+    dm = store.load_table("data_monitor", pd.DataFrame())
+    row = dict(run_ended_at=_now(), **item)
+    dm = pd.concat([dm, pd.DataFrame([row])], ignore_index=True)
+    store.save_table("data_monitor", dm)
+    return dict(item=item, monitor_json=dumps_canonical(item))
+
+
+def get_latest_dm_stat(store: CrawlStore, stat: str):
+    """argmax over data_monitor.run_ended_at (database.py:231-241)."""
+    dm = store.load_table("data_monitor", pd.DataFrame())
+    if not len(dm):
+        return None
+    return dm.sort_values("run_ended_at").iloc[-1][stat]

@@ -43,6 +43,7 @@ def annotate_batch(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
     ids = np.empty(n, dtype=np.int64)
     language = [""] * n
     host = [""] * n
+    index = np.empty(n, dtype=np.int64)
     bucket = np.empty(n, dtype=np.int32)
     for i, url in enumerate(urls):
         info = parse_page_url(url)
@@ -51,6 +52,7 @@ def annotate_batch(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
         ids[i] = info["id"]
         language[i] = info["language"]
         host[i] = info["host"]
+        index[i] = info["index"]
         bucket[i] = stable_hash64(f"{info['context']}/{info['id']}") % num_buckets
     return (
         batch.append_column("kind", pa.array(kind))
@@ -58,6 +60,7 @@ def annotate_batch(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
         .append_column("id", pa.array(ids))
         .append_column("language", pa.array(language))
         .append_column("host", pa.array(host))
+        .append_column("index", pa.array(index))
         .append_column("bucket", pa.array(bucket, type=pa.int32()))
     )
 

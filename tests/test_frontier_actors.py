@@ -1,0 +1,51 @@
+"""Tests for the sharded seen-filter and politeness actor pools."""
+
+import numpy as np
+import pandas as pd
+
+from dfg_gepris_crawler_ray.frontier.politeness import PolitenessGate, apply_host_budget
+from dfg_gepris_crawler_ray.frontier.seen import SeenFilter
+
+
+def test_seen_filter_exact(ray_session):
+    f = SeenFilter(num_shards=4, mode="exact")
+    keys = [f"projekt/{i}" for i in range(100)]
+    new = f.add(keys)
+    assert new.all()
+    again = f.add(keys + ["person/1"])
+    assert (~again[:100]).all() and again[100]
+    assert f.contains(["projekt/5", "person/1", "person/2"]).tolist() == [True, True, False]
+
+
+def test_seen_filter_bloom_no_false_negatives(ray_session):
+    f = SeenFilter(num_shards=2, mode="bloom", bloom_bits=1 << 16)
+    keys = [f"k/{i}" for i in range(500)]
+    f.add(keys)
+    assert f.contains(keys).all()  # Bloom: no false negatives
+    fresh = [f"other/{i}" for i in range(500)]
+    fp_rate = f.contains(fresh).mean()
+    assert fp_rate < 0.05  # 65k bits / 250 keys per shard → tiny fp rate
+
+
+def test_politeness_accounting_and_robots(ray_session):
+    gate = PolitenessGate(
+        num_shards=2,
+        min_delay_ms=0.0,
+        robots={"h1": "User-agent: *\nDisallow: /private/\n"},
+    )
+    gate.account({"h1": 3, "h2": 5})
+    gate.account({"h1": 2})
+    counts = gate.counts()
+    assert counts == {"h1": 5, "h2": 5}
+    assert gate.allowed("h1", ["/ok", "/private/x"]) == [True, False]
+    assert gate.allowed("unknown-host", ["/anything"]) == [True]
+
+
+def test_apply_host_budget_preserves_priority():
+    frontier = pd.DataFrame(
+        {"context": "p", "id": range(10),
+         "host": ["a", "a", "b", "a", "b", "a", "b", "b", "a", "b"]}
+    )
+    out = apply_host_budget(frontier, max_per_host=2)
+    assert list(out["id"]) == [0, 1, 2, 4]  # first 2 per host, priority order kept
+    assert list(out["fetch_seq"]) == [0, 1, 2, 3]
