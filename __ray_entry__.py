@@ -1,44 +1,433 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL over
+the same parquet tables.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The crawl queries run over the deterministic synthetic pages corpus
+derived from the ``documents`` table (dfg_gepris_crawler_ray.testdata.
+gen_pages) whose embedded field values follow closed-form formulas over
+``doc_id`` — so the full HTML-generate → parse → normalise pipeline is
+value-checkable by ANSI SQL over ``documents``.
+
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()``/``ray.shutdown()`` here or in the library.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+import pyarrow as pa
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import dfg_gepris_crawler_ray
+
+dfg_gepris_crawler_ray.register_for_ray()
+
+# shared corrupt-row exclusion (generator designates these rows as
+# moved / structure-error — see gen_pages.corrupt_kind)
+_OK = "doc_id % 101 != 5 AND doc_id % 103 != 7"
+
+_ITEMS_CACHE: dict[str, Any] = {}
+
+
+def _pages(sf_dir: str) -> str:
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return ensure_pages(sf_dir)
+
+
+def _crawl_items(sf_dir: str):
+    """Run (once per sf_dir) the full details extraction; cached."""
+    if sf_dir not in _ITEMS_CACHE:
+        from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+
+        _ITEMS_CACHE[sf_dir] = run_details_extraction(
+            _pages(sf_dir), num_buckets=32
+        ).materialize()
+    return _ITEMS_CACHE[sf_dir]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages corpus →
+    frontier → fetch+extract chain → item rows."""
+    return _crawl_items("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+def _q_projekt_core(sf_dir: str):
+    from dfg_gepris_crawler_ray.pipelines.derive import projekt_core
+
+    return projekt_core(_crawl_items(sf_dir))
+
+
+def _q_person_core(sf_dir: str):
+    from dfg_gepris_crawler_ray.pipelines.derive import person_core
+
+    return person_core(_crawl_items(sf_dir))
+
+
+def _q_institution_core(sf_dir: str):
+    from dfg_gepris_crawler_ray.pipelines.derive import institution_core
+
+    return institution_core(_crawl_items(sf_dir))
+
+
+def _q_edges(sf_dir: str):
+    from dfg_gepris_crawler_ray.pipelines.derive import reference_edges
+
+    return reference_edges(_crawl_items(sf_dir), "antragsteller_personen")
+
+
+def _q_hierarchy(sf_dir: str):
+    from dfg_gepris_crawler_ray.pipelines.derive import hierarchy_rows
+
+    return hierarchy_rows(_crawl_items(sf_dir))
+
+
+def _q_status_counts(sf_dir: str):
+    from dfg_gepris_crawler_ray.pipelines.derive import status_counts
+
+    return status_counts(_crawl_items(sf_dir))
+
+
+def _q_frontier_order(sf_dir: str):
+    """J1 priority + planned fetch order: never-checked ids first (state
+    order), then previously-checked ids (stalest first)."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.frontier import state as S
+    from dfg_gepris_crawler_ray.pipelines.runs import plan_frontier
+    from dfg_gepris_crawler_ray.testdata.gen_pages import host_of
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    projekt_docs = [d for d in range(n_docs) if d % 3 == 0]
+    obs = [(1000 + d, f'{{"id":{1000 + d}}}') for d in sorted(projekt_docs)]
+    state = S.upsert_from_search(S.empty_state(), obs, "projekt", 1)
+    even_ids = [1000 + d for d in projekt_docs if d % 2 == 0]
+    state = S.upsert_from_details(state, even_ids, "projekt", 2)
+    runs = pd.DataFrame(
+        [
+            dict(id=1, spider="search_results", context="projekt", run_started_at=1,
+                 run_ended_at=None, total_scraped_items=None),
+            dict(id=2, spider="details", context="projekt", run_started_at=2,
+                 run_ended_at=None, total_scraped_items=None),
+        ]
+    )
+    ids = S.get_ids(state, runs, "projekt")
+    frontier = plan_frontier(
+        ids, "projekt", host_lookup=lambda c, i: host_of(i - 1000)
+    )
+    return pa.table(
+        {
+            "fetch_seq": pa.array(frontier["fetch_seq"], type=pa.int64()),
+            "id": pa.array(frontier["id"], type=pa.int64()),
+            "host": pa.array(frontier["host"], type=pa.string()),
+        }
+    )
+
+
+def _q_search_projekt(sf_dir: str):
+    """Search-listing extraction (SURVEY §2.2 M19): raw German attribute
+    pairs from the listing pages."""
+    import json
+
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from dfg_gepris_crawler_ray.sources.pages import annotate_pages, read_pages
+    from dfg_gepris_crawler_ray.stages.search_stage import extract_search_batch
+
+    ds = annotate_pages(read_pages(_pages(sf_dir)), num_buckets=8)
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b.column("kind"), "search"), pc.equal(b.column("context"), "projekt"))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    results = ds.map_batches(extract_search_batch, batch_format="pyarrow")
+
+    def cols(batch: pa.Table) -> pa.Table:
+        rows = [json.loads(s) for s in batch.column("item").to_pylist()]
+        return pa.table(
+            {
+                "id": pa.array([r["id"] for r in rows], type=pa.int64()),
+                "name_de": pa.array([r["name_de"] for r in rows], type=pa.string()),
+                "foerderung": pa.array(
+                    [r.get("project_attributes", {}).get("Förderung") for r in rows],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return results.map_batches(cols, batch_format="pyarrow")
+
+
+def _q_data_monitor(sf_dir: str):
+    from dfg_gepris_crawler_ray.extract.data_monitor import parse_data_monitor
+    from dfg_gepris_crawler_ray.kernels.htmlmini import parse_html
+    import pyarrow.parquet as pq
+    import glob
+
+    item = None
+    for f in glob.glob(_pages(sf_dir) + "/*.parquet"):
+        t = pq.read_table(f, columns=["url", "html"])
+        for url, html in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+            if url.endswith("task=showMonitor"):
+                item = parse_data_monitor(parse_html(html))
+                break
+        if item:
+            break
+    return pa.table(
+        {
+            "project_count": pa.array([item["project_count"]], type=pa.int64()),
+            "person_count": pa.array([item["person_count"]], type=pa.int64()),
+            "institution_count": pa.array([item["institution_count"]], type=pa.int64()),
+            "finished_project_count": pa.array([item["finished_project_count"]], type=pa.int64()),
+            "last_update": pa.array([item["last_update"]], type=pa.string()),
+            "gepris_version": pa.array([item["gepris_version"]], type=pa.string()),
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dfg_gepris_crawler_ray.ops import dedup, multimodal, relational, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- crawl pipelines (SURVEY §2 / §3) ------------------------------
+        "crawl_projekt_core": _q_projekt_core,
+        "crawl_person_core": _q_person_core,
+        "crawl_institution_core": _q_institution_core,
+        "crawl_edges_antragsteller": _q_edges,
+        "crawl_institution_hierarchy": _q_hierarchy,
+        "crawl_status_counts": _q_status_counts,
+        "crawl_frontier_order": _q_frontier_order,
+        "crawl_search_projekt": _q_search_projekt,
+        "crawl_data_monitor": _q_data_monitor,
+        # --- training-data ops --------------------------------------------
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
+        "dedup_simhash_pairs": dedup.simhash_neardup_pairs,
+        "dedup_embedding_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, threshold=0.35),
+        "knn_brute": lambda sf: similarity.knn_brute(sf).select(
+            ["query_id", "rank", "neighbor_id"]
+        ),
+        "knn_lsh": lambda sf: similarity.knn_lsh(sf),
+        "text_token_stats": textstats.token_stats,
+        "text_fingerprints": lambda sf: textstats.fingerprints(sf).select_columns(
+            ["doc_id", "content_md5"]
+        ),
+        "text_quality": textstats.quality_scores,
+        "text_lang_id": textstats.lang_id,
+        "lang_histogram": _q_lang_hist,
+        "media_features": lambda sf: multimodal.media_features(sf).select_columns(
+            ["doc_id", "media_bytes"]
+        ),
+        # --- generic relational operators ---------------------------------
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_segment_revenue": relational.segment_revenue,
+        "rel_customers_without_orders": relational.customers_without_orders,
+        "rel_latest_event_per_user": relational.latest_event_per_user,
+        "rel_hourly_event_stats": relational.hourly_event_stats,
+        "rel_top_orders": lambda sf: relational.top_orders(sf, k=20),
+    }
+
+
+def _q_lang_hist(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB over the same parquet tables)
+# ---------------------------------------------------------------------------
+
+_FOERDERUNG_BEGINN = (
+    "CASE doc_id % 4 WHEN 0 THEN 2000 + doc_id % 18 WHEN 1 THEN 2010 + doc_id % 12 "
+    "WHEN 2 THEN 1999 + doc_id % 20 ELSE NULL END"
+)
+_FOERDERUNG_ENDE = (
+    "CASE doc_id % 4 WHEN 0 THEN 2003 + doc_id % 18 WHEN 2 THEN 1999 + doc_id % 20 "
+    "ELSE NULL END"
+)
+_FOERDERUNG_TEXT = (
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN 'Förderung von ' || (2000 + doc_id % 18) || ' bis ' || (2003 + doc_id % 18) "
+    "WHEN 1 THEN 'Förderung seit ' || (2010 + doc_id % 12) "
+    "WHEN 2 THEN 'Förderung in ' || (1999 + doc_id % 20) "
+    "ELSE 'Befindet sich in der laufenden Förderung.' END"
+)
+_HOST = (
+    "CASE WHEN doc_id % 10 < 7 THEN 'gepris.example.org' "
+    "ELSE 'host' || (doc_id % 16) || '.example.net' END"
+)
+_PERSON_TITLE = (
+    "CASE doc_id % 4 WHEN 0 THEN 'Professor Dr. ' WHEN 1 THEN 'Professorin Dr. ' "
+    "WHEN 2 THEN 'Privatdozent Dr. ' ELSE 'Dr. ' END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_projekt_core": f"""
+            SELECT 1000 + doc_id AS id,
+                   'Projekt ' || doc_id AS name_de,
+                   'Project ' || doc_id AS name_en,
+                   trim(substr(text, 1, 120)) AS beschreibung_de,
+                   trim(substr(text, 1, 80)) AS beschreibung_en,
+                   CASE WHEN doc_id % 2 = 0 THEN 'Sachbeihilfen'
+                        ELSE 'Graduiertenkollegs' END AS dfg_verfahren,
+                   {_FOERDERUNG_BEGINN} AS foerderung_beginn,
+                   {_FOERDERUNG_ENDE} AS foerderung_ende
+            FROM documents WHERE doc_id % 3 = 0 AND {_OK}
+        """,
+        "crawl_person_core": f"""
+            SELECT 1000 + doc_id AS id,
+                   {_PERSON_TITLE} || 'Vorname Nachname ' || doc_id ||
+                     CASE WHEN doc_id % 17 = 0 THEN ' ' ELSE '' END AS name_de,
+                   doc_id % 17 = 0 AS verstorben,
+                   CASE doc_id % 4 WHEN 0 THEN 'male' WHEN 1 THEN 'female'
+                        WHEN 2 THEN 'male' ELSE 'unknown' END AS gender,
+                   'Institut ' || doc_id || ', Weg ' || (doc_id % 90) || ' 1, ' ||
+                     (10000 + doc_id % 89999) || ' Stadt' AS adresse,
+                   'user' || doc_id || '@example.org' AS mail,
+                   CASE WHEN doc_id % 2 = 0 THEN 'www.example.org/p' || doc_id END AS internet,
+                   CASE WHEN doc_id % 5 = 0 THEN '0000-0002-' || (doc_id % 10000) END AS orcid_id
+            FROM documents WHERE doc_id % 3 = 1 AND {_OK}
+        """,
+        "crawl_institution_core": f"""
+            SELECT 1000 + doc_id AS id,
+                   'Institution ' || doc_id || ', Abteilung ' || (doc_id % 7) AS name_de,
+                   'Campus ' || doc_id || ', ' || (10000 + doc_id % 89999) || ' Stadt' AS adresse,
+                   '+49 30 ' || doc_id AS telefon,
+                   'www.example.org/i' || doc_id AS internet
+            FROM documents WHERE doc_id % 3 = 2 AND {_OK}
+        """,
+        "crawl_edges_antragsteller": f"""
+            SELECT 1000 + doc_id AS projekt_id,
+                   1000 + 3 * ((doc_id * 7 + 1) % ((cnt + 1) // 3)) + 1 AS person_id
+            FROM documents, (SELECT count(*) AS cnt FROM documents)
+            WHERE doc_id % 3 = 0 AND {_OK}
+        """,
+        "crawl_institution_hierarchy": f"""
+            WITH base AS (
+              SELECT 1000 + doc_id AS id,
+                     1000 + 3 * ((doc_id * 5 + 1) % (cnt // 3)) + 2 AS s1,
+                     1000 + 3 * ((doc_id * 5 + 2) % (cnt // 3)) + 2 AS s2,
+                     1000 + 3 * ((doc_id * 5 + 3) % (cnt // 3)) + 2 AS s3
+              FROM documents, (SELECT count(*) AS cnt FROM documents)
+              WHERE doc_id % 3 = 2 AND doc_id % 2 = 0 AND {_OK}
+            )
+            SELECT id, NULL::BIGINT AS parent_id, id AS root_id FROM base
+            UNION ALL SELECT s1, id, id FROM base
+            UNION ALL SELECT s2, id, id FROM base
+            UNION ALL SELECT s3, s2, id FROM base
+        """,
+        "crawl_status_counts": """
+            SELECT CASE WHEN doc_id % 101 = 5 THEN 'moved'
+                        WHEN doc_id % 103 = 7 THEN 'error'
+                        ELSE 'success' END AS status,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "crawl_frontier_order": f"""
+            SELECT row_number() OVER (ORDER BY (doc_id % 2 = 0), doc_id) - 1 AS fetch_seq,
+                   1000 + doc_id AS id,
+                   {_HOST} AS host
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "crawl_search_projekt": f"""
+            SELECT 1000 + doc_id AS id,
+                   'Projekt ' || doc_id AS name_de,
+                   {_FOERDERUNG_TEXT} AS foerderung
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "crawl_data_monitor": """
+            SELECT 136266::BIGINT AS project_count, 87475::BIGINT AS person_count,
+                   37472::BIGINT AS institution_count, 34874::BIGINT AS finished_project_count,
+                   '2021-10-12' AS last_update, '21.4.0' AS gepris_version
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "knn_brute": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+                  FROM q, embeddings e WHERE e.vec_id != q.query_id)
+            SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+                   neighbor_id
+            FROM s QUALIFY rank <= 10
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS token_count,
+                   length(text) AS char_count,
+                   round((length(text) - (len(string_split(text, ' ')) - 1))
+                         / len(string_split(text, ' ')), 6) AS avg_token_len
+            FROM documents
+        """,
+        "text_fingerprints": """
+            SELECT doc_id, md5(text) AS content_md5 FROM documents
+        """,
+        "lang_histogram": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        """,
+        "media_features": """
+            SELECT doc_id, 100 + doc_id % 50 AS media_bytes FROM documents
+        """,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_segment_revenue": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "rel_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "rel_latest_event_per_user": """
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "rel_hourly_event_stats": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "rel_top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        # dedup_minhash_lsh / dedup_simhash_pairs / dedup_embedding_pairs /
+        # knn_lsh / text_quality / text_lang_id: non-SQL-expressible
+        # (hash-based sketches / heuristic models) → rows-only checks.
+    }

@@ -1,0 +1,142 @@
+"""Benchmark harness: headline crawl pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "pages": P, "pages_per_sec": R}
+
+``--scaling`` runs the same bench in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox evidence for the
+two-cluster-size criterion — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# corpus replication for the headline crawl: tiles the document set so
+# the bench has enough work to measure scaling (deterministic, cached)
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "256"))
+
+
+def _scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    lo, hi = run(lo_cpus), run(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "sf_dir": SF_DIR,
+                f"sec_{lo_cpus}": lo["value"],
+                f"sec_{hi_cpus}": hi["value"],
+                f"pages_per_sec_{lo_cpus}": lo["pages_per_sec"],
+                f"pages_per_sec_{hi_cpus}": hi["pages_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def main():
+    if "--scaling" in sys.argv:
+        _scaling()
+        return
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import dfg_gepris_crawler_ray
+
+    dfg_gepris_crawler_ray.register_for_ray()
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+    from dfg_gepris_crawler_ray.ops import dedup, relational, similarity, textstats
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF_DIR, replicate=REPLICATE)  # cached generation (untimed)
+
+    # warm the page cache with one untimed pass (measure compute, not disk)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n_pages = 0
+    for f in glob.glob(pages_dir + "/*.parquet"):
+        n_pages += pq.read_metadata(f).num_rows
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    # warm the cluster (worker startup) + page cache with one untimed
+    # pass over a slice of the pipeline
+    run_details_extraction(
+        pages_dir, frontier_keys=[("person", 1001)], num_buckets=8
+    ).materialize()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: the full fetch+extract crawl pipeline
+    num_buckets = max(32, NUM_CPUS * 2)
+    items = timed(
+        "crawl_details",
+        lambda: run_details_extraction(pages_dir, num_buckets=num_buckets).materialize(),
+    )
+    n_items = items.count()
+
+    timed("dedup_exact", lambda: dedup.exact_dedup(SF_DIR).materialize())
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_dedup(SF_DIR).materialize())
+    timed("knn_brute", lambda: similarity.knn_brute(SF_DIR))
+    timed("text_token_stats", lambda: textstats.token_stats(SF_DIR).materialize())
+    timed("rel_pricing_summary", lambda: relational.pricing_summary(SF_DIR).materialize())
+
+    headline = timings["crawl_details"]
+    result = {
+        "metric": "frontier-sustained fetch+extract throughput (details pipeline wall time)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "replicate": REPLICATE,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "items": n_items,
+        "pages_per_sec": round(n_pages / headline, 1) if headline else None,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

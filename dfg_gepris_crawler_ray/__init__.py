@@ -18,3 +18,28 @@ from its observable behavior (file:line citations in docstrings).
 """
 
 __version__ = "0.1.0"
+
+
+def register_for_ray() -> None:
+    """Make all package UDFs self-contained for Ray workers.
+
+    Ray workers pickle ``map_batches`` UDFs by module reference; when
+    the driver imported this package from a path the workers don't have
+    (e.g. the repo root while cwd is elsewhere), deserialisation fails
+    with ModuleNotFoundError. Registering every submodule for by-value
+    cloudpickle serialisation removes the import requirement entirely
+    (a few tens of KB per task submission — negligible against batch
+    payloads). Idempotent; called by ``__ray_entry__`` and ``bench``.
+    """
+    import importlib
+    import pkgutil
+
+    from ray import cloudpickle
+
+    pkg = importlib.import_module(__name__)
+    for mod_info in pkgutil.walk_packages(pkg.__path__, prefix=__name__ + "."):
+        try:
+            cloudpickle.register_pickle_by_value(importlib.import_module(mod_info.name))
+        except Exception:
+            pass
+    cloudpickle.register_pickle_by_value(pkg)

@@ -34,6 +34,7 @@ from ..normalise.trees import normalise_institution_trees, normalise_person_tree
 from .common import (
     as_list,
     attributes_pairs_list,
+    extract_text_and_links,
     extract_trees,
     first_attrib,
     get_content_div,
@@ -198,8 +199,6 @@ def parse_projekt_result(root: Node, english: bool = False):
     loader.add_value("ergebnis_zusammenfassung_de", summary)
     for div in (d for n in result_content for d in n.child_elems("div")):
         loader.add_value("attributes", attributes_pairs_list(div.child_elems("span")))
-    from .common import extract_text_and_links
-
     for publication in (
         li
         for n in result_content

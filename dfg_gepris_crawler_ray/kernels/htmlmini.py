@@ -64,19 +64,38 @@ class Node:
 
     # --- descendant access ----------------------------------------------
     def iter_elems(self):
-        """All descendant elements, document order, self excluded."""
-        for c in self.children:
-            if isinstance(c, Node):
-                yield c
-                yield from c.iter_elems()
+        """All descendant elements, document order, self excluded.
+
+        Iterative (explicit stack) — generator recursion costs ~3x in
+        the hot extraction path."""
+        stack = [iter(self.children)]
+        while stack:
+            it = stack[-1]
+            advanced = False
+            for c in it:
+                if isinstance(c, Node):
+                    yield c
+                    stack.append(iter(c.children))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
 
     def iter_texts(self):
         """All descendant text chunks, document order (xpath ``.//text()``)."""
-        for c in self.children:
-            if isinstance(c, str):
-                yield c
-            else:
-                yield from c.iter_texts()
+        stack = [iter(self.children)]
+        while stack:
+            it = stack[-1]
+            advanced = False
+            for c in it:
+                if isinstance(c, str):
+                    yield c
+                else:
+                    stack.append(iter(c.children))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
 
     def find_all(self, tag: str | None = None, cls: str | None = None,
                  id: str | None = None, pred=None) -> list["Node"]:
@@ -99,8 +118,18 @@ class Node:
 
     def find(self, tag: str | None = None, cls: str | None = None,
              id: str | None = None, pred=None):
-        found = self.find_all(tag=tag, cls=cls, id=id, pred=pred)
-        return found[0] if found else None
+        """First matching descendant — lazy early-exit scan."""
+        for el in self.iter_elems():
+            if tag is not None and el.tag != tag:
+                continue
+            if cls is not None and not el.has_class(cls):
+                continue
+            if id is not None and el.attrib.get("id") != id:
+                continue
+            if pred is not None and not pred(el):
+                continue
+            return el
+        return None
 
     def __repr__(self):  # pragma: no cover - debugging aid
         return f"<Node {self.tag} {self.attrib}>"

@@ -36,8 +36,9 @@ def clean_string(string: str) -> str:
     ``'a\\nb'`` becomes ``'ab'`` (the newline is removed, not replaced
     by a space), while ``'a \\n b'`` becomes ``'a b'``.
     """
-    cleaned = "".join(c for c in string if c.isprintable())
-    return " ".join(cleaned.split()).strip()
+    if not string.isprintable():  # C fast path: most strings are clean
+        string = "".join(c for c in string if c.isprintable())
+    return " ".join(string.split()).strip()
 
 
 def split_comma_space(value: str) -> list[str]:

@@ -1,0 +1,280 @@
+"""Deduplication operators over the ``documents`` table.
+
+- exact: content-hash partition + per-group min (one shuffle over the
+  *hash* column only — the canonical hash-partition + first pattern)
+- MinHash + LSH: shingle → minhash signature → banded bucket groupby →
+  candidate pairs → Jaccard verification (no all-pairs scan)
+- SimHash: 64-bit near-dup fingerprint + banded hamming buckets
+- n-gram Jaccard: the exact verifier, reused as a standalone pairwise op
+- embedding cosine near-dup: normalised matmul in buckets
+
+All hashes are process-stable (no Python ``hash``). Each shuffle key is
+documented; candidate verification is vectorised numpy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..kernels.hashing import MERSENNE61, minhash_permutations
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """(content_md5, doc_id=min over duplicates) — hash-partition +
+    per-group first; shuffle key = content hash."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "content_md5": pa.array(md5s)})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Min
+
+    return hashed.groupby("content_md5").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+# --- shingling + minhash ---------------------------------------------------
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = text.split(" ")
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        out[i] = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of word k-shingles (rolling combination of token hashes)."""
+    th = _token_hashes(text)
+    if len(th) < k:
+        return np.unique(th)
+    # combine k consecutive token hashes with position multipliers
+    acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * np.uint64(1099511628211) + th[j : len(th) - k + 1 + j]
+    return np.unique(acc)
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minima of universal hashes over the shingle set."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.uint64(MERSENNE61))
+    # (num_perm, n_shingles) via broadcasting, min over shingles
+    prods = (shingles[None, :] * a[:, None] + b[:, None]) % np.uint64(MERSENNE61)
+    return prods.min(axis=1)
+
+
+def jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
+    inter = len(np.intersect1d(sh_a, sh_b, assume_unique=True))
+    union = len(sh_a) + len(sh_b) - inter
+    return inter / union if union else 1.0
+
+
+def minhash_lsh_dedup(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs (doc_a < doc_b, jaccard ≥ threshold).
+
+    Pipeline: signature per doc [map_batches] → explode to
+    (band_id, band_hash, doc_id) [map_batches] → groupby band bucket
+    [the shuffle] → candidate pairs → exact-Jaccard verify inside the
+    group task (re-shingling only the candidates).
+    """
+    rows_per_band = num_perm // bands
+    a, b = minhash_permutations(num_perm)
+    docs_path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        out_band, out_hash, out_doc = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = minhash_signature(shingle_hashes(text, shingle_k), a, b)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                out_band.append(band)
+                out_hash.append(int.from_bytes(h, "big") % (1 << 62))
+                out_doc.append(doc_id)
+        return pa.table(
+            {
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_hash, type=pa.int64()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+            }
+        )
+
+    banded = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    # per-bucket candidate pair emission (bucket = (band, band_hash))
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        doc_ids = sorted(set(group.column("doc_id").to_pylist()))
+        pairs = [
+            (doc_ids[i], doc_ids[j])
+            for i in range(len(doc_ids))
+            for j in range(i + 1, len(doc_ids))
+        ]
+        if not pairs:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+            }
+        )
+
+    candidates = banded.groupby(["band", "band_hash"]).map_groups(
+        emit_pairs, batch_format="pyarrow"
+    )
+    # distinct candidate pairs, then exact verification with a broadcast
+    # text lookup (candidate set << corpus; texts fetched per pair batch)
+    cand_df = candidates.to_pandas().drop_duplicates()
+    if not len(cand_df):
+        return ray.data.from_items([])
+    import pyarrow.parquet as pq
+
+    texts = {}
+    needed = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
+    tbl = pq.read_table(docs_path, columns=["doc_id", "text"])
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        if doc_id in needed:
+            texts[doc_id] = text
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        keep_a, keep_b, keep_j = [], [], []
+        for da, db_ in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
+            j = jaccard(shingle_hashes(lookup[da], shingle_k), shingle_hashes(lookup[db_], shingle_k))
+            if j >= threshold:
+                keep_a.append(da)
+                keep_b.append(db_)
+                keep_j.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, type=pa.int64()),
+                "doc_b": pa.array(keep_b, type=pa.int64()),
+                "jaccard": pa.array(keep_j, type=pa.float64()),
+            }
+        )
+
+    return ray.data.from_pandas(cand_df).map_batches(verify, batch_format="pyarrow")
+
+
+# --- simhash ---------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token hashes (unweighted)."""
+    th = _token_hashes(text)
+    if len(th) == 0:
+        return 0
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hs = [simhash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(np.array(hs, dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash banding (4 bands of 16 bits: any pair
+    within hamming ≤ 3 shares at least one exact band)."""
+    fps = simhash_fingerprints(sf_dir)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = batch.column("simhash").to_pylist()
+        rows = {"band": [], "band_val": [], "doc_id": [], "simhash": []}
+        for i, h in zip(ids, hs):
+            uh = h & 0xFFFFFFFFFFFFFFFF
+            for band in range(4):
+                rows["band"].append(band)
+                rows["band_val"].append((uh >> (band * 16)) & 0xFFFF)
+                rows["doc_id"].append(i)
+                rows["simhash"].append(h)
+        return pa.table(
+            {
+                "band": pa.array(rows["band"], type=pa.int32()),
+                "band_val": pa.array(rows["band_val"], type=pa.int32()),
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "simhash": pa.array(rows["simhash"], type=pa.int64()),
+            }
+        )
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        hs = group.column("simhash").to_pylist()
+        uniq = sorted(set(zip(ids, hs)))
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                d = bin((uniq[i][1] ^ uniq[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_hamming:
+                    out_a.append(uniq[i][0])
+                    out_b.append(uniq[j][0])
+                    out_d.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "hamming": pa.array(out_d, type=pa.int32()),
+            }
+        )
+
+    pairs = fps.map_batches(to_bands, batch_format="pyarrow").groupby(
+        ["band", "band_val"]
+    ).map_groups(emit, batch_format="pyarrow")
+    return pairs
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95) -> "ray.data.Dataset":
+    """Pairs with cosine ≥ threshold; bucketed by ``label`` (the natural
+    cluster key) so the pairwise scan is per-bucket, not global."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def per_label(group) -> pa.Table:
+        ids = np.asarray(group["vec_id"])
+        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in group["embedding"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        normed = mat / np.clip(norms, 1e-12, None)
+        sims = normed @ normed.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(ids[ia[mask]], ids[ib[mask]]), type=pa.int64()),
+                "vec_b": pa.array(np.maximum(ids[ia[mask]], ids[ib[mask]]), type=pa.int64()),
+                "cosine": pa.array(np.round(sims[ia, ib][mask], 6)),
+            }
+        )
+
+    return ds.groupby("label").map_groups(per_label, batch_format="numpy")

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are not available in this container, so
+the decode kernel itself is STUBBED (``decode_media`` raises
+``NotImplementedError`` unless the deterministic fake decoder is
+selected) — but the Ray-side plumbing is real and tested: schema with a
+``binary`` payload column, actor-pool ``map_batches`` with small
+batches (large rows!), per-actor decoder setup in ``__init__``, and a
+typed feature output layout.
+
+The synthetic payload is a deterministic function of ``doc_id``
+(length ``100 + doc_id % 50`` bytes of a repeating pattern) so feature
+outputs are SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("media", pa.binary()),
+        ("media_format", pa.string()),
+        ("media_bytes", pa.int64()),
+    ]
+)
+
+_FORMATS = ("png", "jpeg", "wav")
+
+
+def synth_payload(doc_id: int) -> bytes:
+    """Deterministic fake payload: length = 100 + doc_id % 50."""
+    n = 100 + doc_id % 50
+    return (doc_id % 251).to_bytes(1, "big") * n
+
+
+def attach_media_batch(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    payloads = [synth_payload(d) for d in doc_ids]
+    fmts = [_FORMATS[d % 3] for d in doc_ids]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "media": pa.array(payloads, type=pa.binary()),
+            "media_format": pa.array(fmts),
+            "media_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+def media_table(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(attach_media_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decode_media(payload: bytes, fmt: str):
+    """The real decode kernel — NOT IMPLEMENTED in this container.
+
+    In production this would be PIL/libvips/ffmpeg; here it exists to
+    pin the interface. Use ``decoder='fake'`` for the deterministic
+    test decoder.
+    """
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "environment; use MediaFeatureExtractor(decoder='fake')"
+    )
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode → feature-extract binary payloads.
+
+    ``__init__`` runs once per actor (decoder/model setup); ``__call__``
+    per batch. Batches must stay small because rows are large — pass
+    ``batch_size≈256`` and let block splitting handle the rest.
+    """
+
+    def __init__(self, decoder: str = "fake", feature_dim: int = 8):
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+        self.feature_dim = feature_dim
+
+    def _decode(self, payload: bytes, fmt: str) -> np.ndarray:
+        if self.decoder == "real":
+            return decode_media(payload, fmt)  # pragma: no cover - stub
+        # deterministic fake decode: digest → fixed-dim float vector
+        digest = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
+        return np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("media").to_pylist()
+        fmts = batch.column("media_format").to_pylist()
+        feats = [self._decode(p, f) for p, f in zip(payloads, fmts)]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "media_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+                "feature": pa.array([f.tolist() for f in feats], type=pa.list_(pa.float64())),
+            }
+        )
+
+
+def media_features(sf_dir: str, concurrency: int = 2) -> "ray.data.Dataset":
+    """media table → actor-pool decode/feature stage (small batches)."""
+    return media_table(sf_dir).map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,202 @@
+"""Generic relational operators over the TPC-H-ish tables.
+
+These demonstrate (and oracle-check) the engine's generic operator
+layer — the same primitives the crawl pipelines compose:
+
+- partial pre-aggregation inside ``map_batches`` before the groupby
+  (shrinks the shuffle to one row per key per batch)
+- broadcast hash join (small dimension side via ``ray.put``)
+- broadcast anti-join
+- latest-per-key (the A1 pattern over the events stream)
+- tumbling-window aggregate over event time
+- global sort + limit (top-k)
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-shaped aggregate with per-batch partial aggregation.
+
+    Shuffle carries only (flag, status, partial sums) — one row per key
+    per batch instead of every lineitem row.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        t = batch.append_column("disc_price", disc_price)
+        df = t.select(
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "disc_price"]
+        ).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # np.round matches SQL round() on canonical doubles (pc.round's
+        # multiple-based mode yields off-by-one-ulp doubles)
+        for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            df[col] = np.round(df[col], 2)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def segment_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⋈ customer (broadcast) → revenue per market segment.
+
+    customer is the small side: shipped once via ``ray.put``, looked up
+    per batch — no shuffle join."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
+    )
+    seg_ref = ray.put(seg_map)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(seg_ref)
+        segs = [lookup[k] for k in batch.column("o_custkey").to_pylist()]
+        df = pd.DataFrame(
+            {"c_mktsegment": segs, "o_totalprice": batch.column("o_totalprice").to_pylist()}
+        )
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = orders.map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby("c_mktsegment").aggregate(
+        Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = np.round(df["revenue"], 2)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast anti-join: customer keys minus order custkeys."""
+    import pyarrow.parquet as pq
+
+    okeys = set(
+        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .column("o_custkey")
+        .to_pylist()
+    )
+    okeys_ref = ray.put(okeys)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        known = ray.get(okeys_ref)
+        mask = [k not in known for k in batch.column("c_custkey").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    out = cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    # materialise with an explicit schema so an empty result still
+    # carries its columns (Dataset.to_pandas drops them on zero blocks)
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows >= 0]
+    schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
+    tables = [t.cast(schema) for t in tables if t.num_columns] or [schema.empty_table()]
+    return pa.concat_tables(tables)
+
+
+def latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """A1 pattern over the events stream: per user the most recent event
+    (ties broken by event_id desc, deterministic)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def latest(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="stable")
+        return g.tail(1)
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+
+
+def hourly_event_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling 1-hour event-time windows per event_type: count + sum.
+
+    Windowing = truncate ts to the hour inside ``map_batches`` (partial
+    per batch), then a small groupby — the streaming-shaped pattern for
+    a batch engine (ordered log + keyed window aggregation)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        df = pd.DataFrame(
+            {
+                "window_start": hour.to_pandas(),
+                "event_type": batch.column("event_type").to_pylist(),
+                "value": batch.column("value").to_pylist(),
+            }
+        )
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = partials.groupby(["window_start", "event_type"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = np.round(df["sum_value"], 2)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def top_orders(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Global sort + limit (top-k by totalprice, orderkey tiebreak)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)

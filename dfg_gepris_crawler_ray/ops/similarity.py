@@ -1,0 +1,195 @@
+"""Similarity search over the embeddings table (``list<float>`` column).
+
+- ``knn_brute``: exact cosine top-k — broadcast query matrix
+  (``ray.put`` once), per-batch float64 matmul partials, tiny driver
+  merge. The baseline and the oracle-checkable path.
+- ``knn_lsh``: random-hyperplane LSH bucketing — the scale path; only
+  vectors sharing a probe bucket with the query are scored. Recall is
+  verified against brute force in tests.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _as_matrix(embs) -> np.ndarray:
+    return np.asarray([np.asarray(e, dtype=np.float64) for e in embs])
+
+
+def _load_queries(sf_dir: str, query_ids: list[int]) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    lookup = {}
+    wanted = set(query_ids)
+    for vid, emb in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()):
+        if vid in wanted:
+            lookup[vid] = np.asarray(emb, dtype=np.float64)
+    return np.stack([lookup[q] for q in query_ids])
+
+
+def knn_brute(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pa.Table:
+    """(query_id, rank, neighbor_id, cosine) — exact top-k per query.
+
+    Scores are computed in float64 as dot/(|a||b|); self-matches are
+    excluded; ties break by neighbor_id ascending (deterministic,
+    matching the SQL oracle's ORDER BY).
+    """
+    query_ids = list(query_ids)
+    q = _load_queries(sf_dir, query_ids)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    q_ref = ray.put(qn)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = _as_matrix(batch.column("embedding").to_pylist())
+        mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = qm @ mn.T  # (n_query, n_batch)
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi, qid in enumerate(query_ids):
+            scores = sims[qi]
+            mask = ids != qid
+            cand_idx = np.argsort(-scores[mask])[: k]
+            cand_ids = ids[mask][cand_idx]
+            cand_scores = scores[mask][cand_idx]
+            rows["query_id"].extend([qid] * len(cand_ids))
+            rows["neighbor_id"].extend(cand_ids.tolist())
+            rows["cosine"].extend(cand_scores.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+                "cosine": pa.array(rows["cosine"], type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+    for qid in query_ids:
+        sub = partials[partials["query_id"] == qid]
+        best = heapq.nsmallest(
+            k, zip(-sub["cosine"], sub["neighbor_id"])
+        )  # (-cos, id): ties by id asc
+        for rank, (negc, nid) in enumerate(best, start=1):
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["neighbor_id"].append(int(nid))
+            out["cosine"].append(round(-negc, 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "cosine": pa.array(out["cosine"], type=pa.float64()),
+        }
+    )
+
+
+def knn_lsh(
+    sf_dir: str,
+    query_ids=(0, 1, 2, 3, 4),
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables of ``n_planes`` hyperplane bits;
+    the query probes its bucket plus all 1-bit flips in every table
+    (multi-probe). A vector is a candidate if ANY table probes it —
+    the standard recall amplification (1-(1-p)^L). Only candidates are
+    scored (the scale path vs ``knn_brute``'s full matmul). Columns
+    match ``knn_brute``; recall measured in tests.
+    """
+    query_ids = list(query_ids)
+    q = _load_queries(sf_dir, query_ids)
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def buckets_of(mat: np.ndarray) -> np.ndarray:
+        """(n_rows, n_tables) bucket ids."""
+        out = np.empty((mat.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (mat @ planes[t].T) > 0
+            out[:, t] = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+        return out
+
+    q_buckets = buckets_of(q)
+    probe_sets = []  # per query: per table: set of probed buckets
+    for qi in range(len(query_ids)):
+        per_table = []
+        for t in range(n_tables):
+            qb = int(q_buckets[qi, t])
+            per_table.append({qb} | {qb ^ (1 << b) for b in range(n_planes)})
+        probe_sets.append(per_table)
+    union_probes = [
+        set().union(*(probe_sets[qi][t] for qi in range(len(query_ids))))
+        for t in range(n_tables)
+    ]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = _as_matrix(batch.column("embedding").to_pylist())
+        bk = buckets_of(mat)
+        keep = np.zeros(len(ids), dtype=bool)
+        for t in range(n_tables):
+            keep |= np.fromiter(
+                (int(b) in union_probes[t] for b in bk[:, t]), dtype=bool, count=len(ids)
+            )
+        mn = mat[keep] / np.clip(
+            np.linalg.norm(mat[keep], axis=1, keepdims=True), 1e-12, None
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "buckets": pa.array(bk[keep].tolist(), type=pa.list_(pa.int64())),
+                "normed": pa.array(mn.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+
+    cand = ds.map_batches(bucketed, batch_format="pyarrow").to_pandas()
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+    cand_buckets = np.stack(cand["buckets"].to_numpy()) if len(cand) else np.empty((0, n_tables))
+    for qi, qid in enumerate(query_ids):
+        if not len(cand):
+            continue
+        hit = np.zeros(len(cand), dtype=bool)
+        for t in range(n_tables):
+            hit |= np.fromiter(
+                (int(b) in probe_sets[qi][t] for b in cand_buckets[:, t]),
+                dtype=bool, count=len(cand),
+            )
+        sub = cand[hit & (cand["vec_id"] != qid)]
+        if not len(sub):
+            continue
+        mat = np.stack(sub["normed"].to_numpy())
+        scores = mat @ qn[qi]
+        order = sorted(zip(-scores, sub["vec_id"]))[:k]
+        for rank, (negc, nid) in enumerate(order, start=1):
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["neighbor_id"].append(int(nid))
+            out["cosine"].append(round(float(-negc), 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "cosine": pa.array(out["cosine"], type=pa.float64()),
+        }
+    )

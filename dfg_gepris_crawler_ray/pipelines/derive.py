@@ -1,0 +1,161 @@
+"""Typed-column derivations from extracted item rows.
+
+The reference materialises item JSON into typed tables with SQL
+functions (``create_personen_from_items`` etc.,
+database/init/dfg-gepris.sql:233-339); here the same projections are
+``map_batches`` stages over the items Dataset producing Arrow columns —
+used by the driver's oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _items(ds: "ray.data.Dataset", context: str) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b.column("context"), context), pc.equal(b.column("status"), "success"))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def projekt_core(items: "ray.data.Dataset") -> "ray.data.Dataset":
+    """dfg-gepris.sql:292-339 (create_projekte_from_items) core columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = [json.loads(s) for s in batch.column("item").to_pylist()]
+        attrs = [r.get("attributes", {}) for r in rows]
+        return pa.table(
+            {
+                "id": pa.array([r["id"] for r in rows], type=pa.int64()),
+                "name_de": pa.array([r.get("name_de") for r in rows], type=pa.string()),
+                "name_en": pa.array([r.get("name_en") for r in rows], type=pa.string()),
+                "beschreibung_de": pa.array([r.get("beschreibung_de") for r in rows], type=pa.string()),
+                "beschreibung_en": pa.array([r.get("beschreibung_en") for r in rows], type=pa.string()),
+                "dfg_verfahren": pa.array([a.get("dfg_verfahren") for a in attrs], type=pa.string()),
+                "foerderung_beginn": pa.array(
+                    [a.get("foerderung_beginn") for a in attrs], type=pa.int64()
+                ),
+                "foerderung_ende": pa.array(
+                    [a.get("foerderung_ende") for a in attrs], type=pa.int64()
+                ),
+            }
+        )
+
+    return _items(items, "projekt").map_batches(fn, batch_format="pyarrow")
+
+
+def person_core(items: "ray.data.Dataset") -> "ray.data.Dataset":
+    """dfg-gepris.sql:233-248 (create_personen_from_items) columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = [json.loads(s) for s in batch.column("item").to_pylist()]
+        attrs = [r.get("attributes", {}) for r in rows]
+        return pa.table(
+            {
+                "id": pa.array([r["id"] for r in rows], type=pa.int64()),
+                "name_de": pa.array([r.get("name_de") for r in rows], type=pa.string()),
+                "verstorben": pa.array([r.get("verstorben") for r in rows], type=pa.bool_()),
+                "gender": pa.array([r.get("gender") for r in rows], type=pa.string()),
+                "adresse": pa.array([a.get("adresse") for a in attrs], type=pa.string()),
+                "mail": pa.array([a.get("mail") for a in attrs], type=pa.string()),
+                "internet": pa.array([a.get("internet") for a in attrs], type=pa.string()),
+                "orcid_id": pa.array([a.get("orcid_id") for a in attrs], type=pa.string()),
+            }
+        )
+
+    return _items(items, "person").map_batches(fn, batch_format="pyarrow")
+
+
+def institution_core(items: "ray.data.Dataset") -> "ray.data.Dataset":
+    """dfg-gepris.sql:250-261 (create_institutionen_from_items) columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = [json.loads(s) for s in batch.column("item").to_pylist()]
+        attrs = [r.get("attributes", {}) for r in rows]
+        return pa.table(
+            {
+                "id": pa.array([r["id"] for r in rows], type=pa.int64()),
+                "name_de": pa.array([r.get("name_de") for r in rows], type=pa.string()),
+                "adresse": pa.array([a.get("adresse") for a in attrs], type=pa.string()),
+                "telefon": pa.array([a.get("telefon") for a in attrs], type=pa.string()),
+                "internet": pa.array([a.get("internet") for a in attrs], type=pa.string()),
+            }
+        )
+
+    return _items(items, "institution").map_batches(fn, batch_format="pyarrow")
+
+
+def reference_edges(items: "ray.data.Dataset", field: str) -> "ray.data.Dataset":
+    """J9 flat-map: one edge row per referenced id of ``field``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        projekt_ids, person_ids = [], []
+        for s in batch.column("item").to_pylist():
+            r = json.loads(s)
+            for pid in r.get("attributes", {}).get(field, []):
+                projekt_ids.append(r["id"])
+                person_ids.append(int(pid))
+        return pa.table(
+            {
+                "projekt_id": pa.array(projekt_ids, type=pa.int64()),
+                "person_id": pa.array(person_ids, type=pa.int64()),
+            }
+        )
+
+    return _items(items, "projekt").map_batches(fn, batch_format="pyarrow")
+
+
+def hierarchy_rows(items: "ray.data.Dataset") -> "ray.data.Dataset":
+    """J10 flat-map: (id, parent_id, root_id) closure rows per
+    institution tree (row-local; dfg-gepris.sql:117-141)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, parents, roots = [], [], []
+
+        def walk(children, parent_id, root_id):
+            for child in children:
+                if isinstance(child, dict):
+                    for cid, sub in child.items():
+                        ids.append(int(cid))
+                        parents.append(parent_id)
+                        roots.append(root_id)
+                        walk(sub, int(cid), root_id)
+                else:
+                    ids.append(int(child))
+                    parents.append(parent_id)
+                    roots.append(root_id)
+
+        for s in batch.column("item").to_pylist():
+            r = json.loads(s)
+            subs = r.get("trees", {}).get("normalised_subinstitutions")
+            if subs is None:
+                continue
+            root = int(r["id"])
+            ids.append(root)
+            parents.append(None)
+            roots.append(root)
+            walk(subs, root, root)
+        return pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "parent_id": pa.array(parents, type=pa.int64()),
+                "root_id": pa.array(roots, type=pa.int64()),
+            }
+        )
+
+    return _items(items, "institution").map_batches(fn, batch_format="pyarrow")
+
+
+def status_counts(items: "ray.data.Dataset") -> "ray.data.Dataset":
+    from ray.data.aggregate import Count
+
+    return items.groupby("status").aggregate(Count(alias_name="n"))

@@ -18,6 +18,8 @@ cluster cores.
 
 from __future__ import annotations
 
+import pyarrow.compute as pc
+
 import ray
 import ray.data
 
@@ -27,7 +29,15 @@ from ..sources.pages import (
     read_pages,
     semi_join_frontier,
 )
-from ..stages.extract_stage import extract_bucket
+from ..stages.extract_stage import (
+    PENDING_STATUS,
+    RESULT_SCHEMA,
+    _extract_rows as _extract_rows_local,
+    extract_block_clustered,
+    extract_bucket,
+)
+
+RESULT_COLUMNS = [f.name for f in RESULT_SCHEMA]
 
 
 def run_details_extraction(
@@ -36,12 +46,26 @@ def run_details_extraction(
     num_buckets: int = 64,
     strict: bool = False,
     politeness=None,
+    mode: str = "clustered",
 ) -> "ray.data.Dataset":
     """Extract items for all (or the frontier-selected) entities.
 
     ``frontier_keys``: optional iterable of ``(context, id)`` tuples —
     the budget-bounded crawl frontier (broadcast, not shuffled).
-    Returns a Dataset of item rows (see stages.extract_stage.RESULT_SCHEMA).
+
+    ``mode``:
+
+    - ``"clustered"`` (default): shuffle-free chain assembly per block
+      with boundary repair — correct whenever all page variants of an
+      entity are contiguous in the corpus (the layout a fetch layer /
+      our generator produces). Only the ≤2-entities-per-block boundary
+      rows go through a keyed shuffle. A non-clustered corpus degrades
+      to explicit ``missing_page`` error rows, never wrong items.
+    - ``"shuffle"``: the general path — one all-to-all exchange keyed
+      by the hashed canonical entity key (``bucket``); correct for any
+      corpus layout.
+
+    Returns a Dataset of item rows (stages.extract_stage.RESULT_SCHEMA).
     """
     ds = read_pages(pages_dir)
     ds = annotate_pages(ds, num_buckets=num_buckets)
@@ -49,10 +73,45 @@ def run_details_extraction(
     if frontier_keys is not None:
         keys_ref = ray.put(set(frontier_keys))
         ds = semi_join_frontier(ds, keys_ref)
-    return ds.groupby("bucket").map_groups(
-        lambda b: extract_bucket(b, strict=strict, politeness=politeness),
+    if mode == "shuffle":
+        return ds.groupby("bucket").map_groups(
+            lambda b: extract_bucket(b, strict=strict, politeness=politeness),
+            batch_format="pyarrow",
+        )
+    if mode != "clustered":
+        raise ValueError(f"unknown mode {mode!r}")
+    combined = ds.map_batches(
+        lambda b: extract_block_clustered(b, strict=strict, politeness=politeness),
         batch_format="pyarrow",
+        batch_size=None,  # whole block → boundary entities are block edges
+        zero_copy_batch=True,
+    ).materialize()  # branch point: done rows + pending boundary rows
+
+    done = combined.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.equal(b.column("status"), PENDING_STATUS))
+        ).select(RESULT_COLUMNS),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    # boundary repair: O(2 entities per block) rows — small by
+    # construction. Filter them out distributed, collect the tiny
+    # remainder to the driver, assemble locally (a full shuffle operator
+    # for a few hundred rows costs more than it moves).
+    import pyarrow as pa
+
+    pending_rows = combined.map_batches(
+        lambda b: b.filter(pc.equal(b.column("status"), PENDING_STATUS)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    if not pending_rows:
+        return done
+    pending_tbl = pa.Table.from_pylist(pending_rows)
+    repaired = pa.Table.from_pylist(
+        _extract_rows_local(pending_tbl, strict, politeness), schema=RESULT_SCHEMA
+    )
+    return done.union(ray.data.from_arrow(repaired))
 
 
 def write_items(items: "ray.data.Dataset", out_dir: str) -> None:

@@ -30,8 +30,11 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..extract.data_monitor import parse_data_monitor
 from ..frontier import state as S
 from ..frontier.manifests import CrawlStore, content_hash
+from ..kernels.htmlmini import parse_html
+from ..kernels.jsoncanon import dumps_canonical
 from ..frontier.politeness import apply_host_budget
 from ..sources.pages import annotate_pages, filter_detail_pages, read_pages, semi_join_frontier
 from ..stages.extract_stage import extract_bucket
@@ -225,10 +228,6 @@ def run_search(store: CrawlStore, pages_dir: str, context: str) -> dict:
 # ---------------------------------------------------------------------------
 
 def run_data_monitor(store: CrawlStore, pages_dir: str) -> dict:
-    from ..extract.data_monitor import parse_data_monitor
-    from ..kernels.htmlmini import parse_html
-    from ..kernels.jsoncanon import dumps_canonical
-
     ds = annotate_pages(read_pages(pages_dir), num_buckets=2)
     ds = ds.map_batches(
         lambda b: b.filter(pc.equal(b.column("kind"), "monitor")),

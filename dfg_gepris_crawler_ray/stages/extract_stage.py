@@ -121,13 +121,19 @@ class EntityExtractor:
             return D.parse_institution(root, element_id)
         # projekt: de → en → optional result-de → result-en chain
         de_item = D.parse_projekt_de(root, element_id)
-        en_root = self._parse_validated(copies[("details", "en")], "en")
+        en_copies = copies.get(("details", "en"))
+        if not en_copies:
+            raise _Failed("missing_page", ValueError("no en page in corpus"))
+        en_root = self._parse_validated(en_copies, "en")
         en_item, result_href = D.parse_projekt_en(en_root)
         result_de = result_en = None
         if result_href is not None and ("result", "de") in copies:
             r_de_root = self._parse_validated(copies[("result", "de")], "de")
             result_de = D.parse_projekt_result(r_de_root)
-            r_en_root = self._parse_validated(copies[("result", "en")], "en")
+            r_en_copies = copies.get(("result", "en"))
+            if not r_en_copies:
+                raise _Failed("missing_page", ValueError("no result-en page in corpus"))
+            r_en_root = self._parse_validated(r_en_copies, "en")
             result_en = D.parse_projekt_result(r_en_root, english=True)
         return D.assemble_projekt(de_item, en_item, result_de, result_en)
 
@@ -179,21 +185,9 @@ class EntityExtractor:
                     attempts=self.attempts, pages_fetched=self.fetched)
 
 
-def extract_bucket(batch, strict: bool = False, politeness=None):
-    """``map_groups`` UDF over one hash bucket of annotated detail pages.
-
-    Groups the bucket by entity key and runs the chain per entity —
-    one Python call per *bucket* (thousands of entities), per-entity
-    work vectorised at the grouping level.
-
-    ``politeness``: optional ``PolitenessGate`` consulted once per
-    (host, n_fetches) — the runtime token accounting of the per-host
-    budget (settings.py:119-126 analogue).
-    """
-    if isinstance(batch, pa.Table):
-        tbl = batch
-    else:  # pandas
-        tbl = pa.Table.from_pandas(batch)
+def _extract_rows(tbl: pa.Table, strict: bool, politeness) -> list[dict]:
+    """Shared inner loop: group an annotated detail-page table by entity
+    key and run the chain per entity; returns result-row dicts."""
     by_entity: dict[tuple, dict] = {}
     hosts: dict[tuple, str] = {}
     ctxs = tbl.column("context").to_pylist()
@@ -233,4 +227,83 @@ def extract_bucket(batch, strict: bool = False, politeness=None):
         )
     if politeness is not None:
         politeness.account(host_fetches)
+    return rows
+
+
+PENDING_STATUS = "__pending__"
+
+#: result columns + raw passthrough columns for boundary entities
+COMBINED_SCHEMA = pa.schema(
+    list(RESULT_SCHEMA)
+    + [
+        ("kind", pa.string()),
+        ("language", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("bucket", pa.int32()),
+    ]
+)
+
+
+def extract_block_clustered(batch: pa.Table, strict: bool = False, politeness=None) -> pa.Table:
+    """Shuffle-free chain assembly for key-clustered corpora.
+
+    Valid when all page variants of an entity are contiguous in the
+    corpus (the layout a fetch layer naturally produces, and what our
+    generator writes). Entities whose pages touch the block boundary
+    (the first/last key of the block) can be split across blocks, so
+    their raw pages pass through with ``status='__pending__'`` and are
+    assembled by a tiny keyed shuffle over just those rows
+    (pipelines.details mode='clustered'). A corpus that is NOT
+    key-clustered degrades to explicit ``missing_page`` error rows —
+    never silently-wrong items; use mode='shuffle' there.
+    """
+    if batch.num_rows == 0:
+        return COMBINED_SCHEMA.empty_table()
+    ctxs = batch.column("context").to_pylist()
+    ids = batch.column("id").to_pylist()
+    first_key = (ctxs[0], ids[0])
+    last_key = (ctxs[-1], ids[-1])
+    pending_mask = [
+        (c, i) == first_key or (c, i) == last_key for c, i in zip(ctxs, ids)
+    ]
+    mask = pa.array(pending_mask)
+    pending_tbl = batch.filter(mask)
+    inner_tbl = batch.filter(pa.compute.invert(mask))
+    rows = _extract_rows(inner_tbl, strict, politeness)
+    n_pad = len(rows)
+    out = {
+        "id": [r["id"] for r in rows] + pending_tbl.column("id").to_pylist(),
+        "context": [r["context"] for r in rows] + pending_tbl.column("context").to_pylist(),
+        "status": [r["status"] for r in rows] + [PENDING_STATUS] * pending_tbl.num_rows,
+        "item": [r["item"] for r in rows] + [None] * pending_tbl.num_rows,
+        "error_kind": [r["error_kind"] for r in rows] + [None] * pending_tbl.num_rows,
+        "host": [r["host"] for r in rows] + pending_tbl.column("host").to_pylist(),
+        "attempts": [r["attempts"] for r in rows] + [0] * pending_tbl.num_rows,
+        "pages_fetched": [r["pages_fetched"] for r in rows] + [0] * pending_tbl.num_rows,
+        "kind": [None] * n_pad + pending_tbl.column("kind").to_pylist(),
+        "language": [None] * n_pad + pending_tbl.column("language").to_pylist(),
+        "warc_ts": [None] * n_pad + pending_tbl.column("warc_ts").to_pylist(),
+        "html": [None] * n_pad + pending_tbl.column("html").to_pylist(),
+        "bucket": [None] * n_pad + pending_tbl.column("bucket").to_pylist(),
+    }
+    return pa.Table.from_pydict(out, schema=COMBINED_SCHEMA)
+
+
+def extract_bucket(batch, strict: bool = False, politeness=None):
+    """``map_groups`` UDF over one hash bucket of annotated detail pages.
+
+    Groups the bucket by entity key and runs the chain per entity —
+    one Python call per *bucket* (thousands of entities), per-entity
+    work vectorised at the grouping level.
+
+    ``politeness``: optional ``PolitenessGate`` consulted once per
+    (host, n_fetches) — the runtime token accounting of the per-host
+    budget (settings.py:119-126 analogue).
+    """
+    if isinstance(batch, pa.Table):
+        tbl = batch
+    else:  # pandas
+        tbl = pa.Table.from_pandas(batch)
+    rows = _extract_rows(tbl, strict, politeness)
     return pa.Table.from_pylist(rows, schema=RESULT_SCHEMA)

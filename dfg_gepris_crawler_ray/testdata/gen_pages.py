@@ -52,7 +52,7 @@ import pyarrow as pa
 
 from ..kernels import urls as U
 
-GEN_VERSION = 3
+GEN_VERSION = 4
 
 _T0 = datetime(2024, 1, 1)
 
@@ -480,31 +480,53 @@ def generate_pages_batch(batch: pa.Table, n_docs: int) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 
-def pages_cache_dir(sf_dir: str) -> str:
-    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}:v{GEN_VERSION}".encode()).hexdigest()[:12]
+def pages_cache_dir(sf_dir: str, replicate: int = 1) -> str:
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}:v{GEN_VERSION}:r{replicate}".encode()
+    ).hexdigest()[:12]
     return f"/tmp/gepris_pages_cache/{key}"
 
 
-def ensure_pages(sf_dir: str) -> str:
+def ensure_pages(sf_dir: str, replicate: int = 1) -> str:
     """Generate (once, cached) the pages corpus for an sf dir; returns the
-    parquet directory. Runs distributed via Ray Data when a Ray session
-    is available; the output is partitioned parquet (resumable layout).
+    parquet directory. Runs distributed via Ray Data; the output is
+    partitioned parquet (resumable layout, atomic publish).
+
+    ``replicate`` scales the corpus: the document set is logically
+    tiled ``replicate`` times (replica r contributes doc ids
+    ``d + r*N``), all field formulas staying functions of the effective
+    doc id — used by the bench to create enough work to measure
+    scaling without new external data. Texts are broadcast via
+    ``ray.put`` (small side), page HTML is generated in parallel over a
+    ``range(n_total)`` Dataset.
     """
-    out_dir = pages_cache_dir(sf_dir)
+    out_dir = pages_cache_dir(sf_dir, replicate)
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return out_dir
     import pyarrow.parquet as pq
+    import ray
     import ray.data
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    n_docs = pq.read_metadata(docs_path).num_rows
-    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-    pages = ds.map_batches(
-        lambda b: generate_pages_batch(b, n_docs),
-        batch_format="pyarrow",
-        batch_size=2048,
-    )
+    docs = pq.read_table(docs_path, columns=["doc_id", "text"])
+    n_base = docs.num_rows
+    n_total = n_base * replicate
+    texts = [None] * n_base
+    for doc_id, text in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        texts[doc_id] = text
+    texts_ref = ray.put(texts)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        rows = []
+        for doc_id in batch.column("id").to_pylist():
+            rows.extend(pages_for_doc(doc_id, lookup[doc_id % n_base], n_total))
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    ds = ray.data.range(n_total, override_num_blocks=max(8, n_total // 4000))
+    pages = ds.map_batches(gen, batch_format="pyarrow", batch_size=2000)
+
     import shutil
 
     tmp_dir = out_dir + ".tmp"
@@ -513,7 +535,7 @@ def ensure_pages(sf_dir: str) -> str:
             shutil.rmtree(d)
     pages.write_parquet(tmp_dir)
     # append the driver-side search/monitor pages as one extra file
-    extra = pa.Table.from_pylist(search_pages(n_docs), schema=PAGES_SCHEMA)
+    extra = pa.Table.from_pylist(search_pages(n_total), schema=PAGES_SCHEMA)
     pq.write_table(extra, os.path.join(tmp_dir, "search_pages.parquet"))
     os.replace(tmp_dir, out_dir)  # atomic publish
     with open(done, "w") as f:
