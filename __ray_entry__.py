@@ -177,6 +177,188 @@ def _q_search_projekt(sf_dir: str):
     return results.map_batches(cols, batch_format="pyarrow")
 
 
+def _lifecycle_store(sf_dir: str):
+    """Run (once per sf_dir, cached) the full projekt lifecycle —
+    search run → two identical details runs (the second proves J4
+    history dedup-on-append) — into a fresh /tmp CrawlStore."""
+    key = ("lifecycle", sf_dir)
+    if key not in _ITEMS_CACHE:
+        import tempfile
+
+        from dfg_gepris_crawler_ray.frontier.manifests import CrawlStore
+        from dfg_gepris_crawler_ray.pipelines.runs import run_details, run_search
+
+        store = CrawlStore(tempfile.mkdtemp(prefix="gepris_lifecycle_"))
+        pages = _pages(sf_dir)
+        run_search(store, pages, "projekt")
+        run_details(store, pages, "projekt", ids_spec="db:all:0")
+        run_details(store, pages, "projekt", ids_spec="db:all:0")
+        _ITEMS_CACHE[key] = store
+    return _ITEMS_CACHE[key]
+
+
+def _lifecycle_tables(sf_dir: str):
+    from dfg_gepris_crawler_ray.frontier import state as S
+
+    store = _lifecycle_store(sf_dir)
+    state = store.load_table("state", S.empty_state())
+    runs = store.load_table("runs", S.empty_runs())
+    history = store.load_table("history", S.empty_history())
+    return state, runs, history
+
+
+def _q_latest_items(sf_dir: str):
+    """A1 per-key latest + A2 error-fallback coalesce view
+    (dfg-gepris.sql:48-64): success → details item; error → last search
+    snapshot; moved → dropped. ``has_details`` distinguishes the two
+    item shapes (normalized ``attributes`` vs raw ``project_attributes``)."""
+    import json
+
+    from dfg_gepris_crawler_ray.frontier import state as S
+
+    state, runs, history = _lifecycle_tables(sf_dir)
+    latest = S.latest_detail_items(history, runs)
+    li = S.latest_items(latest, state)
+    rows = []
+    for r in li.itertuples():
+        item = json.loads(r.item)
+        rows.append(
+            dict(
+                id=int(r.id),
+                name_de=item.get("name_de"),
+                has_details="attributes" in item,
+            )
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("id", pa.int64()), ("name_de", pa.string()), ("has_details", pa.bool_())]
+        ),
+    )
+
+
+def _q_frontier_expansion(sf_dir: str):
+    """J5: persons referenced by this run's projekt items EXCEPT persons
+    already known → new frontier entries (database.py:118-147)."""
+    state, _, _ = _lifecycle_tables(sf_dir)
+    persons = state[(state["context"] == "person")]
+    return pa.table(
+        {"person_id": pa.array(sorted(int(i) for i in persons["id"]), type=pa.int64())}
+    )
+
+
+def _q_history_dedup(sf_dir: str):
+    """J4: history append with change dedup — after two identical details
+    runs the per-status history counts equal a single run's
+    (database.py:100-116)."""
+    _, _, history = _lifecycle_tables(sf_dir)
+    counts = history["status"].value_counts().sort_index()
+    return pa.table(
+        {
+            "status": pa.array(list(counts.index), type=pa.string()),
+            "n": pa.array([int(v) for v in counts.values], type=pa.int64()),
+        }
+    )
+
+
+def _edges_table(df, id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            id_col: pa.array([int(v) for v in df[id_col]], type=pa.int64()),
+            "projekt_id": pa.array([int(v) for v in df["projekt_id"]], type=pa.int64()),
+            "reference_type": pa.array(list(df["reference_type"]), type=pa.string()),
+        }
+    )
+
+
+def _q_person_edges(sf_dir: str):
+    """J9 person side: unnest every person-reference array of the latest
+    projekt items into (person_id, projekt_id, reference_type) edges
+    (dfg-gepris.sql:99-106)."""
+    from dfg_gepris_crawler_ray.frontier import state as S
+
+    state, runs, history = _lifecycle_tables(sf_dir)
+    return _edges_table(
+        S.person_projekt_references(S.latest_detail_items(history, runs)), "person_id"
+    )
+
+
+def _q_institution_edges(sf_dir: str):
+    """J9 institution side (dfg-gepris.sql:108-115)."""
+    from dfg_gepris_crawler_ray.frontier import state as S
+
+    state, runs, history = _lifecycle_tables(sf_dir)
+    return _edges_table(
+        S.institution_projekt_references(S.latest_detail_items(history, runs)),
+        "institution_id",
+    )
+
+
+def _search_items(sf_dir: str, context: str):
+    import pyarrow.compute as pc
+
+    from dfg_gepris_crawler_ray.sources.pages import annotate_pages, read_pages
+    from dfg_gepris_crawler_ray.stages.search_stage import extract_search_batch
+
+    ds = annotate_pages(read_pages(_pages(sf_dir)), num_buckets=8)
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(b.column("kind"), "search"), pc.equal(b.column("context"), context)
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.map_batches(extract_search_batch, batch_format="pyarrow")
+
+
+def _q_search_person(sf_dir: str):
+    """M19 person listing rows: link → id + name, beschreibung → addresse."""
+    import json
+
+    def cols(batch: pa.Table) -> pa.Table:
+        rows = [json.loads(s) for s in batch.column("item").to_pylist()]
+        return pa.table(
+            {
+                "id": pa.array([r["id"] for r in rows], type=pa.int64()),
+                "name_de": pa.array([r["name_de"] for r in rows], type=pa.string()),
+                "adresse": pa.array(
+                    [", ".join(r.get("addresse", [])) for r in rows], type=pa.string()
+                ),
+            }
+        )
+
+    return _search_items(sf_dir, "person").map_batches(cols, batch_format="pyarrow")
+
+
+def _q_search_institution(sf_dir: str):
+    """M19 institution fan-out: one row per sub-institution with the
+    parent embedded (search_results.py:91-100)."""
+    import json
+
+    def cols(batch: pa.Table) -> pa.Table:
+        rows = [json.loads(s) for s in batch.column("item").to_pylist()]
+        parents = [r.get("uebergeordnete_institution") or {} for r in rows]
+        return pa.table(
+            {
+                "id": pa.array([r["id"] for r in rows], type=pa.int64()),
+                "name_de": pa.array([r["name_de"] for r in rows], type=pa.string()),
+                "adresse": pa.array(
+                    [", ".join(r.get("addresse", [])) for r in rows], type=pa.string()
+                ),
+                "parent_id": pa.array(
+                    [p.get("id") for p in parents], type=pa.int64()
+                ),
+                "parent_name": pa.array(
+                    [p.get("name_de") for p in parents], type=pa.string()
+                ),
+            }
+        )
+
+    return _search_items(sf_dir, "institution").map_batches(cols, batch_format="pyarrow")
+
+
 def _q_data_monitor(sf_dir: str):
     from dfg_gepris_crawler_ray.extract.data_monitor import parse_data_monitor
     from dfg_gepris_crawler_ray.kernels.htmlmini import parse_html
@@ -217,11 +399,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_status_counts": _q_status_counts,
         "crawl_frontier_order": _q_frontier_order,
         "crawl_search_projekt": _q_search_projekt,
+        "crawl_search_person": _q_search_person,
+        "crawl_search_institution": _q_search_institution,
+        "crawl_latest_items": _q_latest_items,
+        "crawl_frontier_expansion": _q_frontier_expansion,
+        "crawl_history_dedup": _q_history_dedup,
+        "crawl_person_edges": _q_person_edges,
+        "crawl_institution_edges": _q_institution_edges,
         "crawl_data_monitor": _q_data_monitor,
         # --- training-data ops --------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "dedup_simhash_pairs": dedup.simhash_neardup_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, threshold=0.35),
         "knn_brute": lambda sf: similarity.knn_brute(sf).select(
             ["query_id", "rank", "neighbor_id"]
@@ -359,6 +549,58 @@ def oracle_sql() -> dict[str, str]:
                    {_FOERDERUNG_TEXT} AS foerderung
             FROM documents WHERE doc_id % 3 = 0
         """,
+        "crawl_search_person": f"""
+            SELECT 1000 + doc_id AS id,
+                   {_PERSON_TITLE} || 'Vorname Nachname ' || doc_id AS name_de,
+                   'Institut ' || doc_id || ', ' || (10000 + doc_id % 89999) || ' Stadt'
+                     AS adresse
+            FROM documents WHERE doc_id % 3 = 1
+        """,
+        "crawl_search_institution": """
+            SELECT 1000 + 3 * ((doc_id * 5 + 1) % (cnt // 3)) + 2 AS id,
+                   'Institution ' || (3 * ((doc_id * 5 + 1) % (cnt // 3)) + 2) AS name_de,
+                   'Adresse ' || doc_id AS adresse,
+                   1000 + doc_id AS parent_id,
+                   'Institution ' || doc_id AS parent_name
+            FROM documents, (SELECT count(*) AS cnt FROM documents)
+            WHERE doc_id % 3 = 2
+        """,
+        "crawl_latest_items": f"""
+            SELECT 1000 + doc_id AS id,
+                   'Projekt ' || doc_id AS name_de,
+                   doc_id % 103 != 7 AS has_details
+            FROM documents WHERE doc_id % 3 = 0 AND doc_id % 101 != 5
+        """,
+        "crawl_frontier_expansion": f"""
+            SELECT DISTINCT 1000 + 3 * ((doc_id * 7 + k) % ((cnt + 1) // 3)) + 1
+                     AS person_id
+            FROM documents, (SELECT count(*) AS cnt FROM documents),
+                 (VALUES (1), (2), (3), (4)) v(k)
+            WHERE doc_id % 3 = 0 AND {_OK}
+        """,
+        "crawl_history_dedup": """
+            SELECT CASE WHEN doc_id % 101 = 5 THEN 'moved'
+                        WHEN doc_id % 103 = 7 THEN 'error'
+                        ELSE 'success' END AS status,
+                   count(*) AS n
+            FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
+        """,
+        "crawl_person_edges": f"""
+            SELECT 1000 + 3 * ((doc_id * 7 + k) % ((cnt + 1) // 3)) + 1 AS person_id,
+                   1000 + doc_id AS projekt_id,
+                   rt AS reference_type
+            FROM documents, (SELECT count(*) AS cnt FROM documents),
+                 (VALUES (1, 'antragsteller_personen'), (2, 'leiter_personen'),
+                         (3, 'beteiligte_personen'), (4, 'beteiligte_personen')) v(k, rt)
+            WHERE doc_id % 3 = 0 AND {_OK}
+        """,
+        "crawl_institution_edges": f"""
+            SELECT 1000 + 3 * ((doc_id * 5 + 1) % (cnt // 3)) + 2 AS institution_id,
+                   1000 + doc_id AS projekt_id,
+                   'antragstellende_institutionen' AS reference_type
+            FROM documents, (SELECT count(*) AS cnt FROM documents)
+            WHERE doc_id % 3 = 0 AND {_OK}
+        """,
         "crawl_data_monitor": """
             SELECT 136266::BIGINT AS project_count, 87475::BIGINT AS person_count,
                    37472::BIGINT AS institution_count, 34874::BIGINT AS finished_project_count,
@@ -367,6 +609,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS grams
+              FROM documents
+            ),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.grams, b.grams)) AS inter,
+                     len(list_distinct(a.grams || b.grams)) AS uni
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, inter * 1000000 // uni AS jaccard_ppm
+            FROM p WHERE uni > 0 AND 2 * inter >= uni
         """,
         "knn_brute": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),

@@ -176,6 +176,128 @@ def minhash_lsh_dedup(
     return ray.data.from_pandas(cand_df).map_batches(verify, batch_format="pyarrow")
 
 
+# --- n-gram Jaccard --------------------------------------------------------
+
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    """Distinct word n-grams (space-joined) — ANSI-SQL-reproducible
+    (string_split + list_transform in the oracle)."""
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_bucket: int = 2000,
+) -> "ray.data.Dataset":
+    """All pairs with n-gram Jaccard ≥ threshold_num/threshold_den.
+
+    Threshold and the returned ``jaccard_ppm`` are integer-exact
+    (``den*inter >= num*union``; ``inter*1_000_000 // union``) so the
+    DuckDB oracle reproduces values bit-for-bit.
+
+    Pipeline: doc → distinct gram hashes [map_batches] → inverted index
+    groupby(gram_hash) [the shuffle] → candidate pairs → exact verify
+    with broadcast texts. Any pair with Jaccard > 0 shares ≥1 gram, so
+    candidate generation is lossless (exact, not approximate). Buckets
+    above ``max_bucket`` docs (stop-gram hubs) are skipped with a log —
+    at web scale drop hub grams like stopword runs; the synthetic
+    corpus never hits the cap.
+    """
+    docs_path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+
+    def to_grams(batch: pa.Table) -> pa.Table:
+        out_hash, out_doc = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for g in word_ngrams(text, n):
+                h = hashlib.blake2b(g.encode(), digest_size=8).digest()
+                out_hash.append(int.from_bytes(h, "big") % (1 << 62))
+                out_doc.append(doc_id)
+        return pa.table(
+            {
+                "gram_hash": pa.array(out_hash, type=pa.int64()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+            }
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        doc_ids = sorted(set(group.column("doc_id").to_pylist()))
+        if len(doc_ids) > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard: skipping hub gram bucket of %d docs", len(doc_ids)
+            )
+            doc_ids = []
+        pairs = [
+            (doc_ids[i], doc_ids[j])
+            for i in range(len(doc_ids))
+            for j in range(i + 1, len(doc_ids))
+        ]
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+            }
+        )
+
+    candidates = (
+        ds.map_batches(to_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram_hash")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+    )
+    cand_df = candidates.to_pandas().drop_duplicates()
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard_ppm": pa.array([], type=pa.int64()),
+        }
+    )
+    if not len(cand_df):
+        return ray.data.from_arrow(empty)
+    import pyarrow.parquet as pq
+
+    needed = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
+    tbl = pq.read_table(docs_path, columns=["doc_id", "text"])
+    texts = {
+        doc_id: text
+        for doc_id, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        )
+        if doc_id in needed
+    }
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        keep_a, keep_b, keep_j = [], [], []
+        for da, db_ in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
+            ga, gb = word_ngrams(lookup[da], n), word_ngrams(lookup[db_], n)
+            inter = len(ga & gb)
+            union = len(ga) + len(gb) - inter
+            if union and threshold_den * inter >= threshold_num * union:
+                keep_a.append(da)
+                keep_b.append(db_)
+                keep_j.append(inter * 1_000_000 // union)
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, type=pa.int64()),
+                "doc_b": pa.array(keep_b, type=pa.int64()),
+                "jaccard_ppm": pa.array(keep_j, type=pa.int64()),
+            }
+        )
+
+    return ray.data.from_pandas(cand_df).map_batches(
+        verify, batch_format="pyarrow"
+    )
+
+
 # --- simhash ---------------------------------------------------------------
 
 def simhash64(text: str) -> int:

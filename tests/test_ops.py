@@ -50,6 +50,45 @@ def test_minhash_lsh_finds_true_neardups_and_verifies():
         assert len(found) / len(truth) >= 0.8
 
 
+def test_ngram_jaccard_matches_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.dedup import ngram_jaccard_pairs
+
+    mine = (
+        ngram_jaccard_pairs(SF)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS grams
+          FROM read_parquet('{SF}/documents.parquet')
+        ),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.grams, b.grams)) AS inter,
+                 len(list_distinct(a.grams || b.grams)) AS uni
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, inter * 1000000 // uni AS jaccard_ppm
+        FROM p WHERE uni > 0 AND 2 * inter >= uni
+        ORDER BY doc_a, doc_b
+        """
+    ).df()
+    assert mine["doc_a"].tolist() == want["doc_a"].tolist()
+    assert mine["doc_b"].tolist() == want["doc_b"].tolist()
+    assert mine["jaccard_ppm"].tolist() == want["jaccard_ppm"].tolist()
+    assert len(mine) > 0  # the synthetic corpus contains near-dups
+
+
 def test_simhash_banding_no_false_negatives_within_hamming3():
     from dfg_gepris_crawler_ray.ops.dedup import simhash64
 
