@@ -359,6 +359,28 @@ def _q_search_institution(sf_dir: str):
     return _search_items(sf_dir, "institution").map_batches(cols, batch_format="pyarrow")
 
 
+def _q_resume_sharded(sf_dir: str):
+    """Per-partition checkpoint/resume: phase 1 stops after half the
+    shards (simulated failure), phase 2 resumes, skipping the verified
+    completed partitions; returns the per-status counts of the final
+    committed output (pipelines.checkpoint)."""
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from dfg_gepris_crawler_ray.pipelines.checkpoint import (
+        read_sharded_items,
+        run_details_sharded,
+    )
+
+    out = tempfile.mkdtemp(prefix="gepris_ckpt_")
+    pages = _pages(sf_dir)
+    r1 = run_details_sharded(pages, out, num_shards=8, num_buckets=32, max_shards=4)
+    r2 = run_details_sharded(pages, out, num_shards=8, num_buckets=32)
+    assert r2["skipped"] == r1["completed"], "resume must skip completed shards"
+    return read_sharded_items(out).groupby("status").aggregate(Count(alias_name="n"))
+
+
 def _q_data_monitor(sf_dir: str):
     from dfg_gepris_crawler_ray.extract.data_monitor import parse_data_monitor
     from dfg_gepris_crawler_ray.kernels.htmlmini import parse_html
@@ -406,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_history_dedup": _q_history_dedup,
         "crawl_person_edges": _q_person_edges,
         "crawl_institution_edges": _q_institution_edges,
+        "crawl_resume_sharded": _q_resume_sharded,
         "crawl_data_monitor": _q_data_monitor,
         # --- training-data ops --------------------------------------------
         "dedup_exact": dedup.exact_dedup,
@@ -600,6 +623,13 @@ def oracle_sql() -> dict[str, str]:
                    'antragstellende_institutionen' AS reference_type
             FROM documents, (SELECT count(*) AS cnt FROM documents)
             WHERE doc_id % 3 = 0 AND {_OK}
+        """,
+        "crawl_resume_sharded": """
+            SELECT CASE WHEN doc_id % 101 = 5 THEN 'moved'
+                        WHEN doc_id % 103 = 7 THEN 'error'
+                        ELSE 'success' END AS status,
+                   count(*) AS n
+            FROM documents GROUP BY 1
         """,
         "crawl_data_monitor": """
             SELECT 136266::BIGINT AS project_count, 87475::BIGINT AS person_count,
