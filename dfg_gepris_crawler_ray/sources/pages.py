@@ -56,6 +56,12 @@ def auto_num_blocks(pages_dir: str, target_block_bytes: int = 32 << 20) -> int:
     except Exception:
         cpus = 8
     want = max(4 * cpus, total_bytes // target_block_bytes + 1)
+    # when the writer emitted at least that many files, go per-file:
+    # bundling 2-3 files per block makes 2-3x row skew between tasks
+    # (observed: 4000 vs 12004 rows/block → 2.1s vs 8.9s stragglers),
+    # while the files themselves are uniform
+    if len(files) >= want:
+        want = len(files)
     cap = max(4, total_rows // 2000)
     return int(max(4, min(4000, min(want, cap))))
 
