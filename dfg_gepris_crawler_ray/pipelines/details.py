@@ -117,3 +117,24 @@ def run_details_extraction(
 def write_items(items: "ray.data.Dataset", out_dir: str) -> None:
     """Partitioned parquet sink (resumable layout: one dir per run)."""
     items.write_parquet(out_dir)
+
+
+def write_items_json(items: "ray.data.Dataset", out: str) -> None:
+    """S8 feed export (README.md:58-65, runner.py:16-39).
+
+    A directory path streams JSONL, one file per block (the scale
+    path). A ``*.json`` file path writes the reference's ``-O
+    out.json`` shape — a single JSON array of the *parsed* item
+    payloads — and is for small, driver-collectable results only.
+    """
+    if not out.endswith(".json"):
+        items.write_json(out)
+        return
+    import json
+
+    rows = []
+    for row in items.iter_rows():
+        item = json.loads(row["item"]) if row.get("item") else None
+        rows.append(item if item is not None else {k: v for k, v in row.items()})
+    with open(out, "w") as f:
+        json.dump(rows, f, ensure_ascii=False)
