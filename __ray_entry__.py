@@ -359,6 +359,41 @@ def _q_search_institution(sf_dir: str):
     return _search_items(sf_dir, "institution").map_batches(cols, batch_format="pyarrow")
 
 
+def _q_host_budget(sf_dir: str):
+    """ST5 plan-time politeness: J1-ordered projekt frontier capped at
+    50 fetches per host per run (the cron-budget idea,
+    scheduler_cronfile:19-33); the remainder stays in the frontier."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.frontier import state as S
+    from dfg_gepris_crawler_ray.pipelines.runs import plan_frontier
+    from dfg_gepris_crawler_ray.testdata.gen_pages import host_of
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    projekt_docs = [d for d in range(n_docs) if d % 3 == 0]
+    obs = [(1000 + d, f'{{"id":{1000 + d}}}') for d in sorted(projekt_docs)]
+    state = S.upsert_from_search(S.empty_state(), obs, "projekt", 1)
+    ids = S.get_ids(state, S.empty_runs(), "projekt")
+    frontier = plan_frontier(
+        ids, "projekt", host_lookup=lambda c, i: host_of(i - 1000), max_per_host=50
+    )
+    return pa.table(
+        {
+            "fetch_seq": pa.array(frontier["fetch_seq"], type=pa.int64()),
+            "id": pa.array(frontier["id"], type=pa.int64()),
+            "host": pa.array(frontier["host"], type=pa.string()),
+        }
+    )
+
+
+def _q_url_seen(sf_dir: str):
+    """ST1 at actor scale: every detail page's canonical key streamed
+    through the sharded seen-filter; unique entities per context."""
+    from dfg_gepris_crawler_ray.frontier.seen import unique_entities_by_context
+
+    return unique_entities_by_context(_pages(sf_dir), num_shards=8, mode="exact")
+
+
 def _q_resume_sharded(sf_dir: str):
     """Per-partition checkpoint/resume: phase 1 stops after half the
     shards (simulated failure), phase 2 resumes, skipping the verified
@@ -428,6 +463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_history_dedup": _q_history_dedup,
         "crawl_person_edges": _q_person_edges,
         "crawl_institution_edges": _q_institution_edges,
+        "crawl_host_budget": _q_host_budget,
+        "crawl_url_seen": _q_url_seen,
         "crawl_resume_sharded": _q_resume_sharded,
         "crawl_data_monitor": _q_data_monitor,
         # --- training-data ops --------------------------------------------
@@ -623,6 +660,21 @@ def oracle_sql() -> dict[str, str]:
                    'antragstellende_institutionen' AS reference_type
             FROM documents, (SELECT count(*) AS cnt FROM documents)
             WHERE doc_id % 3 = 0 AND {_OK}
+        """,
+        "crawl_host_budget": f"""
+            WITH f AS (
+              SELECT doc_id, 1000 + doc_id AS id, {_HOST} AS host,
+                     row_number() OVER (PARTITION BY {_HOST} ORDER BY doc_id) AS rk
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT row_number() OVER (ORDER BY doc_id) - 1 AS fetch_seq, id, host
+            FROM f WHERE rk <= 50
+        """,
+        "crawl_url_seen": """
+            SELECT CASE doc_id % 3 WHEN 0 THEN 'projekt' WHEN 1 THEN 'person'
+                        ELSE 'institution' END AS context,
+                   count(*) AS unique_entities
+            FROM documents GROUP BY 1
         """,
         "crawl_resume_sharded": """
             SELECT CASE WHEN doc_id % 101 = 5 THEN 'moved'

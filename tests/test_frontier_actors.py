@@ -17,6 +17,39 @@ def test_seen_filter_exact(ray_session):
     assert f.contains(["projekt/5", "person/1", "person/2"]).tolist() == [True, True, False]
 
 
+def test_seen_filter_in_batch_duplicates(ray_session):
+    """Only the first occurrence of a key within one batch is novel
+    (regression: pre-insert membership made every in-batch copy new)."""
+    f = SeenFilter(num_shards=2, mode="exact")
+    new = f.add(["a/1", "a/1", "b/2", "a/1", "b/2"])
+    assert new.tolist() == [True, False, True, False, False]
+    g = SeenFilter(num_shards=2, mode="bloom", bloom_bits=1 << 16)
+    new = g.add(["a/1", "a/1", "b/2", "a/1", "b/2"])
+    assert new.tolist() == [True, False, True, False, False]
+
+
+def test_unique_entities_by_context(ray_session):
+    import duckdb
+
+    from dfg_gepris_crawler_ray.frontier.seen import unique_entities_by_context
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    got = (
+        unique_entities_by_context(ensure_pages("/root/testdata/sf0.001"), num_shards=4)
+        .to_pandas()
+        .sort_values("context")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT CASE doc_id % 3 WHEN 0 THEN 'projekt' WHEN 1 THEN 'person' "
+        "ELSE 'institution' END AS context, count(*) AS unique_entities "
+        "FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+        "GROUP BY 1 ORDER BY 1"
+    ).df()
+    assert got["context"].tolist() == want["context"].tolist()
+    assert got["unique_entities"].tolist() == want["unique_entities"].tolist()
+
+
 def test_seen_filter_bloom_no_false_negatives(ray_session):
     f = SeenFilter(num_shards=2, mode="bloom", bloom_bits=1 << 16)
     keys = [f"k/{i}" for i in range(500)]
