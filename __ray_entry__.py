@@ -494,6 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_latest_event_per_user": relational.latest_event_per_user,
         "rel_hourly_event_stats": relational.hourly_event_stats,
         "rel_top_orders": lambda sf: relational.top_orders(sf, k=20),
+        "rel_q3_topk_revenue": lambda sf: relational.segment_order_revenue_topk(sf),
+        "rel_session_windows": relational.session_windows,
     }
 
 
@@ -769,6 +771,37 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "rel_q3_topk_revenue": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
+            LIMIT 10
+        """,
+        "rel_session_windows": """
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM e
+            )
+            SELECT user_id, session_no, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_no
         """,
         # dedup_minhash_lsh / dedup_simhash_pairs / dedup_embedding_pairs /
         # knn_lsh / text_quality / text_lang_id: non-SQL-expressible

@@ -194,6 +194,109 @@ def hourly_event_stats(sf_dir: str) -> "ray.data.Dataset":
     return out.map_batches(finish, batch_format="pandas")
 
 
+def segment_order_revenue_topk(
+    sf_dir: str, segment: str = "BUILDING", k: int = 10
+) -> "ray.data.Dataset":
+    """TPC-H Q3-shaped 3-way join: customer(segment) ⋈ orders ⋈ lineitem
+    → top-k orders by discounted revenue.
+
+    Join strategy at this shape: the segment's customer keys and their
+    order keys are the *small* sides — broadcast semi-joins via
+    ``ray.put`` — so the only heavy scan (lineitem) streams once with a
+    per-batch partial aggregation and the final groupby carries one row
+    per surviving order per batch. At a scale where the order-key set
+    no longer broadcasts, swap the semi-join for a hash-shuffle join on
+    l_orderkey (same downstream code)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_keys = {
+        ck
+        for ck, seg in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()
+        )
+        if seg == segment
+    }
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    order_date = {
+        ok: od
+        for ok, ck, od in zip(
+            orders.column("o_orderkey").to_pylist(),
+            orders.column("o_custkey").to_pylist(),
+            orders.column("o_orderdate").to_pylist(),
+        )
+        if ck in seg_keys
+    }
+    dates_ref = ray.put(order_date)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(dates_ref)
+        keys = batch.column("l_orderkey").to_pylist()
+        mask = pa.array([key in lookup for key in keys])
+        kept = batch.filter(mask)
+        rev = pc.multiply(
+            kept.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), kept.column("l_discount")),
+        )
+        df = pd.DataFrame(
+            {"o_orderkey": kept.column("l_orderkey").to_pylist(), "revenue": rev.to_pylist()}
+        )
+        g = df.groupby("o_orderkey", as_index=False).agg(revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = li.map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_order = partials.groupby("o_orderkey").aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+    topk = per_order.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(dates_ref)
+        df["revenue"] = np.round(df["revenue"], 2)
+        df["o_orderdate"] = [lookup[key] for key in df["o_orderkey"]]
+        return df
+
+    return topk.map_batches(finish, batch_format="pandas")
+
+
+def session_windows(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Gap-based session windows per user — the streaming-session
+    operator a batch engine expresses as groupby(user) → per-group
+    sort + gap split (SURVEY.md §2.10 'custom operators' path (a)).
+
+    A new session starts when the inter-event gap exceeds
+    ``gap_minutes``. Shuffle key = user_id (each user's event history
+    co-locates; per-user data is small by construction)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts", kind="stable")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        g = g.assign(session_no=gap.cumsum().astype("int64"))
+        out = g.groupby("session_no", as_index=False).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        )
+        out["sum_value"] = np.round(out["sum_value"], 2)
+        return out[["user_id", "session_no", "session_start", "session_end", "n_events", "sum_value"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 def top_orders(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Global sort + limit (top-k by totalprice, orderkey tiebreak)."""
     ds = ray.data.read_parquet(

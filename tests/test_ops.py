@@ -192,6 +192,61 @@ def test_media_plumbing():
     assert list(f0) == list(ex)
 
 
+def test_q3_topk_matches_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import segment_order_revenue_topk
+
+    mine = segment_order_revenue_topk(SF, k=5).to_pandas()
+    want = duckdb.sql(
+        f"""
+        SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM read_parquet('{SF}/customer.parquet') c
+        JOIN read_parquet('{SF}/orders.parquet') o ON c_custkey = o_custkey
+        JOIN read_parquet('{SF}/lineitem.parquet') l ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 5
+        """
+    ).df()
+    assert mine["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert mine["revenue"].tolist() == want["revenue"].tolist()
+
+
+def test_session_windows_match_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import session_windows
+
+    mine = (
+        session_windows(SF)
+        .to_pandas()
+        .sort_values(["user_id", "session_no"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH e AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+          FROM read_parquet('{SF}/events.parquet')
+        ),
+        s AS (SELECT user_id, ts, value,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM e)
+        SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+        """
+    ).df()
+    assert len(mine) == len(want)
+    assert mine["n_events"].tolist() == want["n_events"].tolist()
+    assert mine["session_start"].tolist() == want["session_start"].tolist()
+    assert mine["sum_value"].tolist() == [float(v) for v in want["sum_value"]]
+
+
 def test_embedding_neardup_bucketed():
     from dfg_gepris_crawler_ray.ops.dedup import embedding_neardup_pairs
 
