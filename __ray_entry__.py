@@ -536,6 +536,34 @@ _PERSON_TITLE = (
 )
 
 
+def _quality_oracle_sql() -> str:
+    """SQL mirror of ops.textstats.quality_batch, with the stopword
+    list inlined from the same source of truth."""
+    from dfg_gepris_crawler_ray.ops.textstats import _STOPWORDS
+
+    stops = sorted(set().union(*_STOPWORDS.values()))
+    stop_list = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in stops) + "]"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS toks
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE len(list_filter(toks, w -> list_contains({stop_list}, w)))::DOUBLE
+                           / len(toks) END AS ratio
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               round(ratio, 6) AS stopword_ratio,
+               round(0.7 * least(n_tokens / 100.0, 1.0)
+                     + 0.3 * (1 - abs(ratio - 0.4)), 6) AS quality_score
+        FROM r
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_projekt_core": f"""
@@ -734,6 +762,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": """
             SELECT doc_id, md5(text) AS content_md5 FROM documents
         """,
+        "text_quality": _quality_oracle_sql(),
         "lang_histogram": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
         """,

@@ -101,13 +101,19 @@ def quality_batch(batch: pa.Table) -> pa.Table:
             sum(1 for w in toks if w in all_stop) / len(toks) if toks else 0.0
         )
     length_score = np.clip(n_tokens / 100.0, 0, 1)
-    score = np.round(0.7 * length_score + 0.3 * (1 - np.abs(stop_ratio - 0.4)), 6)
+    score = 0.7 * length_score + 0.3 * (1 - np.abs(stop_ratio - 0.4))
+
+    def round6(x: np.ndarray) -> np.ndarray:
+        # half-away-from-zero (SQL round semantics); np.round's
+        # half-even diverges on exact .5 boundaries at the 6th decimal
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(n_tokens),
-            "stopword_ratio": pa.array(np.round(stop_ratio, 6)),
-            "quality_score": pa.array(score),
+            "stopword_ratio": pa.array(round6(stop_ratio)),
+            "quality_score": pa.array(round6(score)),
         }
     )
 

@@ -294,6 +294,18 @@ def test_search_total_items_golden():
     assert extract_total_items(_root("data_monitor/03112021.html")) is None
 
 
+def test_structure_validator_goldens():
+    """test_middlewares.py:11-34: the V1 structure check fails on the
+    one known-broken fixture and passes on good de/en pages."""
+    from dfg_gepris_crawler_ray.extract.errors import UnexpectedDetailsPageStructure
+    from dfg_gepris_crawler_ray.extract.validators import check_details_structure
+
+    with pytest.raises(UnexpectedDetailsPageStructure):
+        check_details_structure(_root("details/projekt_441512655_de_17122021.html"))
+    check_details_structure(_root("details/projekt_258745513_en_06012022.html"))
+    check_details_structure(_root("details/projekt_491343583_de_12122021.html"))
+
+
 def test_data_monitor_goldens():
     """test_data_monitor_spider.py:22-55 (3 dated snapshots incl. the
     renamed-field variant and Europe/Berlin DST localization)."""
