@@ -74,6 +74,51 @@ def test_politeness_accounting_and_robots(ray_session):
     assert gate.allowed("unknown-host", ["/anything"]) == [True]
 
 
+def test_politeness_token_bucket_rate(ray_session):
+    """With a positive min_delay the bucket makes callers wait: the
+    second batch for the same host must queue behind the first."""
+    import ray
+
+    from dfg_gepris_crawler_ray.frontier.politeness import PolitenessShard
+
+    shard = PolitenessShard.remote(min_delay_ms=50.0)
+    w1 = ray.get(shard.acquire.remote({"h1": 3}))
+    w2 = ray.get(shard.acquire.remote({"h1": 2}))
+    assert w1 == 0.0
+    assert w2 > 0.0  # 3 * 50ms already reserved for h1
+    # a different host is unaffected
+    assert ray.get(shard.acquire.remote({"h2": 1})) == 0.0
+
+
+def test_pipeline_accounts_fetches_through_gate(ray_session):
+    """The extract stage reports every fetched page to the politeness
+    gate (ST5 run-time half): gate totals equal the corpus page count
+    for entities that produced items."""
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    gate = PolitenessGate(num_shards=2, min_delay_ms=0.0)
+    items = run_details_extraction(
+        ensure_pages("/root/testdata/sf0.001"), num_buckets=8, politeness=gate
+    ).to_pandas()
+    counts = gate.counts()
+    assert sum(counts.values()) == int(items["pages_fetched"].sum())
+    assert "gepris.example.org" in counts  # the 70%-hot host
+
+
+def test_shuffle_and_clustered_modes_agree(ray_session):
+    """The general shuffle path and the boundary-repair clustered path
+    produce identical item sets."""
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages = ensure_pages("/root/testdata/sf0.001")
+    a = run_details_extraction(pages, num_buckets=8, mode="clustered").to_pandas()
+    b = run_details_extraction(pages, num_buckets=8, mode="shuffle").to_pandas()
+    key = lambda df: sorted(zip(df["id"], df["context"], df["status"], df["item"].fillna("")))
+    assert key(a) == key(b)
+
+
 def test_apply_host_budget_preserves_priority():
     frontier = pd.DataFrame(
         {"context": "p", "id": range(10),

@@ -294,6 +294,77 @@ def test_search_total_items_golden():
     assert extract_total_items(_root("data_monitor/03112021.html")) is None
 
 
+def test_reference_edges_sql_golden():
+    """test_init_sql.py:18-50: the reference-edge views unnest one
+    projekt item's person/institution arrays into typed edges."""
+    import json
+
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.frontier.state import (
+        institution_projekt_references,
+        person_projekt_references,
+    )
+
+    latest = pd.DataFrame(
+        [
+            dict(
+                id=1,
+                context="projekt",
+                item=json.dumps(
+                    {
+                        "name_de": "Testprojekt",
+                        "attributes": {
+                            "antragsteller_personen": [2, 3],
+                            "unternehmen_institutionen": [4],
+                            "partner_organisation_institutionen": [5],
+                        },
+                    }
+                ),
+            )
+        ]
+    )
+    p = sorted(person_projekt_references(latest).itertuples(index=False, name=None))
+    assert p == [(2, 1, "antragsteller_personen"), (3, 1, "antragsteller_personen")]
+    i = sorted(institution_projekt_references(latest).itertuples(index=False, name=None))
+    assert i == [
+        (4, 1, "unternehmen_institutionen"),
+        (5, 1, "partner_organisation_institutionen"),
+    ]
+
+
+def test_institution_hierarchy_sql_golden():
+    """test_init_sql.py:51-87: nested subinstitution tree → the
+    (id, parent_id, root_id) closure, root included with NULL parent."""
+    import json
+
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.frontier.state import institution_hierarchy
+
+    latest = pd.DataFrame(
+        [
+            dict(
+                id=1,
+                context="institution",
+                item=json.dumps(
+                    {
+                        "name_de": "Testprojekt",
+                        "trees": {
+                            "normalised_subinstitutions": ["2", {"3": ["4", "5"]}, "6"]
+                        },
+                    }
+                ),
+            )
+        ]
+    )
+    rows = sorted(
+        (int(a), None if pd.isna(b) else int(b), int(c))
+        for a, b, c in institution_hierarchy(latest).itertuples(index=False, name=None)
+    )
+    assert rows == [(1, None, 1), (2, 1, 1), (3, 1, 1), (4, 3, 1), (5, 3, 1), (6, 1, 1)]
+
+
 def test_structure_validator_goldens():
     """test_middlewares.py:11-34: the V1 structure check fails on the
     one known-broken fixture and passes on good de/en pages."""
