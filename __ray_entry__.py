@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_id", "rank", "neighbor_id"]
         ),
         "knn_lsh": lambda sf: similarity.knn_lsh(sf),
+        "knn_ivf": lambda sf: similarity.knn_ivf(sf),
         "text_token_stats": textstats.token_stats,
         "text_fingerprints": lambda sf: textstats.fingerprints(sf).select_columns(
             ["doc_id", "content_md5"]
@@ -487,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": lambda sf: multimodal.media_features(sf).select_columns(
             ["doc_id", "media_bytes"]
         ),
+        "media_resize": multimodal.media_resize,
+        "media_frame_sample": multimodal.media_frame_sample,
         # --- generic relational operators ---------------------------------
         "rel_pricing_summary": relational.pricing_summary,
         "rel_segment_revenue": relational.segment_revenue,
@@ -768,6 +771,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": """
             SELECT doc_id, 100 + doc_id % 50 AS media_bytes FROM documents
+        """,
+        "media_resize": """
+            WITH m AS (
+              SELECT doc_id, 100 + doc_id % 50 AS w, doc_id % 7 + 1 AS h
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(w, h) > 64
+                          THEN w * 64 // greatest(w, h) ELSE w END AS out_width,
+                     CASE WHEN greatest(w, h) > 64
+                          THEN h * 64 // greatest(w, h) ELSE h END AS out_height
+              FROM m
+            )
+            SELECT doc_id, out_width, out_height,
+                   out_width * out_height * 3 AS out_bytes
+            FROM r
+        """,
+        "media_frame_sample": """
+            SELECT doc_id, f AS frame_idx, f * 40 AS ts_ms
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, 100 + doc_id % 50, 10)) AS f)
         """,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

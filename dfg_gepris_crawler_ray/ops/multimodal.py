@@ -117,3 +117,83 @@ def media_features(sf_dir: str, concurrency: int = 2) -> "ray.data.Dataset":
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class MediaResizer:
+    """Actor-pool resize stage (images): decode → aspect-preserving
+    downscale to ``max_side`` → re-encode. The pixel kernel is stubbed
+    behind the fake decoder (no image libs here); the geometry is
+    integer-exact so the stage is SQL-oracle-checkable.
+
+    Fake image geometry: width = payload length, height =
+    ``doc_id % 7 + 1``. Integer aspect-preserving downscale:
+    ``out = dim * max_side // longest`` when the longest side exceeds
+    ``max_side``, else unchanged.
+    """
+
+    def __init__(self, max_side: int = 64, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        if decoder == "real":  # pragma: no cover - stub
+            raise NotImplementedError("real image decoding unavailable here")
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("media").to_pylist()
+        out_w, out_h = [], []
+        for d, p in zip(doc_ids, payloads):
+            w, h = len(p), d % 7 + 1
+            longest = max(w, h)
+            if longest > self.max_side:
+                w, h = w * self.max_side // longest, h * self.max_side // longest
+            out_w.append(w)
+            out_h.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "out_width": pa.array(out_w, type=pa.int64()),
+                "out_height": pa.array(out_h, type=pa.int64()),
+                "out_bytes": pa.array([w * h * 3 for w, h in zip(out_w, out_h)], type=pa.int64()),
+            }
+        )
+
+
+def media_resize(sf_dir: str, max_side: int = 64, concurrency: int = 2) -> "ray.data.Dataset":
+    return media_table(sf_dir).map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def frame_sample_batch(batch: pa.Table, every: int = 10) -> pa.Table:
+    """Frame-sampling explode (video): one output row per sampled
+    frame. The fake video model is 1 frame per payload byte at 25 fps;
+    a real implementation swaps the byte count for an ffmpeg demuxer
+    inside the same batch shape (row explosion, small batches)."""
+    rows_doc, rows_idx, rows_ts = [], [], []
+    for d, p in zip(batch.column("doc_id").to_pylist(), batch.column("media").to_pylist()):
+        n_frames = len(p)
+        for idx in range(0, n_frames, every):
+            rows_doc.append(d)
+            rows_idx.append(idx)
+            rows_ts.append(idx * 40)  # ms at 25 fps
+    return pa.table(
+        {
+            "doc_id": pa.array(rows_doc, type=pa.int64()),
+            "frame_idx": pa.array(rows_idx, type=pa.int64()),
+            "ts_ms": pa.array(rows_ts, type=pa.int64()),
+        }
+    )
+
+
+def media_frame_sample(sf_dir: str, every: int = 10) -> "ray.data.Dataset":
+    return media_table(sf_dir).map_batches(
+        lambda b: frame_sample_batch(b, every),
+        batch_format="pyarrow",
+        batch_size=256,
+    )

@@ -95,6 +95,112 @@ def knn_brute(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pa.Table:
     )
 
 
+def knn_ivf(
+    sf_dir: str,
+    query_ids=(0, 1, 2, 3, 4),
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+) -> pa.Table:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the other classic scale path besides LSH.
+
+    1. Spherical k-means over the full table, computed DISTRIBUTED:
+       centroids broadcast per iteration, per-batch partial (sum,count)
+       accumulators inside ``map_batches``, tiny driver reduce. Init is
+       deterministic (the ``n_centroids`` lowest vec_ids).
+    2. Each vector belongs to its nearest centroid's inverted list;
+       a query scores only the ``n_probe`` nearest lists. At cluster
+       scale the lists are hash-partitioned by centroid id so a probe
+       touches ``n_probe / n_centroids`` of the data.
+
+    Columns match ``knn_brute``; recall is measured in tests.
+    """
+    query_ids = list(query_ids)
+    q = _load_queries(sf_dir, query_ids)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+
+    cent = _load_queries(sf_dir, list(range(n_centroids)))  # deterministic init
+    cent = cent / np.clip(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12, None)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    for _ in range(n_iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = _as_matrix(batch.column("embedding").to_pylist())
+            mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+            assign = np.argmax(mn @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, mn)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table(
+                {
+                    "centroid_id": pa.array(np.arange(len(c)), type=pa.int64()),
+                    "vec_sum": pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+                    "count": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+        agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+        new_cent = cent.copy()
+        for cid, grp in agg.groupby("centroid_id"):
+            total = int(grp["count"].sum())
+            if total:
+                s = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)
+                new_cent[cid] = s / max(np.linalg.norm(s), 1e-12)
+        cent = new_cent
+
+    # probe lists per query + candidate scan (one distributed pass)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    probe_sets = [set(int(c) for c in row) for row in probe]
+    union_probed = set().union(*probe_sets)
+    cent_ref = ray.put(cent)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = _as_matrix(batch.column("embedding").to_pylist())
+        mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        assign = np.argmax(mn @ c.T, axis=1)
+        keep = np.fromiter(
+            (int(a) in union_probed for a in assign), dtype=bool, count=len(ids)
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "centroid_id": pa.array(assign[keep].astype(np.int64)),
+                "normed": pa.array(mn[keep].tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow", batch_size=4096).to_pandas()
+    out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+    for qi, qid in enumerate(query_ids):
+        sub = cand[cand["centroid_id"].isin(probe_sets[qi]) & (cand["vec_id"] != qid)]
+        if not len(sub):
+            continue
+        mat = np.stack(sub["normed"].to_numpy())
+        scores = mat @ qn[qi]
+        order = sorted(zip(-scores, sub["vec_id"]))[:k]
+        for rank, (negc, nid) in enumerate(order, start=1):
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["neighbor_id"].append(int(nid))
+            out["cosine"].append(round(float(-negc), 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "cosine": pa.array(out["cosine"], type=pa.float64()),
+        }
+    )
+
+
 def knn_lsh(
     sf_dir: str,
     query_ids=(0, 1, 2, 3, 4),

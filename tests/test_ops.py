@@ -141,6 +141,38 @@ def test_knn_lsh_recall_vs_brute():
     assert sum(recalls) / len(recalls) >= 0.5  # 4 tables x 1-bit multi-probe
 
 
+def test_knn_ivf_recall_vs_brute():
+    from dfg_gepris_crawler_ray.ops.similarity import knn_brute, knn_ivf
+
+    brute = knn_brute(SF, query_ids=(0, 1, 2), k=10).to_pandas()
+    approx = knn_ivf(SF, query_ids=(0, 1, 2), k=10, n_centroids=8, n_probe=3).to_pandas()
+    recalls = []
+    for qid in (0, 1, 2):
+        b = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.5  # 3/8 lists probed
+
+
+def test_media_resize_and_frame_sample():
+    from dfg_gepris_crawler_ray.ops.multimodal import media_frame_sample, media_resize
+
+    r = media_resize(SF).to_pandas()
+    assert len(r) == 500
+    # geometry formula: w=100+doc%50 (>64 always), h=doc%7+1 → downscale
+    w = 100 + r["doc_id"] % 50
+    h = r["doc_id"] % 7 + 1
+    assert (r["out_width"] == w * 64 // w).all()  # w is always the longest side
+    assert (r["out_height"] == h * 64 // w).all()
+    assert (r["out_bytes"] == r["out_width"] * r["out_height"] * 3).all()
+
+    f = media_frame_sample(SF).to_pandas()
+    assert (f["ts_ms"] == f["frame_idx"] * 40).all()
+    n = f.groupby("doc_id").size()
+    expect = ((100 + n.index % 50) + 9) // 10
+    assert (n.values == expect.values).all()
+
+
 def test_token_stats_and_fingerprints_match_duckdb():
     import duckdb
 
