@@ -99,6 +99,7 @@ class PolitenessGate:
     def __init__(self, num_shards: int = 4, min_delay_ms: float = 0.0,
                  robots: dict[str, str] | None = None):
         robots = robots or {}
+        self.has_robots = bool(robots)
         self.num_shards = num_shards
         self.shards = []
         for s in range(num_shards):

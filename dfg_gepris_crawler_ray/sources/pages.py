@@ -118,12 +118,16 @@ def annotate_pages(ds: "ray.data.Dataset", num_buckets: int = 64) -> "ray.data.D
     )
 
 
-def filter_detail_pages(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def filter_detail_batch(batch: pa.Table) -> pa.Table:
     """Keep only details/result pages (vectorised predicate)."""
     import pyarrow.compute as pc
 
+    return batch.filter(pc.is_in(batch.column("kind"), value_set=pa.array(DETAIL_KINDS)))
+
+
+def filter_detail_pages(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(
-        lambda b: b.filter(pc.is_in(b.column("kind"), value_set=pa.array(DETAIL_KINDS))),
+        filter_detail_batch,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -205,7 +205,29 @@ def _extract_rows(tbl: pa.Table, strict: bool, politeness) -> list[dict]:
         hosts[key] = hostcol[i]
     rows = []
     host_fetches: dict[str, int] = defaultdict(int)
+    # robots check (ROBOTSTXT_OBEY, settings.py:66): batched — ONE gate
+    # round-trip per host per block, never per entity
+    robots_blocked: set[tuple] = set()
+    if politeness is not None and getattr(politeness, "has_robots", False):
+        by_host: dict[str, list[tuple]] = defaultdict(list)
+        for key in by_entity:
+            by_host[hosts[key]].append(key)
+        for host, keys in by_host.items():
+            paths = [f"/gepris/{c}/{i}" for c, i in keys]
+            for key, ok in zip(keys, politeness.allowed(host, paths)):
+                if not ok:
+                    robots_blocked.add(key)
     for (context, element_id), roles in sorted(by_entity.items()):
+        if (context, element_id) in robots_blocked:
+            rows.append(
+                dict(
+                    id=element_id, context=context, status="error",
+                    item=None, error_kind="robots_blocked",
+                    host=hosts[(context, element_id)], attempts=0,
+                    pages_fetched=0,
+                )
+            )
+            continue
         copies = {
             role: [h for _, h in sorted(pages_list, key=lambda p: p[0])]
             for role, pages_list in roles.items()

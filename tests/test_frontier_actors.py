@@ -106,6 +106,30 @@ def test_pipeline_accounts_fetches_through_gate(ray_session):
     assert "gepris.example.org" in counts  # the 70%-hot host
 
 
+def test_robots_blocked_entities_skipped(ray_session):
+    """ROBOTSTXT_OBEY (settings.py:66): entities whose detail path a
+    host's robots.txt disallows yield robots_blocked error rows and
+    fetch nothing."""
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    gate = PolitenessGate(
+        num_shards=2,
+        robots={"gepris.example.org": "User-agent: *\nDisallow: /gepris/person/\n"},
+    )
+    items = run_details_extraction(
+        ensure_pages("/root/testdata/sf0.001"), num_buckets=8, politeness=gate
+    ).to_pandas()
+    blocked = items[items["error_kind"] == "robots_blocked"]
+    assert len(blocked) > 0
+    assert (blocked["context"] == "person").all()
+    assert (blocked["host"] == "gepris.example.org").all()
+    assert (blocked["pages_fetched"] == 0).all()
+    # persons on other hosts are still crawled
+    other = items[(items["context"] == "person") & (items["host"] != "gepris.example.org")]
+    assert (other["status"] != "error").any()
+
+
 def test_shuffle_and_clustered_modes_agree(ray_session):
     """The general shuffle path and the boundary-repair clustered path
     produce identical item sets."""
