@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -198,16 +199,26 @@ def ngram_jaccard_pairs(
     (``den*inter >= num*union``; ``inter*1_000_000 // union``) so the
     DuckDB oracle reproduces values bit-for-bit.
 
-    Pipeline: doc → distinct gram hashes [map_batches] → inverted index
-    groupby(gram_hash) [the shuffle] → candidate pairs → exact verify
-    with broadcast texts. Any pair with Jaccard > 0 shares ≥1 gram, so
-    candidate generation is lossless (exact, not approximate). Buckets
-    above ``max_bucket`` docs (stop-gram hubs) are skipped with a log —
-    at web scale drop hub grams like stopword runs; the synthetic
-    corpus never hits the cap.
+    Exact set-similarity join via the inverted index itself — no
+    re-shingling verify pass:
+
+    1. doc → distinct gram hashes [map_batches], partitioned by
+       ``gram_hash % 64`` (the ONE shuffle key; a gram's postings all
+       land in one bucket).
+    2. per bucket: vectorized self-merge on gram_hash → per-pair
+       partial intersection counts (ONE Python call per bucket).
+    3. groupby (doc_a, doc_b) sum → exact |A∩B| (pairs sharing ≥1 gram
+       only — lossless for any threshold > 0).
+    4. |A| and |B| broadcast (per-doc distinct-gram counts, one int per
+       doc) → integer-exact threshold + ppm.
+
+    Postings of hub grams with more than ``max_bucket`` docs are
+    dropped with a log (at web scale drop stopword-run grams); the
+    synthetic corpus never hits the cap.
     """
     docs_path = f"{sf_dir}/documents.parquet"
     ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    num_buckets = 64
 
     def to_grams(batch: pa.Table) -> pa.Table:
         out_hash, out_doc = [], []
@@ -218,83 +229,69 @@ def ngram_jaccard_pairs(
                 h = hashlib.blake2b(g.encode(), digest_size=8).digest()
                 out_hash.append(int.from_bytes(h, "big") % (1 << 62))
                 out_doc.append(doc_id)
+        ha = np.asarray(out_hash, dtype=np.int64)
         return pa.table(
             {
-                "gram_hash": pa.array(out_hash, type=pa.int64()),
+                "bucket": pa.array(ha % num_buckets, type=pa.int32()),
+                "gram_hash": pa.array(ha),
                 "doc_id": pa.array(out_doc, type=pa.int64()),
             }
         )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        doc_ids = sorted(set(group.column("doc_id").to_pylist()))
-        if len(doc_ids) > max_bucket:
+    grams = ds.map_batches(
+        to_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # reused twice: set sizes + pair partials
+
+    from ray.data.aggregate import Count
+
+    sizes_df = grams.groupby("doc_id").aggregate(Count(alias_name="n_grams")).to_pandas()
+    set_sizes = dict(zip(sizes_df["doc_id"].astype(int), sizes_df["n_grams"].astype(int)))
+    sizes_ref = ray.put(set_sizes)
+
+    def bucket_pair_partials(group: pd.DataFrame) -> pd.DataFrame:
+        """One call per hash bucket: self-merge on gram_hash → partial
+        |A∩B| per doc pair within this bucket's grams."""
+        g = group[["gram_hash", "doc_id"]]
+        post = g.groupby("gram_hash")["doc_id"].transform("size")
+        hubs = int((post > max_bucket).sum())
+        if hubs:
             import logging
 
             logging.getLogger(__name__).warning(
-                "ngram_jaccard: skipping hub gram bucket of %d docs", len(doc_ids)
+                "ngram_jaccard: dropping %d hub-gram postings (> %d docs)",
+                hubs, max_bucket,
             )
-            doc_ids = []
-        pairs = [
-            (doc_ids[i], doc_ids[j])
-            for i in range(len(doc_ids))
-            for j in range(i + 1, len(doc_ids))
-        ]
-        return pa.table(
-            {
-                "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
-            }
+            g = g[post <= max_bucket]
+        m = g.merge(g, on="gram_hash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = (
+            m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+            .size()
+            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b", "size": "inter"})
         )
+        # second shuffle key: pair hash → the global sum is again 64
+        # vectorized groups, not one Ray aggregate per pair (a 1M-group
+        # Ray groupby().aggregate() pays per-group Python overhead)
+        out["pair_bucket"] = ((out["doc_a"] * 1_000_003 + out["doc_b"]) % num_buckets).astype("int32")
+        return out
 
-    candidates = (
-        ds.map_batches(to_grams, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("gram_hash")
-        .map_groups(emit_pairs, batch_format="pyarrow")
+    partials = grams.groupby("bucket").map_groups(
+        bucket_pair_partials, batch_format="pandas"
     )
-    cand_df = candidates.to_pandas().drop_duplicates()
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], type=pa.int64()),
-            "doc_b": pa.array([], type=pa.int64()),
-            "jaccard_ppm": pa.array([], type=pa.int64()),
-        }
-    )
-    if not len(cand_df):
-        return ray.data.from_arrow(empty)
-    import pyarrow.parquet as pq
 
-    needed = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
-    tbl = pq.read_table(docs_path, columns=["doc_id", "text"])
-    texts = {
-        doc_id: text
-        for doc_id, text in zip(
-            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
-        )
-        if doc_id in needed
-    }
-    texts_ref = ray.put(texts)
+    def sum_and_threshold(group: pd.DataFrame) -> pd.DataFrame:
+        sizes = ray.get(sizes_ref)
+        s = group.groupby(["doc_a", "doc_b"], as_index=False)["inter"].sum()
+        size_a = s["doc_a"].map(sizes).astype("int64")
+        size_b = s["doc_b"].map(sizes).astype("int64")
+        union = size_a + size_b - s["inter"]
+        keep = (union > 0) & (threshold_den * s["inter"] >= threshold_num * union)
+        s = s[keep]
+        s["jaccard_ppm"] = (s["inter"] * 1_000_000 // union[keep]).astype("int64")
+        return s[["doc_a", "doc_b", "jaccard_ppm"]]
 
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
-        keep_a, keep_b, keep_j = [], [], []
-        for da, db_ in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
-            ga, gb = word_ngrams(lookup[da], n), word_ngrams(lookup[db_], n)
-            inter = len(ga & gb)
-            union = len(ga) + len(gb) - inter
-            if union and threshold_den * inter >= threshold_num * union:
-                keep_a.append(da)
-                keep_b.append(db_)
-                keep_j.append(inter * 1_000_000 // union)
-        return pa.table(
-            {
-                "doc_a": pa.array(keep_a, type=pa.int64()),
-                "doc_b": pa.array(keep_b, type=pa.int64()),
-                "jaccard_ppm": pa.array(keep_j, type=pa.int64()),
-            }
-        )
-
-    return ray.data.from_pandas(cand_df).map_batches(
-        verify, batch_format="pyarrow"
+    return partials.groupby("pair_bucket").map_groups(
+        sum_and_threshold, batch_format="pandas"
     )
 
 
