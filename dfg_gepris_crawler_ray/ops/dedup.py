@@ -121,26 +121,30 @@ def minhash_lsh_dedup(
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    # per-bucket candidate pair emission (bucket = (band, band_hash))
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        doc_ids = sorted(set(group.column("doc_id").to_pylist()))
-        pairs = [
-            (doc_ids[i], doc_ids[j])
-            for i in range(len(doc_ids))
-            for j in range(i + 1, len(doc_ids))
-        ]
-        if not pairs:
-            return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                             "doc_b": pa.array([], type=pa.int64())})
-        return pa.table(
-            {
-                "doc_a": pa.array([p[0] for p in pairs], type=pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], type=pa.int64()),
-            }
-        )
+    # candidate pairs via self-merge per hash bucket: ONE vectorized
+    # Python call per bucket instead of one per (band, band_hash) LSH
+    # bucket (billions of those at web scale)
+    def emit_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["band", "band_hash", "doc_id"]].drop_duplicates()
+        m = g.merge(g, on=["band", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m[["doc_id_x", "doc_id_y"]].drop_duplicates()
+        out.columns = ["doc_a", "doc_b"]
+        return out
 
-    candidates = banded.groupby(["band", "band_hash"]).map_groups(
-        emit_pairs, batch_format="pyarrow"
+    candidates = (
+        banded.map_batches(
+            lambda b: b.append_column(
+                "bucket",
+                pa.array(
+                    (np.asarray(b.column("band_hash")) % 64).astype(np.int32)
+                ),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(emit_bucket_pairs, batch_format="pandas")
     )
     # distinct candidate pairs, then exact verification with a broadcast
     # text lookup (candidate set << corpus; texts fetched per pair batch)
@@ -347,30 +351,63 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Datase
             }
         )
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        hs = group.column("simhash").to_pylist()
-        uniq = sorted(set(zip(ids, hs)))
-        out_a, out_b, out_d = [], [], []
-        for i in range(len(uniq)):
-            for j in range(i + 1, len(uniq)):
-                d = bin((uniq[i][1] ^ uniq[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if d <= max_hamming:
-                    out_a.append(uniq[i][0])
-                    out_b.append(uniq[j][0])
-                    out_d.append(d)
-        return pa.table(
+    def emit_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized call per hash bucket (not per 16-bit LSH
+        bucket): self-merge on (band, band_val) → xor popcount → pairs.
+        Pairs sharing several bands dedupe here (drop_duplicates)."""
+        g = group[["band", "band_val", "doc_id", "simhash"]].drop_duplicates()
+        m = g.merge(g, on=["band", "band_val"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "hamming": "int32"}
+            )
+        x = np.bitwise_xor(
+            m["simhash_x"].to_numpy().astype(np.uint64),
+            m["simhash_y"].to_numpy().astype(np.uint64),
+        )
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(m), 8 * 8).sum(axis=1)
+        out = pd.DataFrame(
             {
-                "doc_a": pa.array(out_a, type=pa.int64()),
-                "doc_b": pa.array(out_b, type=pa.int64()),
-                "hamming": pa.array(out_d, type=pa.int32()),
+                "doc_a": m["doc_id_x"].to_numpy(),
+                "doc_b": m["doc_id_y"].to_numpy(),
+                "hamming": ham.astype(np.int32),
             }
         )
+        out = out[out["hamming"] <= max_hamming].drop_duplicates(["doc_a", "doc_b"])
+        return out
 
-    pairs = fps.map_batches(to_bands, batch_format="pyarrow").groupby(
-        ["band", "band_val"]
-    ).map_groups(emit, batch_format="pyarrow")
-    return pairs
+    banded = fps.map_batches(to_bands, batch_format="pyarrow")
+    # bucket on band_val only: all four band copies of a (band, band_val)
+    # posting stay together, and a pair sharing k bands appears in ≤ k
+    # buckets — cross-bucket duplicates removed below
+    bucketed = banded.map_batches(
+        lambda b: b.append_column(
+            "bucket",
+            pa.array((np.asarray(b.column("band_val")) % 64).astype(np.int32)),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = bucketed.groupby("bucket").map_groups(emit_bucket, batch_format="pandas")
+
+    def dedupe(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["doc_a", "doc_b"])
+
+    # global pair-dedup: cheap second pass keyed by pair hash
+    return (
+        pairs.map_batches(
+            lambda b: b.assign(
+                pair_bucket=((b["doc_a"] * 1_000_003 + b["doc_b"]) % 64).astype("int32")
+            ),
+            batch_format="pandas",
+        )
+        .groupby("pair_bucket")
+        .map_groups(dedupe, batch_format="pandas")
+        .map_batches(
+            lambda b: b[["doc_a", "doc_b", "hamming"]], batch_format="pandas"
+        )
+    )
 
 
 # --- embedding cosine near-dup --------------------------------------------
