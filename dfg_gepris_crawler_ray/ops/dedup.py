@@ -30,17 +30,30 @@ from ..kernels.hashing import MERSENNE61, minhash_permutations
 
 def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     """(content_md5, doc_id=min over duplicates) — hash-partition +
-    per-group first; shuffle key = content hash."""
+    per-group first. Shuffle key = a 64-way bucket of the content hash,
+    the group-min computed vectorized per bucket: one Python call per
+    bucket, not one Ray aggregate per distinct hash (millions of groups
+    at corpus scale)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
         md5s = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
-        return pa.table({"doc_id": batch.column("doc_id"), "content_md5": pa.array(md5s)})
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "content_md5": pa.array(md5s),
+                "bucket": pa.array(
+                    [int(m[:2], 16) % 64 for m in md5s], type=pa.int32()
+                ),
+            }
+        )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    from ray.data.aggregate import Min
 
-    return hashed.groupby("content_md5").aggregate(Min("doc_id", alias_name="doc_id"))
+    def bucket_min(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("content_md5", as_index=False)["doc_id"].min()
+
+    return hashed.groupby("bucket").map_groups(bucket_min, batch_format="pandas")
 
 
 # --- shingling + minhash ---------------------------------------------------

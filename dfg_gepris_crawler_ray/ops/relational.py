@@ -146,16 +146,33 @@ def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
 
 def latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
     """A1 pattern over the events stream: per user the most recent event
-    (ties broken by event_id desc, deterministic)."""
+    (ties broken by event_id desc, deterministic).
+
+    Shuffle key = 64-way user-hash bucket; the per-user top-1 computes
+    vectorized inside each bucket (sort + drop_duplicates keep-last) —
+    one Python call per bucket, not per user (millions of users at
+    stream scale). Per-batch pre-reduction first: each input batch
+    keeps one candidate row per user before the exchange."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
     )
 
-    def latest(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="stable")
-        return g.tail(1)
+    def prereduce(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.sort_values(["ts", "event_id"], kind="stable")
+        g = g.drop_duplicates("user_id", keep="last")
+        g = g.assign(bucket=(g["user_id"] % 64).astype("int32"))
+        return g
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    def bucket_latest(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="stable")
+        g = g.drop_duplicates("user_id", keep="last")
+        return g[["event_id", "ts", "user_id", "event_type", "value"]]
+
+    return (
+        ds.map_batches(prereduce, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_latest, batch_format="pandas")
+    )
 
 
 def hourly_event_stats(sf_dir: str) -> "ray.data.Dataset":
@@ -280,12 +297,22 @@ def session_windows(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
     )
 
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        # shuffle key = user-hash bucket: all of one user's events
+        # co-locate, sessionization vectorizes across the whole bucket
+        return batch.assign(bucket=(batch["user_id"] % 64).astype("int32"))
+
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts", kind="stable")
+        g = group.sort_values(["user_id", "ts"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        g = g.assign(session_no=gap.cumsum().astype("int64"))
-        out = g.groupby("session_no", as_index=False).agg(
-            user_id=("user_id", "first"),
+        boundary = new_user | gap
+        # per-user session numbering: global boundary cumsum minus each
+        # user's first-session offset
+        sess_global = boundary.cumsum()
+        first_of_user = sess_global.where(new_user).ffill()
+        g = g.assign(session_no=(sess_global - first_of_user).astype("int64"))
+        out = g.groupby(["user_id", "session_no"], as_index=False).agg(
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("ts", "size"),
@@ -294,7 +321,11 @@ def session_windows(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
         out["sum_value"] = np.round(out["sum_value"], 2)
         return out[["user_id", "session_no", "session_start", "session_end", "n_events", "sum_value"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
 
 
 def top_orders(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
