@@ -207,6 +207,77 @@ def _lifecycle_tables(sf_dir: str):
     return state, runs, history
 
 
+def _lifecycle_store_full(sf_dir: str):
+    """Extended lifecycle (own cached store): projekt search + details,
+    then person and institution details runs — exercising J7 (moved
+    persons/institutions re-check their projekts) and J8 (moved
+    sub-institutions re-check their root institution)."""
+    key = ("lifecycle_full", sf_dir)
+    if key not in _ITEMS_CACHE:
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from dfg_gepris_crawler_ray.frontier.manifests import CrawlStore
+        from dfg_gepris_crawler_ray.pipelines.runs import run_details, run_search
+
+        store = CrawlStore(tempfile.mkdtemp(prefix="gepris_lifecycle_full_"))
+        pages = _pages(sf_dir)
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        run_search(store, pages, "projekt")
+        run_details(store, pages, "projekt", ids_spec="db:all:0")
+        run_details(
+            store, pages, "person",
+            ids_spec=[1000 + d for d in range(n_docs) if d % 3 == 1],
+        )
+        run_details(
+            store, pages, "institution",
+            ids_spec=[1000 + d for d in range(n_docs) if d % 3 == 2],
+        )
+        _ITEMS_CACHE[key] = store
+    return _ITEMS_CACHE[key]
+
+
+def _q_moved_propagation(sf_dir: str):
+    """J7+J8 (database.py:163-207): after person/institution details
+    runs, entities needing re-check = successful projekts referencing a
+    moved person or institution, plus root institutions with a moved
+    sub-institution in their tree."""
+    from dfg_gepris_crawler_ray.frontier import state as S
+
+    store = _lifecycle_store_full(sf_dir)
+    state = store.load_table("state", S.empty_state())
+    flagged = state[state["detail_check_needed"].astype(bool)].sort_values("id")
+    return pa.table(
+        {
+            "id": pa.array([int(i) for i in flagged["id"]], type=pa.int64()),
+            "context": pa.array(list(flagged["context"]), type=pa.string()),
+        }
+    )
+
+
+def _q_mark_not_found(sf_dir: str):
+    """J6 (database.py:149-161): entities seen in an earlier search run
+    but missing from the latest one are flagged for re-check."""
+    from dfg_gepris_crawler_ray.frontier import state as S
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    projekt_docs = [d for d in range(n_docs) if d % 3 == 0]
+    obs1 = [(1000 + d, f'{{"id":{1000 + d}}}') for d in projekt_docs]
+    obs2 = [(1000 + d, f'{{"id":{1000 + d}}}') for d in projekt_docs if d % 2 == 0]
+    state = S.upsert_from_search(S.empty_state(), obs1, "projekt", 1)
+    state = S.mark_not_found(state, "projekt", 1)
+    # details run clears the new-key flags, so only the J6 marking of
+    # run 3 remains observable
+    state = S.upsert_from_details(state, [i for i, _ in obs1], "projekt", 2)
+    state = S.upsert_from_search(state, obs2, "projekt", 3)
+    state = S.mark_not_found(state, "projekt", 3)
+    flagged = state[state["detail_check_needed"].astype(bool)].sort_values("id")
+    return pa.table({"id": pa.array([int(i) for i in flagged["id"]], type=pa.int64())})
+
+
 def _q_latest_items(sf_dir: str):
     """A1 per-key latest + A2 error-fallback coalesce view
     (dfg-gepris.sql:48-64): success → details item; error → last search
@@ -461,6 +532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_latest_items": _q_latest_items,
         "crawl_frontier_expansion": _q_frontier_expansion,
         "crawl_history_dedup": _q_history_dedup,
+        "crawl_mark_not_found": _q_mark_not_found,
+        "crawl_moved_propagation": _q_moved_propagation,
         "crawl_person_edges": _q_person_edges,
         "crawl_institution_edges": _q_institution_edges,
         "crawl_host_budget": _q_host_budget,
@@ -677,6 +750,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'success' END AS status,
                    count(*) AS n
             FROM documents WHERE doc_id % 3 = 0 GROUP BY 1
+        """,
+        "crawl_mark_not_found": """
+            SELECT 1000 + doc_id AS id FROM documents
+            WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+        """,
+        "crawl_moved_propagation": f"""
+            WITH params AS (SELECT count(*) AS cnt FROM documents),
+            moved_p AS (SELECT 1000 + doc_id AS id FROM documents
+                        WHERE doc_id % 3 = 1 AND doc_id % 101 = 5),
+            moved_i AS (SELECT 1000 + doc_id AS id FROM documents
+                        WHERE doc_id % 3 = 2 AND doc_id % 101 = 5),
+            flagged_projekt AS (
+              SELECT DISTINCT 1000 + doc_id AS id, 'projekt' AS context
+              FROM documents, params, (VALUES (1), (2), (3), (4)) v(k)
+              WHERE doc_id % 3 = 0 AND {_OK}
+                AND 1000 + 3 * ((doc_id * 7 + k) % ((cnt + 1) // 3)) + 1
+                      IN (SELECT id FROM moved_p)
+              UNION
+              SELECT DISTINCT 1000 + doc_id, 'projekt'
+              FROM documents, params
+              WHERE doc_id % 3 = 0 AND {_OK}
+                AND 1000 + 3 * ((doc_id * 5 + 1) % (cnt // 3)) + 2
+                      IN (SELECT id FROM moved_i)
+            ),
+            flagged_roots AS (
+              SELECT DISTINCT 1000 + doc_id AS id, 'institution' AS context
+              FROM documents, params
+              WHERE doc_id % 3 = 2 AND doc_id % 2 = 0 AND {_OK}
+                AND (1000 + 3 * ((doc_id * 5 + 1) % (cnt // 3)) + 2 IN (SELECT id FROM moved_i)
+                  OR 1000 + 3 * ((doc_id * 5 + 2) % (cnt // 3)) + 2 IN (SELECT id FROM moved_i)
+                  OR 1000 + 3 * ((doc_id * 5 + 3) % (cnt // 3)) + 2 IN (SELECT id FROM moved_i))
+            )
+            SELECT id, context FROM flagged_projekt
+            UNION ALL SELECT id, context FROM flagged_roots
         """,
         "crawl_person_edges": f"""
             SELECT 1000 + 3 * ((doc_id * 7 + k) % ((cnt + 1) // 3)) + 1 AS person_id,
