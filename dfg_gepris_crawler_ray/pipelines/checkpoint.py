@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..sources.pages import annotate_pages, filter_detail_pages, read_pages
+from ..sources.pages import DETAIL_KINDS, annotate_pages, filter_detail_pages, read_pages
 from ..stages.extract_stage import extract_bucket
 
 
@@ -126,7 +126,7 @@ def run_details_sharded(
             [b for b in range(num_buckets) if b % num_shards == shard],
             type=pa.int32(),
         )
-        ds = filter_detail_pages(annotate_pages(read_pages(pages_dir), num_buckets))
+        ds = filter_detail_pages(annotate_pages(read_pages(pages_dir, kinds=DETAIL_KINDS), num_buckets))
         part = ds.map_batches(
             lambda b, vs=bucket_set: b.filter(pc.is_in(b.column("bucket"), value_set=vs)),
             batch_format="pyarrow",

@@ -24,6 +24,7 @@ import ray
 import ray.data
 
 from ..sources.pages import (
+    DETAIL_KINDS,
     annotate_pages,
     filter_detail_pages,
     read_pages,
@@ -67,7 +68,7 @@ def run_details_extraction(
 
     Returns a Dataset of item rows (stages.extract_stage.RESULT_SCHEMA).
     """
-    ds = read_pages(pages_dir)
+    ds = read_pages(pages_dir, kinds=DETAIL_KINDS)
     ds = annotate_pages(ds, num_buckets=num_buckets)
     ds = filter_detail_pages(ds)
     if frontier_keys is not None:

@@ -36,7 +36,7 @@ from ..frontier.manifests import CrawlStore, content_hash
 from ..kernels.htmlmini import parse_html
 from ..kernels.jsoncanon import dumps_canonical
 from ..frontier.politeness import apply_host_budget
-from ..sources.pages import annotate_pages, filter_detail_pages, read_pages, semi_join_frontier
+from ..sources.pages import DETAIL_KINDS, annotate_pages, filter_detail_pages, read_pages, semi_join_frontier
 from ..stages.extract_stage import extract_bucket
 from ..stages.search_stage import extract_search_batch
 
@@ -111,7 +111,7 @@ def run_details(
     frontier = plan_frontier(ids, context, host_lookup, max_per_host)
     frontier_keys = [(context, int(i)) for i in frontier["id"]]
 
-    ds = filter_detail_pages(annotate_pages(read_pages(pages_dir), num_buckets))
+    ds = filter_detail_pages(annotate_pages(read_pages(pages_dir, kinds=DETAIL_KINDS), num_buckets))
     if frontier_keys:
         import ray
 

@@ -70,10 +70,31 @@ def read_pages(
     pages_dir: str,
     columns: list[str] | None = None,
     num_blocks: int | None = None,
+    kinds: tuple[str, ...] | None = None,
 ) -> "ray.data.Dataset":
-    """Read the pages corpus with column pruning and sane block sizing."""
+    """Read the pages corpus with column pruning and sane block sizing.
+
+    ``kinds``: optional page-kind pre-filter applied at the FILE level —
+    the writer partitions listing/monitor pages into their own file
+    (``search_pages.parquet``), so a details-only consumer never reads
+    those bytes at all (prune at the read, not after it). Falls back to
+    reading everything when the layout doesn't separate kinds; the
+    downstream vectorised kind filter stays authoritative either way.
+    """
+    import glob
+    import os
+
+    paths: str | list[str] = pages_dir
+    if kinds is not None and "search" not in kinds:
+        split = [
+            p
+            for p in sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+            if os.path.basename(p) != "search_pages.parquet"
+        ]
+        if split:
+            paths = split
     return ray.data.read_parquet(
-        pages_dir,
+        paths,
         columns=columns or ["url", "warc_ts", "html"],
         override_num_blocks=num_blocks or auto_num_blocks(pages_dir),
     )
