@@ -557,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_quality": textstats.quality_scores,
         "text_lang_id": textstats.lang_id,
+        "text_approx_distinct": textstats.approx_distinct_tokens,
         "lang_histogram": _q_lang_hist,
         "media_features": lambda sf: multimodal.media_features(sf).select_columns(
             ["doc_id", "media_bytes"]

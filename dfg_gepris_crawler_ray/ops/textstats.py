@@ -86,6 +86,107 @@ def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _hll_registers(tokens_hashes: np.ndarray, p: int = 12) -> np.ndarray:
+    """HyperLogLog register array (2^p uint8) from 64-bit hashes."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if not len(tokens_hashes):
+        return regs
+    idx = (tokens_hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = tokens_hashes << np.uint64(p)
+    # rank = leading zeros of the remaining 64-p bits, +1 (capped)
+    ranks = np.zeros(len(tokens_hashes), dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    val = rest.copy()
+    rank = np.ones(len(val), dtype=np.uint8)
+    remaining = np.ones(len(val), dtype=bool)
+    for _ in range(64 - p + 1):
+        top = (val & mask) != 0
+        done = remaining & top
+        ranks[done] = rank[done]
+        remaining &= ~top
+        val = val << np.uint64(1)
+        rank += 1
+    ranks[remaining] = 64 - p + 1
+    np.maximum.at(regs, idx, ranks)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Standard HLL estimator with small-range correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return int(round(est))
+
+
+def approx_distinct_tokens(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
+    """Approximate distinct-token count per language — the sketch
+    aggregate a 100 TB text pipeline needs where exact distinct would
+    shuffle every token.
+
+    Per-batch HLL register arrays [map_batches, numpy max-merge] →
+    per-(lang, batch) register rows (4 KB each at p=12) → driver merge
+    of a handful of registers. Error ≈ 1.04/sqrt(2^p) ≈ 1.6% at p=12;
+    verified against the exact count in tests."""
+    import hashlib as _hashlib
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        by_lang: dict[str, np.ndarray] = {}
+        for lang, text in zip(batch.column("lang").to_pylist(), batch.column("text").to_pylist()):
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        _hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                    )
+                    for t in set(text.split(" "))
+                ),
+                dtype=np.uint64,
+            )
+            regs = _hll_registers(hs, p)
+            if lang in by_lang:
+                np.maximum(by_lang[lang], regs, out=by_lang[lang])
+            else:
+                by_lang[lang] = regs
+        return pa.table(
+            {
+                "lang": pa.array(list(by_lang)),
+                "registers": pa.array(
+                    [r.tobytes() for r in by_lang.values()], type=pa.binary()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    merged: dict[str, np.ndarray] = {}
+    for lang, blob in zip(partials["lang"], partials["registers"]):
+        regs = np.frombuffer(blob, dtype=np.uint8)
+        if lang in merged:
+            merged[lang] = np.maximum(merged[lang], regs)
+        else:
+            merged[lang] = regs.copy()
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(sorted(merged)),
+                "approx_distinct_tokens": pa.array(
+                    [_hll_estimate(merged[lang]) for lang in sorted(merged)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+    )
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_tokens, stopword_ratio, quality_score) — heuristic
     quality scoring (length + stopword density)."""

@@ -154,6 +154,22 @@ def test_knn_ivf_recall_vs_brute():
     assert sum(recalls) / len(recalls) >= 0.5  # 3/8 lists probed
 
 
+def test_hll_approx_distinct_within_error():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.textstats import approx_distinct_tokens
+
+    approx = approx_distinct_tokens(SF).to_pandas().set_index("lang")
+    exact = duckdb.sql(
+        f"SELECT lang, count(DISTINCT tok) AS n FROM ("
+        f"SELECT lang, unnest(string_split(text, ' ')) AS tok "
+        f"FROM read_parquet('{SF}/documents.parquet')) GROUP BY lang"
+    ).df().set_index("lang")
+    for lang in exact.index:
+        a, e = int(approx.loc[lang, "approx_distinct_tokens"]), int(exact.loc[lang, "n"])
+        assert abs(a - e) / e < 0.05, (lang, a, e)  # 1.04/sqrt(4096) ≈ 1.6%
+
+
 def test_media_resize_and_frame_sample():
     from dfg_gepris_crawler_ray.ops.multimodal import media_frame_sample, media_resize
 
