@@ -573,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_orders": lambda sf: relational.top_orders(sf, k=20),
         "rel_q3_topk_revenue": lambda sf: relational.segment_order_revenue_topk(sf),
         "rel_session_windows": relational.session_windows,
+        "rel_value_quantiles": relational.value_quantiles,
     }
 
 
@@ -945,6 +946,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
             LIMIT 10
+        """,
+        "rel_value_quantiles": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_cont(value::DOUBLE, [0.5, 0.9, 0.99]) AS vals
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type, p.q, round(p.v, 6) AS value
+            FROM q, LATERAL (
+              SELECT unnest([0.5, 0.9, 0.99]) AS q, unnest(vals) AS v
+            ) p
         """,
         "rel_session_windows": """
             WITH e AS (

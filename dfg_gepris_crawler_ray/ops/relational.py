@@ -328,6 +328,32 @@ def session_windows(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
     )
 
 
+def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)) -> "ray.data.Dataset":
+    """Exact per-event-type quantiles of ``value`` (linear
+    interpolation, matching SQL ``quantile_cont``).
+
+    Shuffle key = event_type (small cardinality; each group's values
+    co-locate, np.quantile vectorizes over the whole group). For
+    high-cardinality keys swap in the 64-way bucket pattern; for
+    corpus-scale value streams swap np.quantile for a t-digest partial
+    merge — the exact path is the oracle either way."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    qs = list(qs)
+
+    def per_type(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["value"].to_numpy(dtype=np.float64)
+        quants = np.quantile(v, qs)  # linear interpolation = quantile_cont
+        return pd.DataFrame(
+            {
+                "event_type": group["event_type"].iloc[:1].repeat(len(qs)).to_numpy(),
+                "q": qs,
+                "value": np.floor(quants * 1e6 + 0.5) / 1e6,  # half-away, 6dp
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
+
+
 def top_orders(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Global sort + limit (top-k by totalprice, orderkey tiebreak)."""
     ds = ray.data.read_parquet(

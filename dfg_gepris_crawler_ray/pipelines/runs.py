@@ -119,7 +119,11 @@ def run_details(
     items = ds.groupby("bucket").map_groups(
         lambda b: extract_bucket(b, politeness=politeness), batch_format="pyarrow"
     )
+    import time as _time
+
+    _t0 = _time.perf_counter()
     delta = items.to_pandas()
+    extract_wall_s = round(_time.perf_counter() - _t0, 3)
 
     # J3 upsert for every processed id (success AND moved/error rows all
     # call upsert_available_item(id, None, details) — pipelines.py:52-54,
@@ -168,6 +172,13 @@ def run_details(
         status_counts=status_counts,
         delta_hash=content_hash(delta, ["id", "context", "status"]),
         parent_run=run_id - 1 if run_id > 1 else None,
+        metrics=dict(
+            extract_wall_s=extract_wall_s,
+            rows=int(len(delta)),
+            rows_per_s=round(len(delta) / extract_wall_s, 1) if extract_wall_s else None,
+            pages_fetched=int(delta["pages_fetched"].sum()),
+            attempts=int(delta["attempts"].sum()),
+        ),
     )
     return dict(run_id=run_id, frontier=frontier, delta=delta,
                 manifest=manifest, **{f"n_{k}": v for k, v in status_counts.items()})
