@@ -139,6 +139,47 @@ def _q_frontier_order(sf_dir: str):
     )
 
 
+def _q_frontier_needed(sf_dir: str):
+    """J1 with only_needed (the ``db:needed:N`` cron path,
+    database.py:43-64 + scheduler_cronfile:9-18): never-checked ids
+    first, then only the detail_check_needed among the checked,
+    stalest first."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.frontier import state as S
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    projekt_docs = [d for d in range(n_docs) if d % 3 == 0]
+    obs1 = [(1000 + d, f'{{"id":{1000 + d}}}') for d in projekt_docs]
+    state = S.upsert_from_search(S.empty_state(), obs1, "projekt", 1)
+    even_ids = [1000 + d for d in projekt_docs if d % 2 == 0]
+    state = S.upsert_from_details(state, even_ids, "projekt", 2)
+    # changed items for doc_id % 4 == 0 -> detail_check_needed on the
+    # previously seen (J2 change detection)
+    obs2 = [
+        (1000 + d, f'{{"id":{1000 + d},"v":2}}' if d % 4 == 0 else f'{{"id":{1000 + d}}}')
+        for d in projekt_docs
+    ]
+    state = S.upsert_from_search(state, obs2, "projekt", 3)
+    runs = pd.DataFrame(
+        [
+            dict(id=1, spider="search_results", context="projekt", run_started_at=1,
+                 run_ended_at=None, total_scraped_items=None),
+            dict(id=2, spider="details", context="projekt", run_started_at=2,
+                 run_ended_at=None, total_scraped_items=None),
+            dict(id=3, spider="search_results", context="projekt", run_started_at=3,
+                 run_ended_at=None, total_scraped_items=None),
+        ]
+    )
+    ids = S.get_ids(state, runs, "projekt", only_needed=True)
+    return pa.table(
+        {
+            "fetch_seq": pa.array(range(len(ids)), type=pa.int64()),
+            "id": pa.array([int(i) for i in ids], type=pa.int64()),
+        }
+    )
+
+
 def _q_search_projekt(sf_dir: str):
     """Search-listing extraction (SURVEY §2.2 M19): raw German attribute
     pairs from the listing pages."""
@@ -526,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_institution_hierarchy": _q_hierarchy,
         "crawl_status_counts": _q_status_counts,
         "crawl_frontier_order": _q_frontier_order,
+        "crawl_frontier_needed": _q_frontier_needed,
         "crawl_search_projekt": _q_search_projekt,
         "crawl_search_person": _q_search_person,
         "crawl_search_institution": _q_search_institution,
@@ -558,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": textstats.quality_scores,
         "text_lang_id": textstats.lang_id,
         "text_approx_distinct": textstats.approx_distinct_tokens,
+        "text_norm_fingerprints": textstats.normalized_fingerprints,
         "lang_histogram": _q_lang_hist,
         "media_features": lambda sf: multimodal.media_features(sf).select_columns(
             ["doc_id", "media_bytes"]
@@ -710,6 +753,16 @@ def oracle_sql() -> dict[str, str]:
                    1000 + doc_id AS id,
                    {_HOST} AS host
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        "crawl_frontier_needed": """
+            WITH ordered AS (
+              SELECT 1000 + doc_id AS id,
+                     CASE WHEN doc_id % 2 = 1 THEN 0 ELSE 1 END AS grp, doc_id
+              FROM documents
+              WHERE doc_id % 3 = 0 AND (doc_id % 2 = 1 OR doc_id % 4 = 0)
+            )
+            SELECT row_number() OVER (ORDER BY grp, doc_id) - 1 AS fetch_seq, id
+            FROM ordered
         """,
         "crawl_search_projekt": f"""
             SELECT 1000 + doc_id AS id,
@@ -875,6 +928,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS content_md5 FROM documents
         """,
         "text_quality": _quality_oracle_sql(),
+        "text_norm_fingerprints": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[.,;:!?()"'']', '', 'g'), '\\s+', ' ', 'g'))) AS norm_md5
+            FROM documents
+        """,
         "lang_histogram": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
         """,

@@ -187,6 +187,42 @@ def approx_distinct_tokens(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
     )
 
 
+_PUNCT_RE = None
+_WS_RE = None
+
+
+def normalize_text(s: str) -> str:
+    """Training-pipeline canonicalization: lowercase, strip a fixed
+    punctuation set, collapse whitespace — SQL-mirrorable (lower +
+    regexp_replace) so dedup on the normalized form is oracle-checkable."""
+    global _PUNCT_RE, _WS_RE
+    import re
+
+    if _PUNCT_RE is None:
+        _PUNCT_RE = re.compile(r'[.,;:!?()"\']')
+        _WS_RE = re.compile(r"\s+")
+    s = s.lower()
+    s = _PUNCT_RE.sub("", s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def normalized_fingerprints(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, norm_md5) — content fingerprints over the normalized
+    text; the exact-dedup key that survives case/punctuation noise."""
+    import hashlib as _hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hs = [
+            _hashlib.md5(normalize_text(t).encode()).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"), "norm_md5": pa.array(hs)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_tokens, stopword_ratio, quality_score) — heuristic
     quality scoring (length + stopword density)."""
