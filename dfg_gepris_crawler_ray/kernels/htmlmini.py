@@ -138,7 +138,15 @@ class Node:
 # --- ElementTree fast path ------------------------------------------------
 
 def _from_et(el) -> Node:
-    node = Node(el.tag, dict(el.attrib))
+    # strip xmlns qualification ({uri}tag) — selectors use local names,
+    # matching the HTML parser's view
+    tag = el.tag
+    if isinstance(tag, str) and "}" in tag:
+        tag = tag.rsplit("}", 1)[1]
+    attrib = {
+        (k.rsplit("}", 1)[1] if "}" in k else k): v for k, v in el.attrib.items()
+    }
+    node = Node(tag, attrib)
     if el.text:
         node.children.append(el.text)
     for child in el:
@@ -180,12 +188,54 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
+import re as _re
+
+_VOID_OPEN_RE = _re.compile(
+    r"<(meta|link|br|img|input|hr|col|area|base|embed|source|track|wbr|param)"
+    r"(\s[^<>]*?)?\s*(?<!/)>",
+    _re.IGNORECASE,
+)
+_VOID_CLOSE_RE = _re.compile(
+    r"</(meta|link|br|img|input|hr|col|area|base|embed|source|track|wbr|param)\s*>",
+    _re.IGNORECASE,
+)
+_SCRIPT_RE = _re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", _re.IGNORECASE | _re.DOTALL)
+_ENTITY_RE = _re.compile(r"&([a-zA-Z][a-zA-Z0-9]{1,31});")
+_BARE_AMP_RE = _re.compile(r"&(?!(?:[a-zA-Z][a-zA-Z0-9]{1,31}|#\d{1,7}|#x[0-9a-fA-F]{1,6});)")
+_XML_ENTITIES = frozenset(("amp", "lt", "gt", "quot", "apos"))
+
+
+def _repair_for_xml(text: str) -> str:
+    """Best-effort rewrite of common HTML-isms into well-formed XML so
+    the C expat parser can take real-web pages (the fast path). Applied
+    only when raw expat fails; pages it can't fix fall through to the
+    permissive pure-Python parser. Extraction equivalence between the
+    two paths is pinned by tests over the real golden fixtures."""
+    from html.entities import html5
+
+    text = _SCRIPT_RE.sub("", text)  # raw JS/CSS is not XML; never extracted
+    text = _VOID_CLOSE_RE.sub("", text)
+    text = _VOID_OPEN_RE.sub(lambda m: f"<{m.group(1)}{m.group(2) or ''}/>", text)
+
+    def entity(m):
+        name = m.group(1)
+        if name in _XML_ENTITIES:
+            return m.group(0)
+        ch = html5.get(name + ";")
+        return ch if ch is not None else m.group(0)
+
+    text = _ENTITY_RE.sub(entity, text)
+    return _BARE_AMP_RE.sub("&amp;", text)
+
+
 def parse_html(data: bytes | str) -> Node:
     """Parse a page into a :class:`Node` tree (root = document element).
 
-    Tries the C expat parser first (fast; requires well-formed markup,
-    which our generated corpus satisfies), then falls back to the
-    permissive ``html.parser`` tree builder for real-world tag soup.
+    Three-step ladder: C expat on the raw markup (XHTML-ish corpora) →
+    expat on a regex-repaired copy (most real-web pages: unclosed void
+    tags, HTML entities, script blocks) → the permissive pure-Python
+    ``html.parser`` tree builder (arbitrary tag soup). All paths build
+    the same Node model; equivalence on real pages is golden-tested.
     """
     if isinstance(data, bytes):
         text = data.decode("utf-8", errors="replace")
@@ -199,11 +249,16 @@ def parse_html(data: bytes | str) -> Node:
     try:
         return _from_et(ET.fromstring(stripped))
     except ET.ParseError:
-        builder = _TreeBuilder()
-        builder.feed(text)
-        builder.close()
-        # unwrap the #document node when it has a single element child
-        elems = builder.root.child_elems()
-        if len(elems) == 1:
-            return elems[0]
-        return builder.root
+        pass
+    try:
+        return _from_et(ET.fromstring(_repair_for_xml(stripped)))
+    except ET.ParseError:
+        pass
+    builder = _TreeBuilder()
+    builder.feed(text)
+    builder.close()
+    # unwrap the #document node when it has a single element child
+    elems = builder.root.child_elems()
+    if len(elems) == 1:
+        return elems[0]
+    return builder.root

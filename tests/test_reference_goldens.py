@@ -365,6 +365,58 @@ def test_institution_hierarchy_sql_golden():
     assert rows == [(1, None, 1), (2, 1, 1), (3, 1, 1), (4, 3, 1), (5, 3, 1), (6, 1, 1)]
 
 
+def test_parser_paths_agree_on_real_pages():
+    """The repaired-expat fast path and the permissive fallback must
+    yield identical extraction results on every real fixture (the
+    contract that lets parse_html pick whichever path works)."""
+    import glob
+    import json
+
+    from dfg_gepris_crawler_ray.kernels import htmlmini as H
+    from dfg_gepris_crawler_ray.kernels.jsoncanon import dumps_canonical
+
+    def fallback_root(text):
+        b = H._TreeBuilder()
+        b.feed(text)
+        b.close()
+        elems = b.root.child_elems()
+        return elems[0] if len(elems) == 1 else b.root
+
+    def shape(node):
+        """Extraction-relevant projection: tags, class/id/href/title
+        attrs, cleaned text — script/style excluded (the fast path
+        drops their bodies)."""
+        from dfg_gepris_crawler_ray.kernels.strings import clean_string
+
+        if node.tag in ("script", "style"):
+            return None
+        out = {
+            "tag": node.tag,
+            "attrs": {
+                k: v
+                for k, v in sorted(node.attrib.items())
+                if k in ("class", "id", "href", "title", "data-result-count")
+            },
+            "children": [],
+        }
+        for c in node.children:
+            if isinstance(c, str):
+                t = clean_string(c)
+                if t:
+                    out["children"].append(t)
+            else:
+                s = shape(c)
+                if s is not None:
+                    out["children"].append(s)
+        return out
+
+    for f in sorted(glob.glob(os.path.join(FIX, "*", "*.html"))):
+        data = open(f, "rb").read().decode("utf-8", errors="replace")
+        fast = H.parse_html(data)
+        slow = fallback_root(data)
+        assert dumps_canonical(shape(fast)) == dumps_canonical(shape(slow)), f
+
+
 def test_structure_validator_goldens():
     """test_middlewares.py:11-34: the V1 structure check fails on the
     one known-broken fixture and passes on good de/en pages."""
