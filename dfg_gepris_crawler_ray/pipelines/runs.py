@@ -111,18 +111,27 @@ def run_details(
     frontier = plan_frontier(ids, context, host_lookup, max_per_host)
     frontier_keys = [(context, int(i)) for i in frontier["id"]]
 
-    ds = filter_detail_pages(annotate_pages(read_pages(pages_dir, kinds=DETAIL_KINDS), num_buckets))
-    if frontier_keys:
-        import ray
-
-        ds = semi_join_frontier(ds, ray.put(set(frontier_keys)))
-    items = ds.groupby("bucket").map_groups(
-        lambda b: extract_bucket(b, politeness=politeness), batch_format="pyarrow"
-    )
     import time as _time
 
     _t0 = _time.perf_counter()
-    delta = items.to_pandas()
+    if frontier_keys:
+        import ray
+
+        ds = filter_detail_pages(
+            annotate_pages(read_pages(pages_dir, kinds=DETAIL_KINDS), num_buckets)
+        )
+        ds = semi_join_frontier(ds, ray.put(set(frontier_keys)))
+        items = ds.groupby("bucket").map_groups(
+            lambda b: extract_bucket(b, politeness=politeness), batch_format="pyarrow"
+        )
+        delta = items.to_pandas()
+    else:
+        # empty frontier crawls nothing (reference: no ids → the spider
+        # issues no requests, spiders/details.py:53-57)
+        delta = pd.DataFrame(
+            columns=["id", "context", "status", "item", "error_kind",
+                     "host", "attempts", "pages_fetched"]
+        )
     extract_wall_s = round(_time.perf_counter() - _t0, 3)
 
     # J3 upsert for every processed id (success AND moved/error rows all
