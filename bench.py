@@ -117,9 +117,15 @@ def main():
 
     timed("dedup_exact", lambda: dedup.exact_dedup(SF_DIR).materialize())
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_dedup(SF_DIR).materialize())
+    timed("dedup_ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(SF_DIR).materialize())
     timed("knn_brute", lambda: similarity.knn_brute(SF_DIR))
     timed("text_token_stats", lambda: textstats.token_stats(SF_DIR).materialize())
     timed("rel_pricing_summary", lambda: relational.pricing_summary(SF_DIR).materialize())
+    timed("rel_session_windows", lambda: relational.session_windows(SF_DIR).materialize())
+
+    from dfg_gepris_crawler_ray.frontier.seen import unique_entities_by_context
+
+    timed("crawl_url_seen", lambda: unique_entities_by_context(pages_dir).materialize())
 
     headline = timings["crawl_details"]
     result = {

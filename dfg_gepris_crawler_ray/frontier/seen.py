@@ -40,12 +40,17 @@ class SeenShard:
             raise ValueError(f"unknown seen-filter mode {mode!r}")
 
     def _positions(self, hashes: np.ndarray) -> np.ndarray:
-        # k derived hash positions via multiply-shift re-mixing
+        # Kirsch–Mitzenmacher double hashing from the two independent
+        # 32-bit halves: pos_i = (h_hi + i*h_lo) mod nbits. A multiply-
+        # chain re-mix of the full hash is a BIJECTION on the low bits,
+        # which makes every position a function of pos_0 alone and the
+        # k hashes add no information (measured 10x the theoretical FP
+        # rate). Requires nbits < 2^32 per shard — shard more instead.
+        h1 = hashes >> np.uint64(32)
+        h2 = (hashes & np.uint64(0xFFFFFFFF)) | np.uint64(1)
         out = np.empty((self.k, len(hashes)), dtype=np.uint64)
-        h = hashes.copy()
         for i in range(self.k):
-            h = (h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(i + 1))
-            out[i] = h % np.uint64(self.nbits)
+            out[i] = (h1 + np.uint64(i) * h2) % np.uint64(self.nbits)
         return out
 
     def add(self, hashes: np.ndarray) -> np.ndarray:

@@ -60,6 +60,21 @@ def test_seen_filter_bloom_no_false_negatives(ray_session):
     assert fp_rate < 0.05  # 65k bits / 250 keys per shard → tiny fp rate
 
 
+def test_seen_filter_bloom_fp_rate_at_design_load(ray_session):
+    """At the designed ~10 bits/key load (the 10^10-key sizing in
+    frontier/seen.py) the measured false-positive rate stays near the
+    theoretical ~1% for k=3."""
+    n_keys = 200_000
+    f = SeenFilter(num_shards=4, mode="bloom", bloom_bits=1 << 19)  # ≈10.5 bits/key
+    keys = [f"k/{i}" for i in range(n_keys)]
+    for start in range(0, n_keys, 50_000):
+        f.add(keys[start : start + 50_000])
+    assert f.contains(keys[:50_000]).all()  # never false-negative
+    fresh = [f"x/{i}" for i in range(50_000)]
+    fp_rate = f.contains(fresh).mean()
+    assert fp_rate < 0.03, fp_rate
+
+
 def test_politeness_accounting_and_robots(ray_session):
     gate = PolitenessGate(
         num_shards=2,
