@@ -59,12 +59,30 @@ def key_hash(context: str, element_id: int) -> int:
     return stable_hash64(f"{context}/{element_id}")
 
 
-def minhash_permutations(num_perm: int, seed: int = 42):
-    """(a, b) arrays for ``h_i(x) = (a_i * x + b_i) mod p`` MinHash."""
+def splitmix64(z: np.ndarray) -> np.ndarray:
+    """SplitMix64 avalanche finalizer — a bijective uint64 scrambler
+    (wraparound intended; every step is invertible)."""
+    z = z.copy()
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def minhash_permutations(num_perm: int, seed: int = 42) -> np.ndarray:
+    """Per-permutation XOR seeds for scrambler MinHash:
+    ``h_i(x) = splitmix64(x ^ seed_i)``.
+
+    The textbook affine family ``(a*x+b) mod p`` needs 128-bit products
+    to stay a permutation; in uint64 either the multiply wraps mod 2^64
+    (voiding universality) or, with operands shrunk to fit, the map
+    becomes near-monotonic and the min-estimator collapses (measured
+    4x bias both ways). A seeded bijective scrambler is order-free,
+    overflow-safe, and measured unbiased."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE61, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE61, size=num_perm, dtype=np.uint64)
-    return a, b
+    return rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
 
 
 MERSENNE61 = _MERSENNE61

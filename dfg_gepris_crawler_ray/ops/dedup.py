@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..kernels.hashing import MERSENNE61, minhash_permutations
+from ..kernels.hashing import minhash_permutations, splitmix64
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -78,13 +78,14 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(acc)
 
 
-def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minima of universal hashes over the shingle set."""
+def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """num_perm minima of scrambler hashes over the shingle set
+    (``splitmix64(x ^ seed_i)`` — see kernels.hashing.minhash_permutations
+    for why not the affine-mod-p family)."""
     if len(shingles) == 0:
-        return np.full(len(a), np.uint64(MERSENNE61))
+        return np.full(len(seeds), np.uint64(0xFFFFFFFFFFFFFFFF))
     # (num_perm, n_shingles) via broadcasting, min over shingles
-    prods = (shingles[None, :] * a[:, None] + b[:, None]) % np.uint64(MERSENNE61)
-    return prods.min(axis=1)
+    return splitmix64(shingles[None, :] ^ seeds[:, None]).min(axis=1)
 
 
 def jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
@@ -108,7 +109,7 @@ def minhash_lsh_dedup(
     group task (re-shingling only the candidates).
     """
     rows_per_band = num_perm // bands
-    a, b = minhash_permutations(num_perm)
+    seeds = minhash_permutations(num_perm)
     docs_path = f"{sf_dir}/documents.parquet"
     ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
 
@@ -117,7 +118,7 @@ def minhash_lsh_dedup(
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            sig = minhash_signature(shingle_hashes(text, shingle_k), a, b)
+            sig = minhash_signature(shingle_hashes(text, shingle_k), seeds)
             for band in range(bands):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
