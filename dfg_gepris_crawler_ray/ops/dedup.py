@@ -217,8 +217,9 @@ def ngram_jaccard_pairs(
     (``den*inter >= num*union``; ``inter*1_000_000 // union``) so the
     DuckDB oracle reproduces values bit-for-bit.
 
-    Exact set-similarity join via the inverted index itself — no
-    re-shingling verify pass:
+    Exact set-similarity join via the inverted index itself — the
+    classic prefix/inverted-index family (cf. "Distributed Streaming
+    Set Similarity Join", ICDE 2020) — no re-shingling verify pass:
 
     1. doc → distinct gram hashes [map_batches], partitioned by
        ``gram_hash % 64`` (the ONE shuffle key; a gram's postings all
