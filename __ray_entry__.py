@@ -906,6 +906,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, inter * 1000000 // uni AS jaccard_ppm
             FROM p WHERE uni > 0 AND 2 * inter >= uni
         """,
+        "dedup_embedding_pairs": """
+            WITH p AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, round(cos, 6) AS cosine
+            FROM p WHERE cos >= 0.35
+        """,
         "knn_brute": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
             s AS (SELECT q.query_id, e.vec_id AS neighbor_id,

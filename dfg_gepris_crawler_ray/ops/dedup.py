@@ -427,25 +427,78 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Datase
 
 # --- embedding cosine near-dup --------------------------------------------
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.95) -> "ray.data.Dataset":
-    """Pairs with cosine ≥ threshold; bucketed by ``label`` (the natural
-    cluster key) so the pairwise scan is per-bucket, not global."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+def embedding_neardup_pairs(
+    sf_dir: str, threshold: float = 0.95, mode: str = "exact"
+) -> "ray.data.Dataset":
+    """Pairs with cosine ≥ threshold.
 
-    def per_label(group) -> pa.Table:
-        ids = np.asarray(group["vec_id"])
-        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in group["embedding"]])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        normed = mat / np.clip(norms, 1e-12, None)
-        sims = normed @ normed.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = sims[ia, ib] >= threshold
+    - ``mode="exact"`` (default): chunked brute force — the normalized
+      matrix broadcasts once (``ray.put``), each task owns a row range
+      and matmuls it against the whole matrix, emitting its upper-
+      triangle hits. O(N²/P) per task, exact (oracle-checkable). Right
+      up to ~10^6 vectors per broadcast shard; beyond that, shard the
+      matrix and run the block-pair grid.
+    - ``mode="bucketed"``: per-``label`` pairwise scan — cheap but only
+      finds within-bucket pairs (measured: misses ~90% of true pairs
+      at threshold 0.35 on the synthetic table, where labels don't
+      align with the similarity structure; sound only when the bucket
+      key provably co-locates near-dups).
+    """
+    if mode == "bucketed":
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+        def per_label(group) -> pa.Table:
+            ids = np.asarray(group["vec_id"])
+            mat = np.asarray([np.asarray(e, dtype=np.float64) for e in group["embedding"]])
+            normed = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+            sims = normed @ normed.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            mask = sims[ia, ib] >= threshold
+            return pa.table(
+                {
+                    "vec_a": pa.array(np.minimum(ids[ia[mask]], ids[ib[mask]]), type=pa.int64()),
+                    "vec_b": pa.array(np.maximum(ids[ia[mask]], ids[ib[mask]]), type=pa.int64()),
+                    "cosine": pa.array(np.floor(sims[ia, ib][mask] * 1e6 + 0.5) / 1e6),
+                }
+            )
+
+        return ds.groupby("label").map_groups(per_label, batch_format="numpy")
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.asarray(
+        [np.asarray(e, dtype=np.float64) for e in tbl.column("embedding").to_pylist()]
+    )[order]
+    mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    mat_ref = ray.put((ids, mat))
+    n = len(ids)
+    chunk = 1024
+
+    def row_range(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(mat_ref)
+        out_a, out_b, out_c = [], [], []
+        for lo in batch.column("lo").to_pylist():
+            hi = min(lo + chunk, n)
+            sims = all_mat[lo:hi] @ all_mat.T  # (rows, n)
+            for r in range(hi - lo):
+                row = sims[r]
+                cols = np.nonzero(row[lo + r + 1 :] >= threshold)[0] + lo + r + 1
+                out_a.extend([int(all_ids[lo + r])] * len(cols))
+                out_b.extend(all_ids[cols].tolist())
+                out_c.extend(np.floor(row[cols] * 1e6 + 0.5).astype(np.int64).tolist())
         return pa.table(
             {
-                "vec_a": pa.array(np.minimum(ids[ia[mask]], ids[ib[mask]]), type=pa.int64()),
-                "vec_b": pa.array(np.maximum(ids[ia[mask]], ids[ib[mask]]), type=pa.int64()),
-                "cosine": pa.array(np.round(sims[ia, ib][mask], 6)),
+                "vec_a": pa.array(out_a, type=pa.int64()),
+                "vec_b": pa.array(out_b, type=pa.int64()),
+                "cosine": pa.array(np.asarray(out_c, dtype=np.float64) / 1e6),
             }
         )
 
-    return ds.groupby("label").map_groups(per_label, batch_format="numpy")
+    los = ray.data.from_arrow(
+        pa.table({"lo": pa.array(list(range(0, n, chunk)), type=pa.int64())})
+    )
+    return los.map_batches(row_range, batch_format="pyarrow", batch_size=1)

@@ -295,10 +295,31 @@ def test_session_windows_match_duckdb():
     assert mine["sum_value"].tolist() == [float(v) for v in want["sum_value"]]
 
 
-def test_embedding_neardup_bucketed():
+def test_embedding_neardup_exact_matches_bruteforce():
+    import pyarrow.parquet as pq
+
     from dfg_gepris_crawler_ray.ops.dedup import embedding_neardup_pairs
 
     df = embedding_neardup_pairs(SF, threshold=0.3).to_pandas()
     assert set(df.columns) == {"vec_a", "vec_b", "cosine"}
     assert (df["vec_a"] < df["vec_b"]).all() if len(df) else True
     assert (df["cosine"] >= 0.3).all() if len(df) else True
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pylist()
+    ids = np.array([r["vec_id"] for r in t])
+    mat = np.array([r["embedding"] for r in t], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    mask = sims[ia, ib] >= 0.3
+    truth = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[ia[mask]].tolist(), ids[ib[mask]].tolist())
+    }
+    got = set(zip(df["vec_a"].astype(int), df["vec_b"].astype(int)))
+    assert got == truth  # exact mode finds every pair, nothing else
+
+    # bucketed mode: within-label subset only (the documented fast path)
+    bucketed = embedding_neardup_pairs(SF, threshold=0.3, mode="bucketed").to_pandas()
+    got_b = set(zip(bucketed["vec_a"].astype(int), bucketed["vec_b"].astype(int)))
+    assert got_b <= truth
