@@ -100,12 +100,27 @@ def test_simhash_banding_no_false_negatives_within_hamming3():
     assert any(a == b for a, b in zip(bands1, bands2))
 
 
-def test_simhash_pairs_pipeline_runs():
-    from dfg_gepris_crawler_ray.ops.dedup import simhash_neardup_pairs
+def test_simhash_pairs_exact_within_hamming3():
+    """4 bands × 16 bits guarantee: every pair within hamming ≤ 3
+    shares a band, so the op's output EXACTLY equals the brute-force
+    hamming-≤3 pair set."""
+    import itertools
+
+    from dfg_gepris_crawler_ray.ops.dedup import simhash_fingerprints, simhash_neardup_pairs
 
     df = simhash_neardup_pairs(SF).to_pandas()
     assert set(df.columns) == {"doc_a", "doc_b", "hamming"}
-    assert (df["hamming"] <= 3).all() if len(df) else True
+    got = set(zip(df["doc_a"].astype(int), df["doc_b"].astype(int)))
+
+    fps = simhash_fingerprints(SF).to_pandas()
+    h = dict(zip(fps["doc_id"].astype(int), fps["simhash"].astype(np.int64)))
+    truth = set()
+    for a, b in itertools.combinations(sorted(h), 2):
+        d = bin((int(h[a]) ^ int(h[b])) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if d <= 3:
+            truth.add((a, b))
+    assert got == truth
+    assert len(truth) > 0  # the corpus contains near-identical docs
 
 
 def test_knn_brute_matches_numpy_reference():
