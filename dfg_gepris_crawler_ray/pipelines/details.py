@@ -57,11 +57,14 @@ def run_details_extraction(
     ``mode``:
 
     - ``"clustered"`` (default): shuffle-free chain assembly per block
-      with boundary repair — correct whenever all page variants of an
+      with boundary repair — optimal when all page variants of an
       entity are contiguous in the corpus (the layout a fetch layer /
-      our generator produces). Only the ≤2-entities-per-block boundary
-      rows go through a keyed shuffle. A non-clustered corpus degrades
-      to explicit ``missing_page`` error rows, never wrong items.
+      our generator produces): only the ≤2-entities-per-block boundary
+      rows leave their block. Entities a non-clustered layout splits
+      across block interiors are detected from the result rows and
+      re-extracted through the keyed path, so the mode is CORRECT on
+      any layout and merely loses its speed edge on a shuffled one
+      (tests/test_clustered_degradation.py).
     - ``"shuffle"``: the general path — one all-to-all exchange keyed
       by the hashed canonical entity key (``bucket``); correct for any
       corpus layout.
@@ -88,6 +91,53 @@ def run_details_extraction(
         zero_copy_batch=True,
     ).materialize()  # branch point: done rows + pending boundary rows
 
+    # Safety net for non-clustered layouts: an entity whose pages are
+    # split across block INTERIORS yields one (partial) done row per
+    # block. Detect such keys from the small result rows — >1 done row,
+    # or done and pending rows mixed — and re-extract exactly those via
+    # the keyed path. A properly clustered corpus has none, so this
+    # costs one tiny column scan and nothing else.
+    import pyarrow as pa
+
+    status_df = combined.map_batches(
+        lambda b: b.select(["id", "context", "status"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    is_pending = status_df["status"] == PENDING_STATUS
+    done_keys = list(zip(status_df.loc[~is_pending, "context"], status_df.loc[~is_pending, "id"]))
+    pend_keys = set(zip(status_df.loc[is_pending, "context"], status_df.loc[is_pending, "id"]))
+    from collections import Counter
+
+    done_counts = Counter(done_keys)
+    redo_keys = {k for k, c in done_counts.items() if c > 1}
+    redo_keys |= set(done_counts) & pend_keys
+
+    if redo_keys:
+        redo_ref = ray.put(redo_keys)
+
+        def drop_redo(b: pa.Table) -> pa.Table:
+            redo = ray.get(redo_ref)
+            keep = [
+                (c, i) not in redo
+                for c, i in zip(b.column("context").to_pylist(), b.column("id").to_pylist())
+            ]
+            return b.filter(pa.array(keep))
+
+        combined = combined.map_batches(
+            drop_redo, batch_format="pyarrow", zero_copy_batch=True
+        )
+        redone = run_details_extraction(
+            pages_dir,
+            frontier_keys=redo_keys,
+            num_buckets=num_buckets,
+            strict=strict,
+            politeness=politeness,
+            mode="shuffle",
+        )
+    else:
+        redone = None
+
     done = combined.map_batches(
         lambda b: b.filter(
             pc.invert(pc.equal(b.column("status"), PENDING_STATUS))
@@ -95,12 +145,12 @@ def run_details_extraction(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # boundary repair: O(2 entities per block) rows — small by
-    # construction. Filter them out distributed, collect the tiny
-    # remainder to the driver, assemble locally (a full shuffle operator
-    # for a few hundred rows costs more than it moves).
-    import pyarrow as pa
-
+    if redone is not None:
+        done = done.union(redone)
+    # boundary repair: all-pending entities carry their pages in the
+    # pending rows (possibly from several blocks); collect the tiny
+    # remainder to the driver and assemble locally (a full shuffle
+    # operator for a few hundred rows costs more than it moves).
     pending_rows = combined.map_batches(
         lambda b: b.filter(pc.equal(b.column("status"), PENDING_STATUS)),
         batch_format="pyarrow",
