@@ -27,6 +27,45 @@ def _items(ds: "ray.data.Dataset", context: str) -> "ray.data.Dataset":
     )
 
 
+def latest_detail_items_ds(
+    history: "ray.data.Dataset", run_started: dict[int, object], num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """A1 at state scale: per (id, context) the row of the most recent
+    run — the distributed form of ``frontier.state.latest_detail_items``
+    (which is pandas on the driver, right up to ~10^6 keys).
+
+    Shuffle key = 64-way hash bucket of the entity key; the per-key
+    top-1 computes vectorized inside each bucket. ``run_started`` (the
+    tiny runs ledger) broadcasts via closure. Per-batch pre-reduction
+    keeps one candidate row per key before the exchange."""
+    import pandas as pd
+
+    from ..kernels.hashing import stable_hash64
+
+    def order(df: pd.DataFrame) -> pd.DataFrame:
+        started = df["created_at"].map(run_started)
+        return (
+            df.assign(_started=started)
+            .sort_values(["_started", "created_at"], kind="stable")
+            .drop_duplicates(subset=["id", "context"], keep="last")
+        )
+
+    def prereduce(batch: pd.DataFrame) -> pd.DataFrame:
+        g = order(batch)
+        key = [f"{c}/{i}" for c, i in zip(g["context"], g["id"])]
+        g = g.assign(bucket=[stable_hash64(k) % num_buckets for k in key])
+        return g.drop(columns=["_started"])
+
+    def bucket_latest(group: pd.DataFrame) -> pd.DataFrame:
+        return order(group).drop(columns=["_started", "bucket"])
+
+    return (
+        history.map_batches(prereduce, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_latest, batch_format="pandas")
+    )
+
+
 def projekt_core(items: "ray.data.Dataset") -> "ray.data.Dataset":
     """dfg-gepris.sql:292-339 (create_projekte_from_items) core columns."""
 

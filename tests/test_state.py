@@ -203,6 +203,40 @@ def test_history_dedup_on_append():
     assert len(h) == 2
 
 
+def test_latest_detail_items_distributed_matches_pandas(ray_session):
+    """The 64-bucket distributed A1 equals the driver-side pandas A1."""
+    import ray.data
+
+    from dfg_gepris_crawler_ray.frontier import state as S
+    from dfg_gepris_crawler_ray.pipelines.derive import latest_detail_items_ds
+
+    history = S.empty_history()
+    runs = S.empty_runs()
+    for run in (1, 2, 3):
+        runs, run_id = S.store_run(runs, "details", "projekt", run)
+        history = S.insert_detail_items(
+            history,
+            runs,
+            [
+                dict(id=i, context="projekt", created_at=run_id,
+                     item=f'{{"id":{i},"v":{run if i % 2 == 0 else 1}}}',
+                     status="success")
+                for i in range(50)
+            ],
+        )
+    want = S.latest_detail_items(history, runs).sort_values(["id", "context"]).reset_index(drop=True)
+    run_started = dict(zip(runs["id"], runs["run_started_at"]))
+    got = (
+        latest_detail_items_ds(ray.data.from_pandas(history), run_started, num_buckets=8)
+        .to_pandas()
+        .sort_values(["id", "context"])
+        .reset_index(drop=True)
+    )
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["created_at"].tolist() == want["created_at"].tolist()
+    assert got["item"].tolist() == want["item"].tolist()
+
+
 def test_latest_views_and_hierarchy():
     # A1/A2 (dfg-gepris.sql:48-64) + J10 golden tree from test_init_sql.py:51-87
     runs = _runs((1, "details", "institution", 10), (2, "details", "institution", 20))
