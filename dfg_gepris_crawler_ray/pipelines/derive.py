@@ -153,6 +153,64 @@ def reference_edges(items: "ray.data.Dataset", field: str) -> "ray.data.Dataset"
     return _items(items, "projekt").map_batches(fn, batch_format="pyarrow")
 
 
+def all_reference_edges(items: "ray.data.Dataset", kind: str = "person") -> "ray.data.Dataset":
+    """J9 full view, distributed: unnest EVERY person- (or institution-)
+    reference array of the projekt items into
+    (entity_id, projekt_id, reference_type) rows — the Dataset form of
+    ``frontier.state.person/institution_projekt_references``
+    (dfg-gepris.sql:99-115), for item volumes beyond the driver."""
+    from ..normalise.attribute_maps import INSTITUTIONEN_REFERENCES, PERSONEN_REFERENCES
+
+    fields = PERSONEN_REFERENCES if kind == "person" else INSTITUTIONEN_REFERENCES
+    id_col = f"{kind}_id"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        eids, pids, types = [], [], []
+        for s in batch.column("item").to_pylist():
+            r = json.loads(s)
+            attrs = r.get("attributes", {})
+            for field in fields:
+                for eid in attrs.get(field, []):
+                    eids.append(int(eid))
+                    pids.append(r["id"])
+                    types.append(field)
+        return pa.table(
+            {
+                id_col: pa.array(eids, type=pa.int64()),
+                "projekt_id": pa.array(pids, type=pa.int64()),
+                "reference_type": pa.array(types, type=pa.string()),
+            }
+        )
+
+    return _items(items, "projekt").map_batches(fn, batch_format="pyarrow")
+
+
+def expand_person_frontier_ds(items: "ray.data.Dataset", seen_filter) -> "ray.data.Dataset":
+    """J5 at frontier scale: distinct person ids referenced by this
+    run's projekt items, EXCEPT persons already known — the anti-join
+    running against the sharded URL-seen actor pool instead of a
+    driver-side set (database.py:118-147 re-expressed; the north-star
+    frontier-expansion path).
+
+    ``seen_filter.add`` marks the survivors seen as a side effect —
+    exactly the reference's insert-new-frontier-entries semantics."""
+    from ray.data.aggregate import Count
+
+    edges = all_reference_edges(items, "person")
+    # distinct referenced ids first (pre-aggregate shrinks the actor
+    # round-trips to one per distinct id, not one per edge)
+    distinct = edges.groupby("person_id").aggregate(Count(alias_name="n"))
+
+    def novel_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column("person_id").to_pylist()
+        new = seen_filter.add([f"person/{i}" for i in ids])
+        return pa.table(
+            {"person_id": pa.array([i for i, keep in zip(ids, new) if keep], type=pa.int64())}
+        )
+
+    return distinct.map_batches(novel_only, batch_format="pyarrow")
+
+
 def hierarchy_rows(items: "ray.data.Dataset") -> "ray.data.Dataset":
     """J10 flat-map: (id, parent_id, root_id) closure rows per
     institution tree (row-local; dfg-gepris.sql:117-141)."""
