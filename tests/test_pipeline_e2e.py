@@ -90,6 +90,33 @@ def test_institution_item_matches_formulas(items_df):
     }
 
 
+def test_replicated_bench_corpus_is_valid(ray_session):
+    """The bench's tiled corpus (GRAFT_REPLICATE) must satisfy the same
+    closed-form formulas at the effective doc ids — otherwise the
+    headline throughput would measure wrong work."""
+    import json
+
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    n = 1500  # 500 docs x replicate 3
+    items = run_details_extraction(
+        ensure_pages(SF_DIR, replicate=3), num_buckets=16
+    ).to_pandas()
+    assert len(items) == n
+    counts = items["status"].value_counts().to_dict()
+    assert counts.get("moved", 0) == sum(1 for d in range(n) if d % 101 == 5)
+    assert counts.get("error", 0) == sum(
+        1 for d in range(n) if d % 101 != 5 and d % 103 == 7
+    )
+    d = 1200  # replica 2 of base doc 200 — formulas use the effective id
+    item = json.loads(items[items["id"] == 1000 + d].iloc[0]["item"])
+    assert item["name_de"] == f"Projekt {d}"
+    assert item["attributes"]["antragsteller_personen"] == [
+        1000 + 3 * ((d * 7 + 1) % ((n + 1) // 3)) + 1
+    ]
+
+
 def test_frontier_semi_join_limits_output(pages_dir):
     from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
 
