@@ -97,6 +97,38 @@ def test_html_parser_tag_soup(s):
     list(root.iter_elems())
 
 
+@given(
+    st.integers(min_value=0, max_value=2**31),
+    st.sampled_from(["projekt", "person", "institution"]),
+    st.sampled_from(["de", "en"]),
+    st.sampled_from(["gepris.example.org", "host3.example.net", "a-b.c.example"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_url_roundtrip(entity_id, context, language, host):
+    """M8 frontier key function: build → parse is the identity on
+    (kind, context, id, language, host)."""
+    from dfg_gepris_crawler_ray.kernels import urls as U
+
+    info = U.parse_page_url(U.details_page_url(entity_id, context, language, host))
+    assert info["kind"] == "details"
+    assert info["context"] == context
+    assert info["id"] == entity_id
+    assert info["language"] == language
+    assert info["host"] == host
+    if context == "projekt":
+        rinfo = U.parse_page_url(U.result_page_url(entity_id, context, language, host))
+        assert rinfo["kind"] == "result" and rinfo["id"] == entity_id
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_url_parser_never_crashes(junk):
+    from dfg_gepris_crawler_ray.kernels import urls as U
+
+    info = U.parse_page_url("https://example.org/" + junk.replace("\n", ""))
+    assert "kind" in info and "id" in info
+
+
 @given(st.lists(st.tuples(st.sampled_from("abcd"), st.integers(0, 5)), max_size=30))
 @settings(max_examples=100, deadline=None)
 def test_host_budget_invariants(rows):
