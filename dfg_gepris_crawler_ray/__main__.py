@@ -47,6 +47,10 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-per-host", type=int, default=None)
     sp.add_argument("--feed", default=None,
                     help="JSON feed export path (file.json → array, dir → JSONL)")
+    sp.add_argument("--min-delay-ms", type=float, default=0.0,
+                    help="per-host politeness delay (token bucket)")
+    sp.add_argument("--robots", default=None,
+                    help="JSON file mapping host → robots.txt body")
 
     sp = sub.add_parser("monitor", help="data_monitor run")
     common(sp)
@@ -82,8 +86,16 @@ def main(argv=None) -> int:
             print(json.dumps(dict(run_id=out["run_id"], items=len(out["items"]),
                                   duplicate_ids=out["duplicate_ids"])))
         elif args.command == "details":
+            from dfg_gepris_crawler_ray.config import CrawlerConfig
+
+            robots = {}
+            if args.robots:
+                with open(args.robots) as f:
+                    robots = json.load(f)
+            cfg = CrawlerConfig(min_delay_ms=args.min_delay_ms, robots=robots)
             out = R.run_details(store, args.pages, args.context,
-                                ids_spec=args.ids, max_per_host=args.max_per_host)
+                                ids_spec=args.ids, max_per_host=args.max_per_host,
+                                politeness=cfg.make_politeness())
             if args.feed:
                 import pyarrow as pa
 
