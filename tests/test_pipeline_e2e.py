@@ -117,6 +117,34 @@ def test_replicated_bench_corpus_is_valid(ray_session):
     ]
 
 
+def test_strict_mode_fails_loud_on_corrupt_rows(pages_dir):
+    """SURVEY §7.4: closed-world errors become status rows in normal
+    mode but must still fail loudly in strict test mode."""
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+
+    error_doc = next(d for d in range(N_DOCS) if d % 101 != 5 and d % 103 == 7)
+    # surfaces as RayTaskError from workers or directly from the
+    # driver-side boundary repair — loud either way
+    with pytest.raises(Exception, match="unexpected structure"):
+        run_details_extraction(
+            pages_dir,
+            frontier_keys=[(G.context_of(error_doc), 1000 + error_doc)],
+            num_buckets=4,
+            strict=True,
+        ).materialize()
+    # healthy entity passes strict mode
+    ok_doc = next(
+        d for d in range(N_DOCS) if G.corrupt_kind(d) is None
+    )
+    out = run_details_extraction(
+        pages_dir,
+        frontier_keys=[(G.context_of(ok_doc), 1000 + ok_doc)],
+        num_buckets=4,
+        strict=True,
+    ).to_pandas()
+    assert list(out["status"]) == ["success"]
+
+
 def test_frontier_semi_join_limits_output(pages_dir):
     from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
 
