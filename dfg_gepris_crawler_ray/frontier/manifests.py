@@ -90,7 +90,15 @@ def content_hash(df: pd.DataFrame, cols: list[str] | None = None) -> str:
     """Order-insensitive content hash of a delta (lineage fingerprint)."""
     cols = cols or list(df.columns)
     h = hashlib.sha256()
-    payload = df[cols].astype(str).apply(lambda r: "\x1f".join(r), axis=1)
+    if len(df):
+        # vectorized concat (a row-wise apply is ~100x slower on
+        # 10^5-row deltas)
+        joined = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            joined = joined.str.cat(df[c].astype(str), sep="\x1f")
+        payload = joined.tolist()
+    else:
+        payload = []
     for line in sorted(payload):
         h.update(line.encode())
         h.update(b"\n")
