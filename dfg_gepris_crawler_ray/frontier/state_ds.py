@@ -65,6 +65,44 @@ def upsert_from_search_ds(
     return unioned.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def insert_detail_items_ds(
+    history: "ray.data.Dataset",
+    runs: pd.DataFrame,
+    rows: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """J4 at history scale: the dedup-on-append (only rows whose
+    (status, item) differ from the key's latest are appended) replays
+    per key bucket; the tiny runs ledger broadcasts by closure."""
+    runs = runs.copy()
+
+    def tag_hist(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_bucket(df).assign(_kind="hist")
+
+    def tag_new(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_bucket(df).assign(_kind="new")
+
+    unioned = history.map_batches(tag_hist, batch_format="pandas").union(
+        rows.map_batches(tag_new, batch_format="pandas")
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        hist = group[group["_kind"] == "hist"]
+        hist = (
+            hist[[c for c in S.HISTORY_COLUMNS]].reset_index(drop=True)
+            if len(hist)
+            else S.empty_history()
+        )
+        new = group[group["_kind"] == "new"]
+        new_rows = [
+            dict(id=int(r.id), context=r.context, created_at=r.created_at,
+                 item=None if pd.isna(r.item) else r.item, status=r.status)
+            for r in new.itertuples()
+        ]
+        return S.insert_detail_items(hist, runs, new_rows)
+
+    return unioned.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def upsert_from_details_ds(
     state: "ray.data.Dataset", ids: set[int], context: str, run_id: int
 ) -> "ray.data.Dataset":

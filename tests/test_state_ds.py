@@ -51,6 +51,37 @@ def test_search_transition_matches_pandas():
     assert _norm(got) == _norm(want)
 
 
+def test_history_append_matches_pandas():
+    from dfg_gepris_crawler_ray.frontier.state_ds import insert_detail_items_ds
+
+    runs = S.empty_runs()
+    history = S.empty_history()
+    for run in (1, 2):
+        runs, run_id = S.store_run(runs, "details", "projekt", run)
+        new = [
+            dict(id=i, context="projekt", created_at=run_id,
+                 item=f'{{"id":{i},"v":{run if i % 4 == 0 else 1}}}', status="success")
+            for i in range(60)
+        ]
+        history = S.insert_detail_items(history, runs, new)
+    # run 3: a third change again, the rest identical → only changes append
+    runs, run_id = S.store_run(runs, "details", "projekt", 3)
+    new3 = [
+        dict(id=i, context="projekt", created_at=run_id,
+             item=f'{{"id":{i},"v":{3 if i % 3 == 0 else (2 if i % 4 == 0 else 1)}}}',
+             status="success")
+        for i in range(60)
+    ]
+    want = S.insert_detail_items(history.copy(), runs, new3)
+    got = insert_detail_items_ds(
+        ray.data.from_pandas(history), runs, ray.data.from_pandas(pd.DataFrame(new3))
+    ).to_pandas()
+    key = lambda df: sorted(
+        map(tuple, df[S.HISTORY_COLUMNS].astype(str).to_numpy().tolist())
+    )
+    assert key(got) == key(want)
+
+
 def test_details_transition_matches_pandas():
     obs1 = [(i, f'{{"id":{i}}}') for i in range(50)]
     st = S.upsert_from_search(S.empty_state(), obs1, "person", 1)
