@@ -107,14 +107,9 @@ class SeenFilter:
             SeenShard.remote(mode=mode, **shard_kwargs) for _ in range(num_shards)
         ]
 
-    def _route(self, keys: list[str]):
-        hashes = stable_hash64_array(keys)
+    def _scatter_gather(self, method: str, hashes: np.ndarray) -> np.ndarray:
         shard_ids = (hashes % np.uint64(self.num_shards)).astype(np.int64)
-        return hashes, shard_ids
-
-    def _scatter_gather(self, method: str, keys: list[str]) -> np.ndarray:
-        hashes, shard_ids = self._route(keys)
-        result = np.zeros(len(keys), dtype=bool)
+        result = np.zeros(len(hashes), dtype=bool)
         futures, positions = [], []
         for s in range(self.num_shards):
             idx = np.nonzero(shard_ids == s)[0]
@@ -127,10 +122,20 @@ class SeenFilter:
 
     def add(self, keys: list[str]) -> np.ndarray:
         """Mark seen; True where newly added (dedup-pass filter)."""
-        return self._scatter_gather("add", keys)
+        return self._scatter_gather("add", stable_hash64_array(keys))
 
     def contains(self, keys: list[str]) -> np.ndarray:
-        return self._scatter_gather("contains", keys)
+        return self._scatter_gather("contains", stable_hash64_array(keys))
+
+    def add_hashed(self, hashes: np.ndarray) -> np.ndarray:
+        """``add`` over pre-hashed uint64 keys — the hot-path variant:
+        callers with numeric canonical keys hash them VECTORIZED (e.g.
+        ``splitmix64(id*8 + context_code)``, a bijection → zero
+        collision risk) instead of per-key byte hashing."""
+        return self._scatter_gather("add", np.ascontiguousarray(hashes, dtype=np.uint64))
+
+    def contains_hashed(self, hashes: np.ndarray) -> np.ndarray:
+        return self._scatter_gather("contains", np.ascontiguousarray(hashes, dtype=np.uint64))
 
 
 def unique_entities_by_context(
@@ -150,21 +155,38 @@ def unique_entities_by_context(
     import ray.data
     from ray.data.aggregate import Sum
 
-    from ..sources.pages import annotate_pages, filter_detail_pages, read_pages
+    from ..sources.pages import DETAIL_KINDS, annotate_pages, filter_detail_pages, read_pages
+
+    from ..kernels.hashing import splitmix64
 
     filt = SeenFilter(num_shards=num_shards, mode=mode)
+    ctx_code = {"projekt": 0, "person": 1, "institution": 2}
 
     def mark_novel(batch: pa.Table) -> pa.Table:
         contexts = batch.column("context").to_pylist()
-        ids = batch.column("id").to_pylist()
-        novel = filt.add([f"{c}/{i}" for c, i in zip(contexts, ids)])
+        ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        codes = np.fromiter(
+            (ctx_code.get(c, 7) for c in contexts), dtype=np.uint64, count=len(contexts)
+        )
+        # bijective numeric key hash — vectorized, zero collisions
+        hashes = splitmix64(ids * np.uint64(8) + codes)
+        novel = filt.add_hashed(hashes)
+        # pre-combine: one partial row per context per batch, so the
+        # final exchange carries ~batches×3 rows, not one per page
+        partial: dict[str, int] = {}
+        for c, n in zip(contexts, novel):
+            if n:
+                partial[c] = partial.get(c, 0) + 1
         return pa.table(
             {
-                "context": pa.array(contexts),
-                "novel": pa.array(novel.astype(np.int64)),
+                "context": pa.array(list(partial), type=pa.string()),
+                "novel": pa.array(list(partial.values()), type=pa.int64()),
             }
         )
 
-    ds = filter_detail_pages(annotate_pages(read_pages(pages_dir)))
+    # note: a url-only column read measures SLOWER here than the default
+    # (tiny per-file column chunks → per-task overhead dominates), so
+    # keep the default columns and prune at the file level only
+    ds = filter_detail_pages(annotate_pages(read_pages(pages_dir, kinds=DETAIL_KINDS)))
     per_page = ds.map_batches(mark_novel, batch_format="pyarrow", zero_copy_batch=True)
     return per_page.groupby("context").aggregate(Sum("novel", alias_name="unique_entities"))
