@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q3_topk_revenue": lambda sf: relational.segment_order_revenue_topk(sf),
         "rel_session_windows": relational.session_windows,
         "rel_value_quantiles": relational.value_quantiles,
+        "rel_sliding_windows": relational.sliding_window_counts,
     }
 
 
@@ -1015,6 +1016,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
             LIMIT 10
+        """,
+        "rel_sliding_windows": """
+            SELECT to_timestamp(floor(epoch(ts))::BIGINT // 900 * 900 - k.k * 900)
+                     AT TIME ZONE 'UTC' AS window_start,
+                   event_type, count(*) AS n
+            FROM events, (VALUES (0), (1), (2), (3)) k(k)
+            GROUP BY 1, 2
         """,
         "rel_value_quantiles": """
             WITH q AS (

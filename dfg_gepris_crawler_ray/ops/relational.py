@@ -354,6 +354,60 @@ def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)) -> "ray.data.Dataset":
     return ds.groupby("event_type").map_groups(per_type, batch_format="pandas")
 
 
+def sliding_window_counts(
+    sf_dir: str, window_minutes: int = 60, slide_minutes: int = 15
+) -> "ray.data.Dataset":
+    """Sliding event-time windows (60 min window, 15 min slide): each
+    event replicates into window/slide windows inside ``map_batches``
+    (vectorized epoch arithmetic), partial counts pre-combine per
+    batch, and the exchange carries one row per (window, type) per
+    batch — the batch-engine form of a sliding-window aggregation."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    w = window_minutes * 60
+    s = slide_minutes * 60
+    k = w // s
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # normalize to whole seconds regardless of the column's
+        # datetime64 resolution (us vs ns)
+        epoch = batch["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        base = epoch // s * s
+        frames = []
+        for i in range(k):
+            frames.append(
+                pd.DataFrame(
+                    {"window_start": base - i * s, "event_type": batch["event_type"]}
+                )
+            )
+        g = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["window_start", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def bucket_sum(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(["window_start", "event_type"], as_index=False)["n"].sum()
+
+    return (
+        partials.map_batches(
+            lambda df: df.assign(bucket=(df["window_start"] // s % 64).astype("int32")),
+            batch_format="pandas",
+        )
+        .groupby("bucket")
+        .map_groups(bucket_sum, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(
+                window_start=pd.to_datetime(df["window_start"], unit="s")
+            )[["window_start", "event_type", "n"]],
+            batch_format="pandas",
+        )
+    )
+
+
 def top_orders(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Global sort + limit (top-k by totalprice, orderkey tiebreak)."""
     ds = ray.data.read_parquet(
