@@ -587,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
         "dedup_simhash_pairs": dedup.simhash_neardup_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_embedding_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, threshold=0.35),
         "knn_brute": lambda sf: similarity.knn_brute(sf).select(
             ["query_id", "rank", "neighbor_id"]
@@ -887,6 +888,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS grams
+              FROM documents
+            ),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.grams, b.grams)) AS inter,
+                     len(list_distinct(a.grams || b.grams)) AS uni
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+            ),
+            pairs AS (SELECT doc_a, doc_b FROM p WHERE uni > 0 AND 2 * inter >= uni),
+            edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(node, r) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS cluster_rep,
+                   min(r) = node AS keep
+            FROM reach GROUP BY node
         """,
         "dedup_ngram_jaccard": """
             WITH g AS (

@@ -314,6 +314,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(sf_dir: str, n: int = 3) -> "ray.data.Dataset":
+    """Near-duplicate clusters: connected components over the exact
+    n-gram-Jaccard pair graph, each doc labeled with its component's
+    minimum doc_id (``keep = doc_id == cluster_rep``) — the final
+    keep-one-per-cluster step of a dedup pipeline.
+
+    The edge set (near-dup pairs) is orders of magnitude smaller than
+    the corpus, so the union-find runs on the driver over the collected
+    pairs; at a scale where even the pairs don't fit, iterate min-label
+    propagation over the pair Dataset instead (same result, log-depth
+    rounds)."""
+    pairs = ngram_jaccard_pairs(sf_dir, n=n).to_pandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        union(a, b)
+    rep = {x: find(x) for x in list(parent)}
+    rep_ref = ray.put(rep)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def label(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(rep_ref)
+        ids = batch.column("doc_id").to_pylist()
+        reps = [lookup.get(i, i) for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "cluster_rep": pa.array(reps, type=pa.int64()),
+                "keep": pa.array([i == r for i, r in zip(ids, reps)]),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- simhash ---------------------------------------------------------------
 
 def simhash64(text: str) -> int:
