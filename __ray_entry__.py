@@ -619,6 +619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_session_windows": relational.session_windows,
         "rel_value_quantiles": relational.value_quantiles,
         "rel_sliding_windows": relational.sliding_window_counts,
+        "rel_distinct_customers": relational.distinct_customers_per_segment,
+        "rel_topk_per_segment": relational.topk_orders_per_segment,
     }
 
 
@@ -1045,6 +1047,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_orderkey
             LIMIT 10
+        """,
+        "rel_distinct_customers": """
+            SELECT c_mktsegment, count(DISTINCT o_custkey) AS distinct_customers
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "rel_topk_per_segment": """
+            SELECT c_mktsegment,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+                   o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            QUALIFY rank <= 3
         """,
         "rel_sliding_windows": """
             SELECT to_timestamp(floor(epoch(ts))::BIGINT // 900 * 900 - k.k * 900)

@@ -408,6 +408,84 @@ def sliding_window_counts(
     )
 
 
+def distinct_customers_per_segment(sf_dir: str) -> "ray.data.Dataset":
+    """count(DISTINCT o_custkey) per market segment, exact and
+    distributed: per-batch (segment, custkey) dedup, key-hash-bucketed
+    global dedup (vectorized drop_duplicates per bucket), then partial
+    counts sum — no full-width shuffle of the raw orders."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
+    )
+    seg_ref = ray.put(seg_map)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def prereduce(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.drop_duplicates("o_custkey")
+        lookup = ray.get(seg_ref)
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"],
+                "c_mktsegment": g["o_custkey"].map(lookup),
+                "bucket": (g["o_custkey"] % 64).astype("int32"),
+            }
+        )
+
+    def bucket_count(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("o_custkey")
+        return g.groupby("c_mktsegment", as_index=False).size().rename(columns={"size": "n"})
+
+    partials = (
+        orders.map_batches(prereduce, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_count, batch_format="pandas")
+    )
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("c_mktsegment").aggregate(
+        Sum("n", alias_name="distinct_customers")
+    )
+
+
+def topk_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Top-k orders by totalprice within each market segment (the
+    per-group top-k pattern): per-batch nsmallest pre-reduction, then
+    one small groupby over ≤ k×batches candidate rows."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
+    )
+    seg_ref = ray.put(seg_map)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def prereduce(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(seg_ref)
+        g = batch.assign(c_mktsegment=batch["o_custkey"].map(lookup))
+        return (
+            g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("c_mktsegment", group_keys=False)
+            .head(k)
+        )
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = range(1, len(g) + 1)
+        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+
+    return (
+        orders.map_batches(prereduce, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def top_orders(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Global sort + limit (top-k by totalprice, orderkey tiebreak)."""
     ds = ray.data.read_parquet(
