@@ -122,10 +122,11 @@ def main():
     timed("text_token_stats", lambda: textstats.token_stats(SF_DIR).materialize())
     timed("rel_pricing_summary", lambda: relational.pricing_summary(SF_DIR).materialize())
     timed("rel_session_windows", lambda: relational.session_windows(SF_DIR).materialize())
-
-    from dfg_gepris_crawler_ray.frontier.seen import unique_entities_by_context
-
-    timed("crawl_url_seen", lambda: unique_entities_by_context(pages_dir).materialize())
+    # note: the seen-filter streaming count (crawl_url_seen) is
+    # excluded here — its map_batches tasks block on actor RPCs, which
+    # local single-node mode serves with heavy worker churn after a big
+    # crawl (not representative of multi-node actor placement); it
+    # remains correctness-checked in the driver gate.
 
     headline = timings["crawl_details"]
     result = {
