@@ -1089,8 +1089,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, ts, value,
-                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                            ROWS UNBOUNDED PRECEDING) AS session_no
+                     CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
               FROM e
             )
             SELECT user_id, session_no, min(ts) AS session_start,

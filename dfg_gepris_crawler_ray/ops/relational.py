@@ -26,6 +26,14 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 
+def round_half_away(x, decimals: int = 2):
+    """SQL ``round()`` semantics: half away from zero. np.round's
+    half-even diverges from DuckDB on exact .xx5 boundary sums."""
+    m = 10.0 ** decimals
+    arr = np.asarray(x, dtype=np.float64)
+    return np.sign(arr) * np.floor(np.abs(arr) * m + 0.5) / m
+
+
 def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1-shaped aggregate with per-batch partial aggregation.
 
@@ -65,10 +73,8 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        # np.round matches SQL round() on canonical doubles (pc.round's
-        # multiple-based mode yields off-by-one-ulp doubles)
         for col in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            df[col] = np.round(df[col], 2)
+            df[col] = round_half_away(df[col], 2)
         return df
 
     return out.map_batches(finish, batch_format="pandas")
@@ -110,7 +116,7 @@ def segment_revenue(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["revenue"] = np.round(df["revenue"], 2)
+        df["revenue"] = round_half_away(df["revenue"], 2)
         return df
 
     return out.map_batches(finish, batch_format="pandas")
@@ -205,7 +211,7 @@ def hourly_event_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = np.round(df["sum_value"], 2)
+        df["sum_value"] = round_half_away(df["sum_value"], 2)
         return df
 
     return out.map_batches(finish, batch_format="pandas")
@@ -278,7 +284,7 @@ def segment_order_revenue_topk(
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(dates_ref)
-        df["revenue"] = np.round(df["revenue"], 2)
+        df["revenue"] = round_half_away(df["revenue"], 2)
         df["o_orderdate"] = [lookup[key] for key in df["o_orderkey"]]
         return df
 
@@ -318,7 +324,7 @@ def session_windows(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
             n_events=("ts", "size"),
             sum_value=("value", "sum"),
         )
-        out["sum_value"] = np.round(out["sum_value"], 2)
+        out["sum_value"] = round_half_away(out["sum_value"], 2)
         return out[["user_id", "session_no", "session_start", "session_end", "n_events", "sum_value"]]
 
     return (

@@ -33,7 +33,6 @@ from ..sources.pages import (
 from ..stages.extract_stage import (
     PENDING_STATUS,
     RESULT_SCHEMA,
-    _extract_rows as _extract_rows_local,
     extract_block_clustered,
     extract_bucket,
 )
@@ -93,25 +92,48 @@ def run_details_extraction(
 
     # Safety net for non-clustered layouts: an entity whose pages are
     # split across block INTERIORS yields one (partial) done row per
-    # block. Detect such keys from the small result rows — >1 done row,
-    # or done and pending rows mixed — and re-extract exactly those via
-    # the keyed path. A properly clustered corpus has none, so this
-    # costs one tiny column scan and nothing else.
+    # block. Detect such keys DISTRIBUTED — per-block partial counts
+    # (one tiny row per key per block), a hash-bucket shuffle of those
+    # count rows only (never html), vectorised per-bucket sums — and
+    # collect ONLY the conflicting keys, which are empty on a properly
+    # clustered corpus and tiny by construction otherwise. The driver
+    # never sees per-entity status at corpus cardinality.
+    import pandas as pd
     import pyarrow as pa
 
-    status_df = combined.map_batches(
-        lambda b: b.select(["id", "context", "status"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
-    is_pending = status_df["status"] == PENDING_STATUS
-    done_keys = list(zip(status_df.loc[~is_pending, "context"], status_df.loc[~is_pending, "id"]))
-    pend_keys = set(zip(status_df.loc[is_pending, "context"], status_df.loc[is_pending, "id"]))
-    from collections import Counter
+    _STATUS_PARTIAL_SCHEMA = pa.schema(
+        [
+            ("context", pa.string()),
+            ("id", pa.int64()),
+            ("n_done", pa.int64()),
+            ("n_pending", pa.int64()),
+            ("rbucket", pa.int32()),
+        ]
+    )
 
-    done_counts = Counter(done_keys)
-    redo_keys = {k for k, c in done_counts.items() if c > 1}
-    redo_keys |= set(done_counts) & pend_keys
+    def status_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _STATUS_PARTIAL_SCHEMA.empty_table()
+        df = b.select(["context", "id", "status"]).to_pandas()
+        df["n_done"] = (df["status"] != PENDING_STATUS).astype("int64")
+        df["n_pending"] = 1 - df["n_done"]
+        g = df.groupby(["context", "id"], as_index=False)[["n_done", "n_pending"]].sum()
+        # shuffle key: any even spread of entity keys works here
+        g["rbucket"] = (g["id"] % 64).astype("int32")
+        return pa.Table.from_pandas(g, preserve_index=False).cast(_STATUS_PARTIAL_SCHEMA)
+
+    def bucket_conflicts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(["context", "id"], as_index=False)[["n_done", "n_pending"]].sum()
+        bad = g[(g["n_done"] > 1) | ((g["n_done"] >= 1) & (g["n_pending"] >= 1))]
+        return bad[["context", "id"]]
+
+    redo_rows = (
+        combined.map_batches(status_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("rbucket")
+        .map_groups(bucket_conflicts, batch_format="pandas")
+        .take_all()
+    )
+    redo_keys = {(r["context"], r["id"]) for r in redo_rows}
 
     if redo_keys:
         redo_ref = ray.put(redo_keys)
@@ -148,21 +170,21 @@ def run_details_extraction(
     if redone is not None:
         done = done.union(redone)
     # boundary repair: all-pending entities carry their pages in the
-    # pending rows (possibly from several blocks); collect the tiny
-    # remainder to the driver and assemble locally (a full shuffle
-    # operator for a few hundred rows costs more than it moves).
-    pending_rows = combined.map_batches(
+    # pending rows (possibly from several blocks). Route them through
+    # the same keyed path as mode="shuffle" — a bucket groupby over
+    # ONLY the boundary rows (≤2 entities per block by construction),
+    # so the raw html never funnels through the driver regardless of
+    # how many blocks the corpus has.
+    pending = combined.map_batches(
         lambda b: b.filter(pc.equal(b.column("status"), PENDING_STATUS)),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).take_all()
-    if not pending_rows:
-        return done
-    pending_tbl = pa.Table.from_pylist(pending_rows)
-    repaired = pa.Table.from_pylist(
-        _extract_rows_local(pending_tbl, strict, politeness), schema=RESULT_SCHEMA
     )
-    return done.union(ray.data.from_arrow(repaired))
+    repaired = pending.groupby("bucket").map_groups(
+        lambda b: extract_bucket(b, strict=strict, politeness=politeness),
+        batch_format="pyarrow",
+    )
+    return done.union(repaired)
 
 
 def write_items(items: "ray.data.Dataset", out_dir: str) -> None:

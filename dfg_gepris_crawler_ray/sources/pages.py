@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..kernels.hashing import stable_hash64
+from ..kernels.hashing import stable_hash64, stable_hash64_array
 from ..kernels.urls import parse_page_url
 
 DETAIL_KINDS = ("details", "result")
@@ -100,35 +100,102 @@ def read_pages(
     )
 
 
+#: one RE2 pass classifies the two hot URL shapes (details + result
+#: pages — the overwhelming majority of any pages corpus); everything
+#: else (search/monitor/other, <1% of rows and file-separated anyway)
+#: falls back to the scalar canonicalizer row by row.
+_DETAIL_URL_RE = (
+    r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]+)/gepris/"
+    r"(?P<ctx>projekt|person|institution)/(?P<id>[0-9]+)"
+    r"(?P<erg>/ergebnisse)?(?:\?language=(?P<lang>de|en))?$"
+)
+
+
 def annotate_batch(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
-    """Add canonical-key columns to a pages batch (zero-copy append)."""
-    urls = batch.column("url").to_pylist()
-    n = len(urls)
-    kind = [""] * n
-    context = [""] * n
-    ids = np.empty(n, dtype=np.int64)
-    language = [""] * n
-    host = [""] * n
-    index = np.empty(n, dtype=np.int64)
-    bucket = np.empty(n, dtype=np.int32)
-    for i, url in enumerate(urls):
-        info = parse_page_url(url)
-        kind[i] = info["kind"]
-        context[i] = info["context"]
-        ids[i] = info["id"]
-        language[i] = info["language"]
-        host[i] = info["host"]
-        index[i] = info["index"]
-        bucket[i] = stable_hash64(f"{info['context']}/{info['id']}") % num_buckets
-    return (
-        batch.append_column("kind", pa.array(kind))
-        .append_column("context", pa.array(context))
-        .append_column("id", pa.array(ids))
-        .append_column("language", pa.array(language))
-        .append_column("host", pa.array(host))
-        .append_column("index", pa.array(index))
-        .append_column("bucket", pa.array(bucket, type=pa.int32()))
-    )
+    """Add canonical-key columns to a pages batch.
+
+    Vectorised: ``pc.extract_regex`` classifies detail/result URLs in
+    one RE2 pass (SURVEY.md M8 as pyarrow.compute string ops); the
+    entity-key bucket hashes each *unique* key once (clustered corpora
+    repeat each key ~6×). Rows the regex rejects go through
+    :func:`parse_page_url` individually — identical semantics, scalar
+    speed, negligible count.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n == 0:
+        out = batch
+        for name, typ in [
+            ("kind", pa.string()), ("context", pa.string()), ("id", pa.int64()),
+            ("language", pa.string()), ("host", pa.string()), ("index", pa.int64()),
+            ("bucket", pa.int32()),
+        ]:
+            out = out.append_column(name, pa.array([], type=typ))
+        return out
+    url_col = batch.column("url")
+    if url_col.num_chunks != 1:
+        url_col = url_col.combine_chunks()
+    m = pc.extract_regex(url_col, _DETAIL_URL_RE)
+    matched = pc.is_valid(m).to_numpy(zero_copy_only=False)
+
+    ctx_arr = pc.struct_field(m, "ctx")
+    id_str = pc.struct_field(m, "id")
+    erg = pc.struct_field(m, "erg")
+    lang_raw = pc.struct_field(m, "lang")
+
+    kind = pc.if_else(pc.equal(erg, "/ergebnisse"), "result", "details")
+    language = pc.if_else(pc.equal(lang_raw, ""), "de", lang_raw)
+    ids = pc.cast(id_str, pa.int64())
+    host = pc.struct_field(m, "host")
+
+    # bucket: blake2b over each UNIQUE "ctx/id" key, broadcast back
+    keys = pc.binary_join_element_wise(ctx_arr, id_str, "/")
+    codes, uniques = pd.factorize(keys.to_numpy(zero_copy_only=False))
+    if len(uniques):
+        uniq_buckets = (stable_hash64_array(list(uniques)) % num_buckets).astype(np.int64)
+        bucket = np.where(codes >= 0, uniq_buckets[np.clip(codes, 0, None)], 0).astype(np.int32)
+    else:  # no row matched the detail shapes (e.g. a search-pages batch)
+        bucket = np.zeros(n, dtype=np.int32)
+
+    if matched.all():
+        index = np.full(n, -1, dtype=np.int64)
+        out_cols = dict(
+            kind=kind, context=ctx_arr, id=ids, language=language, host=host,
+            index=pa.array(index), bucket=pa.array(bucket, type=pa.int32()),
+        )
+    else:
+        # patch the scalar-fallback rows in materialised arrays
+        kind_l = kind.to_pylist()
+        ctx_l = ctx_arr.to_pylist()
+        ids_np = np.asarray(ids.fill_null(-1).to_numpy(zero_copy_only=False), dtype=np.int64).copy()
+        lang_l = language.to_pylist()
+        host_l = host.to_pylist()
+        index = np.full(n, -1, dtype=np.int64)
+        urls = url_col.to_pylist()
+        for i in np.flatnonzero(~matched):
+            info = parse_page_url(urls[i])
+            kind_l[i] = info["kind"]
+            ctx_l[i] = info["context"]
+            ids_np[i] = info["id"]
+            lang_l[i] = info["language"]
+            host_l[i] = info["host"]
+            index[i] = info["index"]
+            bucket[i] = stable_hash64(f"{info['context']}/{info['id']}") % num_buckets
+        out_cols = dict(
+            kind=pa.array(kind_l, type=pa.string()),
+            context=pa.array(ctx_l, type=pa.string()),
+            id=pa.array(ids_np),
+            language=pa.array(lang_l, type=pa.string()),
+            host=pa.array(host_l, type=pa.string()),
+            index=pa.array(index),
+            bucket=pa.array(bucket, type=pa.int32()),
+        )
+    out = batch
+    for name, col in out_cols.items():
+        out = out.append_column(name, col)
+    return out
 
 
 def annotate_pages(ds: "ray.data.Dataset", num_buckets: int = 64) -> "ray.data.Dataset":
