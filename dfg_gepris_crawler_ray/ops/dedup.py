@@ -160,39 +160,125 @@ def minhash_lsh_dedup(
         .groupby("bucket")
         .map_groups(emit_bucket_pairs, batch_format="pandas")
     )
-    # distinct candidate pairs, then exact verification with a broadcast
-    # text lookup (candidate set << corpus; texts fetched per pair batch)
-    cand_df = candidates.to_pandas().drop_duplicates()
-    if not len(cand_df):
-        return ray.data.from_items([])
-    import pyarrow.parquet as pq
+    # distinct candidate pairs — distributed (pair-hash bucket + per-
+    # bucket drop_duplicates), then exact verification as a bucketed
+    # pairs⋈shingles co-group join: the corpus text column NEVER
+    # funnels through the driver; only the candidate doc-id set does
+    # (tiny by LSH construction — ≪ corpus cardinality).
+    cand = (
+        candidates.map_batches(
+            lambda b: b.assign(
+                pair_bucket=((b["doc_a"] * 1_000_003 + b["doc_b"]) % 64).astype("int32")
+            ),
+            batch_format="pandas",
+        )
+        .groupby("pair_bucket")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if cand.count() == 0:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+            ).empty_table()
+        )
 
-    texts = {}
-    needed = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
-    tbl = pq.read_table(docs_path, columns=["doc_id", "text"])
-    for doc_id, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
-        if doc_id in needed:
-            texts[doc_id] = text
-    texts_ref = ray.put(texts)
+    # candidate doc-id SET to the driver (ids only, never text)
+    need_ids: set[int] = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        need_ids.update(b.column("doc_a").to_pylist())
+        need_ids.update(b.column("doc_b").to_pylist())
+    ids_ref = ray.put(need_ids)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
-        keep_a, keep_b, keep_j = [], [], []
-        for da, db_ in zip(batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()):
-            j = jaccard(shingle_hashes(lookup[da], shingle_k), shingle_hashes(lookup[db_], shingle_k))
+    _JOIN_SCHEMA = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("doc_id", pa.int64()),
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("payload", pa.binary()),
+        ]
+    )
+
+    def doc_shingle_rows(batch: pa.Table) -> pa.Table:
+        """Semi-join the docs scan to candidate ids; emit each kept
+        doc's shingle-hash set as a binary payload, keyed by doc hash."""
+        keep_set = ray.get(ids_ref)
+        ids = batch.column("doc_id").to_pylist()
+        mask = [i in keep_set for i in ids]
+        kept = batch.filter(pa.array(mask))
+        rows = {"bucket": [], "doc_id": [], "doc_a": [], "doc_b": [], "payload": []}
+        for doc_id, text in zip(
+            kept.column("doc_id").to_pylist(), kept.column("text").to_pylist()
+        ):
+            rows["bucket"].append(doc_id % 64)
+            rows["doc_id"].append(doc_id)
+            rows["doc_a"].append(-1)
+            rows["doc_b"].append(-1)
+            rows["payload"].append(shingle_hashes(text, shingle_k).tobytes())
+        return pa.Table.from_pydict(rows, schema=_JOIN_SCHEMA)
+
+    def pair_side_rows(batch: pa.Table) -> pa.Table:
+        """Each pair emits one row per side, routed to that doc's bucket."""
+        da = batch.column("doc_a").to_pylist()
+        db_ = batch.column("doc_b").to_pylist()
+        rows = {
+            "bucket": [x % 64 for x in da] + [x % 64 for x in db_],
+            "doc_id": da + db_,
+            "doc_a": da + da,
+            "doc_b": db_ + db_,
+            "payload": [b""] * (2 * len(da)),
+        }
+        return pa.Table.from_pydict(rows, schema=_JOIN_SCHEMA)
+
+    shingle_rows = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
+        doc_shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    side_rows = cand.map_batches(pair_side_rows, batch_format="pyarrow")
+
+    def attach_payload(group: pd.DataFrame) -> pd.DataFrame:
+        """Per doc-hash bucket: join each pair side to its doc's
+        shingles; re-key by pair hash for the final co-location."""
+        is_doc = group["doc_a"] < 0
+        payloads = dict(zip(group.loc[is_doc, "doc_id"], group.loc[is_doc, "payload"]))
+        sides = group.loc[~is_doc, ["doc_id", "doc_a", "doc_b"]].copy()
+        sides["payload"] = sides["doc_id"].map(payloads)
+        sides["pair_bucket"] = (
+            (sides["doc_a"] * 1_000_003 + sides["doc_b"]) % 64
+        ).astype("int32")
+        return sides[["doc_a", "doc_b", "doc_id", "payload", "pair_bucket"]]
+
+    def verify_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """Per pair-hash bucket: both sides of each pair are present —
+        exact Jaccard over the two shingle sets."""
+        out_a, out_b, out_j = [], [], []
+        for (da, db2), rows in group.groupby(["doc_a", "doc_b"]):
+            by_doc = dict(zip(rows["doc_id"], rows["payload"]))
+            sh_a = np.frombuffer(by_doc[da], dtype=np.uint64)
+            sh_b = np.frombuffer(by_doc[db2], dtype=np.uint64)
+            j = jaccard(sh_a, sh_b)
             if j >= threshold:
-                keep_a.append(da)
-                keep_b.append(db_)
-                keep_j.append(round(j, 6))
-        return pa.table(
+                out_a.append(da)
+                out_b.append(db2)
+                out_j.append(round(j, 6))
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(keep_a, type=pa.int64()),
-                "doc_b": pa.array(keep_b, type=pa.int64()),
-                "jaccard": pa.array(keep_j, type=pa.float64()),
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "jaccard": pd.Series(out_j, dtype="float64"),
             }
         )
 
-    return ray.data.from_pandas(cand_df).map_batches(verify, batch_format="pyarrow")
+    return (
+        shingle_rows.union(side_rows)
+        .groupby("bucket")
+        .map_groups(attach_payload, batch_format="pandas")
+        .groupby("pair_bucket")
+        .map_groups(verify_pairs, batch_format="pandas")
+    )
 
 
 # --- n-gram Jaccard --------------------------------------------------------
@@ -513,41 +599,78 @@ def embedding_neardup_pairs(
 
         return ds.groupby("label").map_groups(per_label, batch_format="numpy")
 
+    # exact mode: BLOCK-PAIR GRID — the matrix is sharded into row
+    # blocks that never leave the object store (``to_arrow_refs``: no
+    # driver materialization); one Ray task per block pair (i ≤ j)
+    # matmuls its two shards and emits only the threshold hits. Each
+    # task holds two shards (O(2·n/B·d)), so the grid scales to
+    # matrices that fit NO single machine — the scale path promised
+    # for >10^6 vectors. Raw tasks (not a Dataset op) because a task's
+    # input is a *pair* of existing blocks, which the Dataset API
+    # cannot express without reshuffling the vectors B times.
+    import math
+
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    mat = np.asarray(
-        [np.asarray(e, dtype=np.float64) for e in tbl.column("embedding").to_pylist()]
-    )[order]
-    mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-    mat_ref = ray.put((ids, mat))
-    n = len(ids)
-    chunk = 1024
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    n_blocks = max(1, math.ceil(n_rows / 65536))
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        override_num_blocks=n_blocks,
+    )
 
-    def row_range(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(mat_ref)
-        out_a, out_b, out_c = [], [], []
-        for lo in batch.column("lo").to_pylist():
-            hi = min(lo + chunk, n)
-            sims = all_mat[lo:hi] @ all_mat.T  # (rows, n)
-            for r in range(hi - lo):
-                row = sims[r]
-                cols = np.nonzero(row[lo + r + 1 :] >= threshold)[0] + lo + r + 1
-                out_a.extend([int(all_ids[lo + r])] * len(cols))
-                out_b.extend(all_ids[cols].tolist())
-                out_c.extend(np.floor(row[cols] * 1e6 + 0.5).astype(np.int64).tolist())
+    def normalize(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
+        )
+        mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         return pa.table(
             {
-                "vec_a": pa.array(out_a, type=pa.int64()),
-                "vec_b": pa.array(out_b, type=pa.int64()),
-                "cosine": pa.array(np.asarray(out_c, dtype=np.float64) / 1e6),
+                "vec_id": pa.array(ids),
+                "normed": pa.array(mat.tolist(), type=pa.list_(pa.float64())),
             }
         )
 
-    los = ray.data.from_arrow(
-        pa.table({"lo": pa.array(list(range(0, n, chunk)), type=pa.int64())})
+    normed = ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+    refs = normed.to_arrow_refs()
+
+    @ray.remote
+    def block_pair(ref_a: pa.Table, ref_b: pa.Table, same: bool) -> pa.Table:
+        ta, tb = ref_a, ref_b  # Ray resolves the refs to tables
+        ids_a = np.asarray(ta.column("vec_id").to_pylist(), dtype=np.int64)
+        ids_b = np.asarray(tb.column("vec_id").to_pylist(), dtype=np.int64)
+        ma = np.asarray(ta.column("normed").to_pylist())
+        mb = np.asarray(tb.column("normed").to_pylist())
+        sims = ma @ mb.T
+        ia, ib = np.nonzero(sims >= threshold)
+        va, vb = ids_a[ia], ids_b[ib]
+        keep = va != vb if same else np.ones(len(va), dtype=bool)
+        # canonical orientation + same-block double-emission dedup
+        lo = np.minimum(va[keep], vb[keep])
+        hi = np.maximum(va[keep], vb[keep])
+        cos = sims[ia[keep], ib[keep]]
+        if same:
+            first = va[keep] < vb[keep]  # keep one of the two mirrored hits
+            lo, hi, cos = lo[first], hi[first], cos[first]
+        return pa.table(
+            {
+                "vec_a": pa.array(lo, type=pa.int64()),
+                "vec_b": pa.array(hi, type=pa.int64()),
+                "cosine": pa.array(np.floor(cos * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    out_refs = [
+        block_pair.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    hits = [t for t in ray.get(out_refs) if t.num_rows]
+    schema = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
     )
-    return los.map_batches(row_range, batch_format="pyarrow", batch_size=1)
+    return ray.data.from_arrow(
+        pa.concat_tables(hits) if hits else schema.empty_table()
+    )

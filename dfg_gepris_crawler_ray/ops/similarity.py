@@ -23,6 +23,30 @@ def _as_matrix(embs) -> np.ndarray:
     return np.asarray([np.asarray(e, dtype=np.float64) for e in embs])
 
 
+def _merge_topk(partials, query_ids, k: int) -> pa.Table:
+    """Tiny driver merge of per-batch partial top-k rows →
+    (query_id, rank, neighbor_id, cosine); ties break by neighbor_id
+    ascending. The input is ≤ k rows per query per batch — bounded, not
+    corpus-cardinality."""
+    out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
+    for qid in query_ids:
+        sub = partials[partials["query_id"] == qid]
+        best = heapq.nsmallest(k, zip(-sub["cosine"], sub["neighbor_id"]))
+        for rank, (negc, nid) in enumerate(best, start=1):
+            out["query_id"].append(qid)
+            out["rank"].append(rank)
+            out["neighbor_id"].append(int(nid))
+            out["cosine"].append(round(float(-negc), 6))
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            "rank": pa.array(out["rank"], type=pa.int64()),
+            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
+            "cosine": pa.array(out["cosine"], type=pa.float64()),
+        }
+    )
+
+
 def _load_queries(sf_dir: str, query_ids: list[int]) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -74,25 +98,7 @@ def knn_brute(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pa.Table:
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
-    out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
-    for qid in query_ids:
-        sub = partials[partials["query_id"] == qid]
-        best = heapq.nsmallest(
-            k, zip(-sub["cosine"], sub["neighbor_id"])
-        )  # (-cos, id): ties by id asc
-        for rank, (negc, nid) in enumerate(best, start=1):
-            out["query_id"].append(qid)
-            out["rank"].append(rank)
-            out["neighbor_id"].append(int(nid))
-            out["cosine"].append(round(-negc, 6))
-    return pa.table(
-        {
-            "query_id": pa.array(out["query_id"], type=pa.int64()),
-            "rank": pa.array(out["rank"], type=pa.int64()),
-            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
-            "cosine": pa.array(out["cosine"], type=pa.float64()),
-        }
-    )
+    return _merge_topk(partials, query_ids, k)
 
 
 def knn_ivf(
@@ -154,51 +160,43 @@ def knn_ivf(
                 new_cent[cid] = s / max(np.linalg.norm(s), 1e-12)
         cent = new_cent
 
-    # probe lists per query + candidate scan (one distributed pass)
+    # probe lists per query + candidate SCORING inside the scan: each
+    # batch scores only its rows assigned to probed lists and emits a
+    # ≤ k-row partial top-k per query (the knn_brute pattern) — the
+    # driver never sees candidate vectors, only ≤ k·batches tiny rows.
     probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
     probe_sets = [set(int(c) for c in row) for row in probe]
-    union_probed = set().union(*probe_sets)
-    cent_ref = ray.put(cent)
+    state_ref = ray.put((cent, qn, probe_sets))
 
-    def candidates(batch: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        c, qm, probes = ray.get(state_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         mat = _as_matrix(batch.column("embedding").to_pylist())
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         assign = np.argmax(mn @ c.T, axis=1)
-        keep = np.fromiter(
-            (int(a) in union_probed for a in assign), dtype=bool, count=len(ids)
-        )
+        sims = qm @ mn.T  # (n_query, n_batch)
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi, qid in enumerate(query_ids):
+            in_probe = np.fromiter(
+                (int(a) in probes[qi] for a in assign), dtype=bool, count=len(ids)
+            )
+            mask = in_probe & (ids != qid)
+            scores = sims[qi][mask]
+            cand_ids = ids[mask]
+            top = np.argsort(-scores)[:k]
+            rows["query_id"].extend([qid] * len(top))
+            rows["neighbor_id"].extend(cand_ids[top].tolist())
+            rows["cosine"].extend(scores[top].tolist())
         return pa.table(
             {
-                "vec_id": pa.array(ids[keep]),
-                "centroid_id": pa.array(assign[keep].astype(np.int64)),
-                "normed": pa.array(mn[keep].tolist(), type=pa.list_(pa.float64())),
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+                "cosine": pa.array(rows["cosine"], type=pa.float64()),
             }
         )
 
-    cand = ds.map_batches(candidates, batch_format="pyarrow", batch_size=4096).to_pandas()
-    out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
-    for qi, qid in enumerate(query_ids):
-        sub = cand[cand["centroid_id"].isin(probe_sets[qi]) & (cand["vec_id"] != qid)]
-        if not len(sub):
-            continue
-        mat = np.stack(sub["normed"].to_numpy())
-        scores = mat @ qn[qi]
-        order = sorted(zip(-scores, sub["vec_id"]))[:k]
-        for rank, (negc, nid) in enumerate(order, start=1):
-            out["query_id"].append(qid)
-            out["rank"].append(rank)
-            out["neighbor_id"].append(int(nid))
-            out["cosine"].append(round(float(-negc), 6))
-    return pa.table(
-        {
-            "query_id": pa.array(out["query_id"], type=pa.int64()),
-            "rank": pa.array(out["rank"], type=pa.int64()),
-            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
-            "cosine": pa.array(out["cosine"], type=pa.float64()),
-        }
-    )
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return _merge_topk(partials, query_ids, k)
 
 
 def knn_lsh(
@@ -240,62 +238,43 @@ def knn_lsh(
             qb = int(q_buckets[qi, t])
             per_table.append({qb} | {qb ^ (1 << b) for b in range(n_planes)})
         probe_sets.append(per_table)
-    union_probes = [
-        set().union(*(probe_sets[qi][t] for qi in range(len(query_ids))))
-        for t in range(n_tables)
-    ]
-
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    def bucketed(batch: pa.Table) -> pa.Table:
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    state_ref = ray.put((qn, probe_sets))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        """Score each query's probed candidates within the batch and
+        emit ≤ k partial rows per query — candidate vectors never leave
+        their task (the knn_brute partial-top-k pattern)."""
+        qm, probes = ray.get(state_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
         mat = _as_matrix(batch.column("embedding").to_pylist())
         bk = buckets_of(mat)
-        keep = np.zeros(len(ids), dtype=bool)
-        for t in range(n_tables):
-            keep |= np.fromiter(
-                (int(b) in union_probes[t] for b in bk[:, t]), dtype=bool, count=len(ids)
-            )
-        mn = mat[keep] / np.clip(
-            np.linalg.norm(mat[keep], axis=1, keepdims=True), 1e-12, None
-        )
+        mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        sims = qm @ mn.T  # (n_query, n_batch)
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi, qid in enumerate(query_ids):
+            hit = np.zeros(len(ids), dtype=bool)
+            for t in range(n_tables):
+                hit |= np.fromiter(
+                    (int(b) in probes[qi][t] for b in bk[:, t]),
+                    dtype=bool, count=len(ids),
+                )
+            mask = hit & (ids != qid)
+            scores = sims[qi][mask]
+            cand_ids = ids[mask]
+            top = np.argsort(-scores)[:k]
+            rows["query_id"].extend([qid] * len(top))
+            rows["neighbor_id"].extend(cand_ids[top].tolist())
+            rows["cosine"].extend(scores[top].tolist())
         return pa.table(
             {
-                "vec_id": pa.array(ids[keep]),
-                "buckets": pa.array(bk[keep].tolist(), type=pa.list_(pa.int64())),
-                "normed": pa.array(mn.tolist(), type=pa.list_(pa.float64())),
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+                "cosine": pa.array(rows["cosine"], type=pa.float64()),
             }
         )
 
-    cand = ds.map_batches(bucketed, batch_format="pyarrow").to_pandas()
-    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
-    out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
-    cand_buckets = np.stack(cand["buckets"].to_numpy()) if len(cand) else np.empty((0, n_tables))
-    for qi, qid in enumerate(query_ids):
-        if not len(cand):
-            continue
-        hit = np.zeros(len(cand), dtype=bool)
-        for t in range(n_tables):
-            hit |= np.fromiter(
-                (int(b) in probe_sets[qi][t] for b in cand_buckets[:, t]),
-                dtype=bool, count=len(cand),
-            )
-        sub = cand[hit & (cand["vec_id"] != qid)]
-        if not len(sub):
-            continue
-        mat = np.stack(sub["normed"].to_numpy())
-        scores = mat @ qn[qi]
-        order = sorted(zip(-scores, sub["vec_id"]))[:k]
-        for rank, (negc, nid) in enumerate(order, start=1):
-            out["query_id"].append(qid)
-            out["rank"].append(rank)
-            out["neighbor_id"].append(int(nid))
-            out["cosine"].append(round(float(-negc), 6))
-    return pa.table(
-        {
-            "query_id": pa.array(out["query_id"], type=pa.int64()),
-            "rank": pa.array(out["rank"], type=pa.int64()),
-            "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64()),
-            "cosine": pa.array(out["cosine"], type=pa.float64()),
-        }
-    )
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return _merge_topk(partials, query_ids, k)
