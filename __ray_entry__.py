@@ -126,7 +126,14 @@ def _q_frontier_order(sf_dir: str):
                  run_ended_at=None, total_scraped_items=None),
         ]
     )
-    ids = S.get_ids(state, runs, "projekt")
+    # J1 through the DS path: the state table is Dataset-resident and
+    # the priority sort + limit run distributed (state_ds.get_ids_ds);
+    # equivalence with the pandas form is pinned in tests/test_state_ds.py
+    import ray.data as rd
+
+    from dfg_gepris_crawler_ray.frontier.state_ds import get_ids_ds
+
+    ids = get_ids_ds(rd.from_pandas(state), runs, "projekt")
     frontier = plan_frontier(
         ids, "projekt", host_lookup=lambda c, i: host_of(i - 1000)
     )
@@ -171,7 +178,11 @@ def _q_frontier_needed(sf_dir: str):
                  run_ended_at=None, total_scraped_items=None),
         ]
     )
-    ids = S.get_ids(state, runs, "projekt", only_needed=True)
+    import ray.data as rd
+
+    from dfg_gepris_crawler_ray.frontier.state_ds import get_ids_ds
+
+    ids = get_ids_ds(rd.from_pandas(state), runs, "projekt", only_needed=True)
     return pa.table(
         {
             "fetch_seq": pa.array(range(len(ids)), type=pa.int64()),
@@ -284,11 +295,44 @@ def _q_moved_propagation(sf_dir: str):
     runs, entities needing re-check = successful projekts referencing a
     moved person or institution, plus root institutions with a moved
     sub-institution in their tree."""
+    import ray.data as rd
+
     from dfg_gepris_crawler_ray.frontier import state as S
+    from dfg_gepris_crawler_ray.frontier.state_ds import (
+        mark_projekts_for_moved_ds,
+        mark_roots_for_moved_subinstitutions_ds,
+    )
 
     store = _lifecycle_store_full(sf_dir)
     state = store.load_table("state", S.empty_state())
-    flagged = state[state["detail_check_needed"].astype(bool)].sort_values("id")
+    runs = store.load_table("runs", S.empty_runs())
+    history = store.load_table("history", S.empty_history())
+
+    # J7/J8 through the DS path: replay the moved-propagation markings
+    # over a Dataset-resident state from the persisted history/ledger
+    # (equivalence with the pandas forms pinned in tests/test_state_ds.py)
+    def _run_id(context: str) -> int:
+        sel = runs[(runs["spider"] == "details") & (runs["context"] == context)]
+        return int(sel["id"].max())
+
+    latest = S.latest_detail_items(history, runs)
+    base = state.copy()
+    base["detail_check_needed"] = False
+    hist_ds = rd.from_pandas(history)
+    st_ds = mark_projekts_for_moved_ds(
+        rd.from_pandas(base), hist_ds, _run_id("person"), "person",
+        rd.from_pandas(S.person_projekt_references(latest)),
+    )
+    st_ds = mark_projekts_for_moved_ds(
+        st_ds, hist_ds, _run_id("institution"), "institution",
+        rd.from_pandas(S.institution_projekt_references(latest)),
+    )
+    hierarchy = S.institution_hierarchy(S.latest_items(latest, state))
+    st_ds = mark_roots_for_moved_subinstitutions_ds(
+        st_ds, hist_ds, _run_id("institution"), rd.from_pandas(hierarchy)
+    )
+    out = st_ds.to_pandas()
+    flagged = out[out["detail_check_needed"].astype(bool)].sort_values("id")
     return pa.table(
         {
             "id": pa.array([int(i) for i in flagged["id"]], type=pa.int64()),
@@ -326,11 +370,16 @@ def _q_latest_items(sf_dir: str):
     item shapes (normalized ``attributes`` vs raw ``project_attributes``)."""
     import json
 
+    import ray.data as rd
+
     from dfg_gepris_crawler_ray.frontier import state as S
+    from dfg_gepris_crawler_ray.frontier.state_ds import latest_items_ds
 
     state, runs, history = _lifecycle_tables(sf_dir)
     latest = S.latest_detail_items(history, runs)
-    li = S.latest_items(latest, state)
+    # A2 through the DS path (bucketed coalesce; equivalence pinned in
+    # tests/test_state_ds.py)
+    li = latest_items_ds(rd.from_pandas(latest), rd.from_pandas(state)).to_pandas()
     rows = []
     for r in li.itertuples():
         item = json.loads(r.item)

@@ -108,17 +108,24 @@ def upsert_from_details_ds(
 ) -> "ray.data.Dataset":
     """J3 at state scale: the processed-id set broadcasts (it is the
     run's frontier — budget-bounded by construction); the flag update
-    is row-local. New keys append once via a driver-side diff of the
-    tiny frontier set (insert-if-absent)."""
+    is row-local. Insert-if-absent via a broadcast anti-join: each
+    state batch reports only its INTERSECTION with the frontier set, so
+    what returns to the driver is bounded by the frontier budget, never
+    by state cardinality (the J5 pattern, not a full id stream)."""
     import ray
 
     ids = {int(i) for i in ids}
     ids_ref = ray.put(ids)
 
+    def intersect(df: pd.DataFrame) -> pd.DataFrame:
+        known = ray.get(ids_ref)
+        sel = (df["context"] == context) & df["id"].isin(known)
+        return pd.DataFrame({"id": df.loc[sel, "id"].astype("int64")})
+
     seen_ids: set[int] = set()
-    for batch in state.map_batches(
-        lambda df: df.loc[df["context"] == context, ["id"]], batch_format="pandas"
-    ).iter_batches(batch_format="pandas"):
+    for batch in state.map_batches(intersect, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
         seen_ids.update(int(i) for i in batch["id"])
 
     def update(df: pd.DataFrame) -> pd.DataFrame:
@@ -135,3 +142,186 @@ def upsert_from_details_ds(
         return updated
     new_rows = S.upsert_from_details(S.empty_state(), new_ids, context, run_id)
     return updated.union(ray.data.from_pandas(new_rows))
+
+
+# --- J1: crawl-priority selection at state scale ----------------------------
+
+def get_ids_ds(
+    state: "ray.data.Dataset",
+    runs: pd.DataFrame,
+    context: str,
+    only_needed: bool = False,
+    limit: int = 0,
+) -> list[int]:
+    """J1 (reference database.py:43-64) over a Dataset-resident state:
+    never-detail-checked keys first, then checked keys stalest-first
+    (by the start time of their last check run), LIMIT on the union.
+
+    Distributed shape: a column-pruned scan emits (tier, staleness
+    rank, id) — three ints per candidate row, never the item payloads —
+    then ONE global sort + limit. The tie-break inside each staleness
+    tier is ``id`` ascending (deterministic under any partitioning);
+    the pandas form's tie-break is state-table insertion order, which
+    a 10^10-key distributed table cannot observe — callers that need
+    byte-faithful insertion order must carry an explicit ``seq``
+    column. The runs ledger is tiny (one row per crawl run) and
+    broadcasts by closure as a rank map."""
+    ordered_runs = runs.sort_values("run_started_at", kind="stable")
+    rank_of = {int(rid): pos for pos, rid in enumerate(ordered_runs["id"])}
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df["context"] == context]
+        never = sel["last_detail_check"].isna()
+        if only_needed:
+            sel = sel[never | sel["detail_check_needed"].astype(bool)]
+            never = sel["last_detail_check"].isna()
+        tier = (~never).astype("int64")
+        rank = pd.Series(
+            [
+                -1 if pd.isna(c) else rank_of.get(int(c), -1)
+                for c in sel["last_detail_check"]
+            ],
+            index=sel.index,
+            dtype="int64",
+        )
+        return pd.DataFrame(
+            {"tier": tier, "rank": rank, "id": sel["id"].astype("int64")}
+        )
+
+    slim = state.map_batches(prep, batch_format="pandas")
+    ordered = slim.sort(["tier", "rank", "id"])
+    if limit > 0:
+        ordered = ordered.limit(limit)
+    return [int(i) for i in ordered.to_pandas()["id"]]
+
+
+# --- A2: coalesce view at scale ---------------------------------------------
+
+def latest_items_ds(
+    latest_details: "ray.data.Dataset", state: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """A2 (dfg-gepris.sql:56-64) with both sides Dataset-resident:
+    latest detail rows and state snapshots co-partition by key bucket;
+    each bucket replays the exact pandas coalesce."""
+
+    def tag_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_bucket(df).assign(_kind="latest")
+
+    def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_bucket(df).assign(_kind="state")
+
+    unioned = latest_details.map_batches(tag_latest, batch_format="pandas").union(
+        state.map_batches(tag_state, batch_format="pandas")
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ld = group[group["_kind"] == "latest"]
+        ld = (
+            ld[[c for c in S.HISTORY_COLUMNS]].reset_index(drop=True)
+            if len(ld)
+            else S.empty_history()
+        )
+        st = group[group["_kind"] == "state"]
+        st = (
+            st[[c for c in S.STATE_COLUMNS]].reset_index(drop=True)
+            if len(st)
+            else S.empty_state()
+        )
+        return S.latest_items(ld, st)
+
+    return unioned.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+# --- J7/J8: moved propagation at scale --------------------------------------
+
+def _moved_ids_of_run(history: "ray.data.Dataset", run_id: int) -> set[int]:
+    """The run's moved keys — bounded by the run's frontier budget, so
+    a driver set is safe by construction; the filter runs distributed."""
+    moved: set[int] = set()
+    filt = history.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "id": df.loc[
+                    (df["created_at"] == run_id) & (df["status"] == "moved"), "id"
+                ].astype("int64")
+            }
+        ),
+        batch_format="pandas",
+    )
+    for batch in filt.iter_batches(batch_format="pandas"):
+        moved.update(int(i) for i in batch["id"])
+    return moved
+
+
+def mark_projekts_for_moved_ds(
+    state: "ray.data.Dataset",
+    history: "ray.data.Dataset",
+    run_id: int,
+    context: str,
+    references: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """J7 (reference database.py:163-187) at scale: moved persons /
+    institutions re-check their projekts. The moved set (run-bounded)
+    broadcasts; the reference-edge scan filters distributed; the flag
+    update is row-local (matches on id only — faithful to the
+    reference's missing context filter)."""
+    import ray
+
+    id_col = "person_id" if context == "person" else "institution_id"
+    moved = _moved_ids_of_run(history, run_id)
+    moved_ref = ray.put(moved)
+
+    def edge_hits(df: pd.DataFrame) -> pd.DataFrame:
+        mv = ray.get(moved_ref)
+        sel = df[df[id_col].isin(mv)]
+        return pd.DataFrame({"projekt_id": sel["projekt_id"].astype("int64")})
+
+    projekt_ids: set[int] = set()
+    for batch in references.map_batches(edge_hits, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        projekt_ids.update(int(i) for i in batch["projekt_id"])
+    proj_ref = ray.put(projekt_ids)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        targets = ray.get(proj_ref)
+        df = df.copy()
+        df.loc[df["id"].isin(targets), "detail_check_needed"] = True
+        return df
+
+    return state.map_batches(flag, batch_format="pandas")
+
+
+def mark_roots_for_moved_subinstitutions_ds(
+    state: "ray.data.Dataset",
+    history: "ray.data.Dataset",
+    run_id: int,
+    hierarchy: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """J8 (reference database.py:189-207) at scale: moved
+    sub-institutions re-check their root. Same shape as J7 with the
+    hierarchy closure as the edge table."""
+    import ray
+
+    moved = _moved_ids_of_run(history, run_id)
+    moved_ref = ray.put(moved)
+
+    def root_hits(df: pd.DataFrame) -> pd.DataFrame:
+        mv = ray.get(moved_ref)
+        sel = df[df["parent_id"].notna() & df["id"].isin(mv)]
+        return pd.DataFrame({"root_id": sel["root_id"].astype("int64")})
+
+    roots: set[int] = set()
+    for batch in hierarchy.map_batches(root_hits, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        roots.update(int(i) for i in batch["root_id"])
+    roots_ref = ray.put(roots)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        targets = ray.get(roots_ref)
+        df = df.copy()
+        df.loc[df["id"].isin(targets), "detail_check_needed"] = True
+        return df
+
+    return state.map_batches(flag, batch_format="pandas")

@@ -94,3 +94,36 @@ def classify_run(
     else:
         return None
     return status, build_subject(spider, context, status, actual, expected, extra)
+
+
+def notify_run(
+    sink,
+    spider: str,
+    context: str | None,
+    scraped_items: int,
+    moved_items: int = 0,
+    expected: int | None = None,
+    had_error: bool = False,
+    new_gepris_version: str | None = None,
+    body: str | None = None,
+) -> tuple[str, str] | None:
+    """Delivery side of the notifier (reference pipelines.py:60-107):
+    classify the finished run and, when a notification is due, invoke
+    ``sink(status, subject, body)`` — the injectable replacement for
+    the reference's SMTP send (``send_mail``, pipelines.py:69-77).
+    Any callable works: SMTP, webhook, a test recorder. Returns the
+    classification (None = no notification, like the reference's
+    silent close)."""
+    result = classify_run(
+        spider,
+        context,
+        scraped_items,
+        moved_items=moved_items,
+        expected=expected,
+        had_error=had_error,
+        new_gepris_version=new_gepris_version,
+    )
+    if result is not None:
+        status, subject = result
+        sink(status, subject, body)
+    return result

@@ -110,3 +110,38 @@ def test_json_feed_export(ray_session, tmp_path):
     assert files
     n = sum(1 for f in files for line in open(f) if line.strip())
     assert n == 50
+
+
+def test_delivery_hook_fires_at_reference_thresholds():
+    """notify_run delivers through the injectable sink exactly when the
+    reference's close_spider would email (pipelines.py:60-107):
+    Error on crawler error, Warning on count mismatch, Success only for
+    a details run above the 10k-item bar, silence otherwise."""
+    from dfg_gepris_crawler_ray.pipelines.notify import notify_run
+
+    sent = []
+    sink = lambda status, subject, body: sent.append((status, subject, body))
+
+    # Error beats everything
+    r = notify_run(sink, "details", "projekt", 5, expected=5, had_error=True,
+                   body="log tail")
+    assert r[0] == "Error" and sent[-1][0] == "Error" and sent[-1][2] == "log tail"
+
+    # count mismatch → Warning
+    r = notify_run(sink, "search_results", "person", 90, expected=100)
+    assert r[0] == "Warning" and sent[-1][1].startswith("Warning - GeprisCrawler")
+
+    # big details run → Success (moved items count toward actual)
+    r = notify_run(sink, "details", "projekt", 9_000, moved_items=1_500,
+                   expected=10_500)
+    assert r[0] == "Success"
+
+    # small matching details run → silent close, sink NOT called
+    n_before = len(sent)
+    assert notify_run(sink, "details", "projekt", 100, expected=100) is None
+    assert len(sent) == n_before
+
+    # data-monitor version change → Warning with the version suffix
+    r = notify_run(sink, "data_monitor", None, 1, expected=1,
+                   new_gepris_version="2024.2")
+    assert r[0] == "Warning" and "new gepris version 2024.2" in sent[-1][1]
