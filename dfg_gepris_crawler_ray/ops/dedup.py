@@ -400,17 +400,163 @@ def ngram_jaccard_pairs(
     )
 
 
-def dedup_clusters(sf_dir: str, n: int = 3) -> "ray.data.Dataset":
+def _cluster_labels_distributed(
+    pairs: "ray.data.Dataset", max_rounds: int = 50
+) -> "ray.data.Dataset":
+    """Connected components over a pair Dataset via min-label
+    propagation — the path for edge sets too large for a driver
+    union-find. Each round: every edge proposes its endpoint's label to
+    the other endpoint; every node takes the min (two key-hash-bucket
+    shuffles per round, all per-bucket work vectorized); converges in
+    ≤ diameter rounds (near-dup clusters are shallow). Returns
+    ``(node, label)`` for every node that appears in a pair."""
+
+    def sym_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                df.rename(columns={"doc_a": "src", "doc_b": "dst"})[["src", "dst"]],
+                df.rename(columns={"doc_b": "src", "doc_a": "dst"})[["src", "dst"]],
+            ],
+            ignore_index=True,
+        ).astype("int64")
+
+    edges = pairs.map_batches(sym_edges, batch_format="pandas").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["src"].unique()
+        return pd.DataFrame({"node": nodes, "label": nodes}).astype("int64")
+
+    def dedupe_nodes(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates("node")[["node", "label"]]
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(_b=(df["node"] % 64).astype("int32")),
+            batch_format="pandas",
+        )
+        .groupby("_b")
+        .map_groups(dedupe_nodes, batch_format="pandas")
+        .materialize()
+    )
+
+    for _round in range(max_rounds):
+        # 1) ship each src's label to its edges: co-partition labels and
+        #    edges by src hash, emit (node=dst, label=label(src)).
+        #    Both union sides carry the SAME columns (node, label, dst)
+        #    so mixed-bucket groups always see a stable schema.
+        tagged_lbl = labels.map_batches(
+            lambda df: df.assign(
+                dst=-1, _b=(df["node"] % 64).astype("int32"), _k="l"
+            )[["node", "label", "dst", "_b", "_k"]],
+            batch_format="pandas",
+        )
+        tagged_edges = edges.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["src"].astype("int64"),
+                    "label": -1,
+                    "dst": df["dst"].astype("int64"),
+                }
+            ).assign(_b=lambda d: (d["node"] % 64).astype("int32"), _k="e"),
+            batch_format="pandas",
+        )
+
+        def propose(group: pd.DataFrame) -> pd.DataFrame:
+            lbl = group[group["_k"] == "l"]
+            edg = group[group["_k"] == "e"]
+            m = edg[["node", "dst"]].merge(
+                lbl[["node", "label"]], on="node", how="left"
+            )
+            return pd.DataFrame(
+                {"node": m["dst"].astype("int64"), "label": m["label"].astype("int64")}
+            )
+
+        msgs = (
+            tagged_lbl.union(tagged_edges)
+            .groupby("_b")
+            .map_groups(propose, batch_format="pandas")
+        )
+
+        # 2) per node: new label = min(old, proposals); count changes
+        def reduce_min(group: pd.DataFrame) -> pd.DataFrame:
+            cur = group[group["_k"] == "l"][["node", "label"]]
+            prop = group[group["_k"] == "m"][["node", "label"]]
+            allr = pd.concat([cur, prop], ignore_index=True)
+            new = allr.groupby("node", as_index=False)["label"].min()
+            merged = new.merge(cur, on="node", suffixes=("", "_old"))
+            merged["_changed"] = (merged["label"] < merged["label_old"]).astype("int64")
+            return merged[["node", "label", "_changed"]]
+
+        tagged_msgs = msgs.map_batches(
+            lambda df: df.assign(
+                dst=-1, _b=(df["node"] % 64).astype("int32"), _k="m"
+            )[["node", "label", "dst", "_b", "_k"]],
+            batch_format="pandas",
+        )
+        reduced = (
+            tagged_lbl.union(tagged_msgs)
+            .groupby("_b")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = int(reduced.sum("_changed") or 0)
+        labels = reduced.map_batches(
+            lambda df: df[["node", "label"]], batch_format="pandas"
+        ).materialize()
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(sf_dir: str, n: int = 3, mode: str = "driver") -> "ray.data.Dataset":
     """Near-duplicate clusters: connected components over the exact
     n-gram-Jaccard pair graph, each doc labeled with its component's
     minimum doc_id (``keep = doc_id == cluster_rep``) — the final
     keep-one-per-cluster step of a dedup pipeline.
 
-    The edge set (near-dup pairs) is orders of magnitude smaller than
-    the corpus, so the union-find runs on the driver over the collected
-    pairs; at a scale where even the pairs don't fit, iterate min-label
-    propagation over the pair Dataset instead (same result, log-depth
-    rounds)."""
+    - ``mode="driver"`` (default): union-find on the driver over the
+      collected pairs — right while pairs ≪ corpus (they are, by the
+      dedup threshold's construction).
+    - ``mode="distributed"``: min-label propagation over the pair
+      Dataset (``_cluster_labels_distributed``) and a bucketed
+      join back to the corpus — no driver-resident edge set; the path
+      when even the pairs outgrow one machine. Equivalence with the
+      driver mode is pinned in tests.
+    """
+    if mode == "distributed":
+        pair_ds = ngram_jaccard_pairs(sf_dir, n=n)
+        labels = _cluster_labels_distributed(pair_ds)
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+        def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": df["doc_id"].astype("int64"), "label": -1}
+            ).assign(_b=lambda d: (d["node"] % 64).astype("int32"), _k="d")
+
+        def tag_lbl(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(_b=(df["node"] % 64).astype("int32"), _k="l")
+
+        def join(group: pd.DataFrame) -> pd.DataFrame:
+            lbl = group[group["_k"] == "l"][["node", "label"]]
+            d = group[group["_k"] == "d"][["node"]]
+            m = d.merge(lbl, on="node", how="left")
+            rep = m["label"].fillna(m["node"]).astype("int64")
+            return pd.DataFrame(
+                {
+                    "doc_id": m["node"].astype("int64"),
+                    "cluster_rep": rep,
+                    "keep": m["node"].astype("int64") == rep,
+                }
+            )
+
+        return (
+            docs.map_batches(tag_docs, batch_format="pandas")
+            .union(labels.map_batches(tag_lbl, batch_format="pandas"))
+            .groupby("_b")
+            .map_groups(join, batch_format="pandas")
+        )
+
     pairs = ngram_jaccard_pairs(sf_dir, n=n).to_pandas()
 
     parent: dict[int, int] = {}

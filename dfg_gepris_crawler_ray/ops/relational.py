@@ -101,10 +101,8 @@ def segment_revenue(sf_dir: str) -> "ray.data.Dataset":
 
     def join_partial(batch: pa.Table) -> pa.Table:
         lookup = ray.get(seg_ref)
-        segs = [lookup[k] for k in batch.column("o_custkey").to_pylist()]
-        df = pd.DataFrame(
-            {"c_mktsegment": segs, "o_totalprice": batch.column("o_totalprice").to_pylist()}
-        )
+        df = batch.select(["o_custkey", "o_totalprice"]).to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(lookup)  # vectorized hash probe
         g = df.groupby("c_mktsegment", as_index=False).agg(
             revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
         )
@@ -122,31 +120,66 @@ def segment_revenue(sf_dir: str) -> "ray.data.Dataset":
     return out.map_batches(finish, batch_format="pandas")
 
 
-def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
-    """Broadcast anti-join: customer keys minus order custkeys."""
-    import pyarrow.parquet as pq
+def anti_join_bucketed(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """General hash anti-join: rows of ``left`` whose ``on`` key has no
+    match in ``right`` — BOTH sides at arbitrary scale.
 
-    okeys = set(
-        pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-        .column("o_custkey")
-        .to_pylist()
+    Shape: per-batch pre-dedup of the right side's keys (one key per
+    batch instead of every row), one key-hash-bucket shuffle of the
+    union, vectorized per-bucket ``isin``. This is the form to use
+    when neither side fits a ``ray.put`` broadcast; the broadcast
+    semi/anti-join (sources.pages.semi_join_frontier) stays the right
+    call when one side is budget-bounded."""
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _ajb=(df[on].astype("int64") % num_buckets).astype("int32"), _side="l"
+        )
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[[on]].drop_duplicates()
+        return keys.assign(
+            _ajb=(keys[on].astype("int64") % num_buckets).astype("int32"), _side="r"
+        )
+
+    unioned = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
     )
-    okeys_ref = ray.put(okeys)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rkeys = group.loc[group["_side"] == "r", on].unique()
+        lrows = group[group["_side"] == "l"]
+        out = lrows[~lrows[on].isin(rkeys)]
+        return out.drop(columns=["_ajb", "_side"])
+
+    return unioned.groupby("_ajb").map_groups(per_bucket, batch_format="pandas")
+
+
+def customers_without_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Anti-join: customers with no orders.
+
+    Uses the general bucketed hash anti-join — at TPC-H shape the
+    orders key set would also broadcast, but this query is the repo's
+    anti-join exemplar and the bucketed form is the one that still
+    works when the right side is 10^10 keys."""
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-
-    def anti(batch: pa.Table) -> pa.Table:
-        known = ray.get(okeys_ref)
-        mask = [k not in known for k in batch.column("c_custkey").to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    out = cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+    out = anti_join_bucketed(cust, orders, on="c_custkey")
     # materialise with an explicit schema so an empty result still
     # carries its columns (Dataset.to_pandas drops them on zero blocks)
-    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows >= 0]
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_columns]
     schema = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())])
-    tables = [t.cast(schema) for t in tables if t.num_columns] or [schema.empty_table()]
+    tables = [t.cast(schema) for t in tables] or [schema.empty_table()]
     return pa.concat_tables(tables)
 
 

@@ -235,10 +235,16 @@ def semi_join_frontier(
     import ray
 
     def _filter(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         keys = ray.get(frontier_keys_ref)  # set[(context, id)] — cached per worker
-        ctx = batch.column("context").to_pylist()
-        ids = batch.column("id").to_pylist()
-        mask = [(c, i) in keys for c, i in zip(ctx, ids)]
+        mi = pd.MultiIndex.from_arrays(
+            [
+                batch.column("context").to_pandas(),
+                batch.column("id").to_pandas(),
+            ]
+        )
+        mask = mi.isin(keys)  # vectorized composite-key membership
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)

@@ -338,3 +338,19 @@ def test_embedding_neardup_exact_matches_bruteforce():
     bucketed = embedding_neardup_pairs(SF, threshold=0.3, mode="bucketed").to_pandas()
     got_b = set(zip(bucketed["vec_a"].astype(int), bucketed["vec_b"].astype(int)))
     assert got_b <= truth
+
+
+def test_dedup_clusters_distributed_matches_driver():
+    """Min-label propagation (Dataset rounds) produces exactly the
+    union-find clustering."""
+    from dfg_gepris_crawler_ray.ops.dedup import dedup_clusters
+
+    SF = "/root/testdata/sf0.001"
+    a = dedup_clusters(SF, mode="driver").to_pandas()
+    b = dedup_clusters(SF, mode="distributed").to_pandas()
+    key = lambda df: sorted(
+        map(tuple, df[["doc_id", "cluster_rep", "keep"]].astype(str).to_numpy().tolist())
+    )
+    assert key(a) == key(b)
+    # sanity: at least one non-trivial cluster exists in the corpus
+    assert (a["cluster_rep"] != a["doc_id"]).any()
