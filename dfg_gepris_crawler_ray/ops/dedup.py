@@ -160,25 +160,13 @@ def minhash_lsh_dedup(
         .groupby("bucket")
         .map_groups(emit_bucket_pairs, batch_format="pandas")
     )
-    # distinct candidate pairs — distributed (pair-hash bucket + per-
-    # bucket drop_duplicates), then exact verification as a bucketed
-    # pairs⋈shingles co-group join: the corpus text column NEVER
-    # funnels through the driver; only the candidate doc-id set does
-    # (tiny by LSH construction — ≪ corpus cardinality).
-    cand = (
-        candidates.map_batches(
-            lambda b: b.assign(
-                pair_bucket=((b["doc_a"] * 1_000_003 + b["doc_b"]) % 64).astype("int32")
-            ),
-            batch_format="pandas",
-        )
-        .groupby("pair_bucket")
-        .map_groups(
-            lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
-            batch_format="pandas",
-        )
-        .materialize()
-    )
+    # exact verification as a bucketed pairs⋈shingles co-group join:
+    # the corpus text column NEVER funnels through the driver; only the
+    # candidate doc-id set does (tiny by LSH construction — ≪ corpus
+    # cardinality). Cross-bucket duplicate candidates need no separate
+    # dedup shuffle — the final per-pair group computes one verdict per
+    # (doc_a, doc_b) regardless of how many band buckets proposed it.
+    cand = candidates.materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(
             pa.schema(
@@ -186,16 +174,21 @@ def minhash_lsh_dedup(
             ).empty_table()
         )
 
-    # candidate doc-id SET to the driver (ids only, never text)
-    need_ids: set[int] = set()
+    # driver-side routing map: doc_id → the pair buckets that need its
+    # shingles (ids + bucket lists only, never text; bounded by the
+    # candidate set). Lets payloads ship DIRECTLY to their pair bucket,
+    # so verification costs ONE keyed shuffle instead of two.
+    need_buckets: dict[int, set[int]] = {}
     for b in cand.iter_batches(batch_format="pyarrow"):
-        need_ids.update(b.column("doc_a").to_pylist())
-        need_ids.update(b.column("doc_b").to_pylist())
-    ids_ref = ray.put(need_ids)
+        for da, db_ in zip(b.column("doc_a").to_pylist(), b.column("doc_b").to_pylist()):
+            pb = (da * 1_000_003 + db_) % 64
+            need_buckets.setdefault(da, set()).add(pb)
+            need_buckets.setdefault(db_, set()).add(pb)
+    route_ref = ray.put(need_buckets)
 
     _JOIN_SCHEMA = pa.schema(
         [
-            ("bucket", pa.int32()),
+            ("pair_bucket", pa.int32()),
             ("doc_id", pa.int64()),
             ("doc_a", pa.int64()),
             ("doc_b", pa.int64()),
@@ -205,58 +198,50 @@ def minhash_lsh_dedup(
 
     def doc_shingle_rows(batch: pa.Table) -> pa.Table:
         """Semi-join the docs scan to candidate ids; emit each kept
-        doc's shingle-hash set as a binary payload, keyed by doc hash."""
-        keep_set = ray.get(ids_ref)
-        ids = batch.column("doc_id").to_pylist()
-        mask = [i in keep_set for i in ids]
-        kept = batch.filter(pa.array(mask))
-        rows = {"bucket": [], "doc_id": [], "doc_a": [], "doc_b": [], "payload": []}
+        doc's shingle set once per destination pair bucket."""
+        route = ray.get(route_ref)
+        rows = {"pair_bucket": [], "doc_id": [], "doc_a": [], "doc_b": [], "payload": []}
         for doc_id, text in zip(
-            kept.column("doc_id").to_pylist(), kept.column("text").to_pylist()
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            rows["bucket"].append(doc_id % 64)
-            rows["doc_id"].append(doc_id)
-            rows["doc_a"].append(-1)
-            rows["doc_b"].append(-1)
-            rows["payload"].append(shingle_hashes(text, shingle_k).tobytes())
+            buckets = route.get(doc_id)
+            if not buckets:
+                continue
+            payload = shingle_hashes(text, shingle_k).tobytes()
+            for pb in buckets:
+                rows["pair_bucket"].append(pb)
+                rows["doc_id"].append(doc_id)
+                rows["doc_a"].append(-1)
+                rows["doc_b"].append(-1)
+                rows["payload"].append(payload)
         return pa.Table.from_pydict(rows, schema=_JOIN_SCHEMA)
 
-    def pair_side_rows(batch: pa.Table) -> pa.Table:
-        """Each pair emits one row per side, routed to that doc's bucket."""
+    def pair_rows(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_pylist()
         db_ = batch.column("doc_b").to_pylist()
         rows = {
-            "bucket": [x % 64 for x in da] + [x % 64 for x in db_],
-            "doc_id": da + db_,
-            "doc_a": da + da,
-            "doc_b": db_ + db_,
-            "payload": [b""] * (2 * len(da)),
+            "pair_bucket": [(a * 1_000_003 + b2) % 64 for a, b2 in zip(da, db_)],
+            "doc_id": [-1] * len(da),
+            "doc_a": da,
+            "doc_b": db_,
+            "payload": [b""] * len(da),
         }
         return pa.Table.from_pydict(rows, schema=_JOIN_SCHEMA)
 
     shingle_rows = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
         doc_shingle_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    side_rows = cand.map_batches(pair_side_rows, batch_format="pyarrow")
-
-    def attach_payload(group: pd.DataFrame) -> pd.DataFrame:
-        """Per doc-hash bucket: join each pair side to its doc's
-        shingles; re-key by pair hash for the final co-location."""
-        is_doc = group["doc_a"] < 0
-        payloads = dict(zip(group.loc[is_doc, "doc_id"], group.loc[is_doc, "payload"]))
-        sides = group.loc[~is_doc, ["doc_id", "doc_a", "doc_b"]].copy()
-        sides["payload"] = sides["doc_id"].map(payloads)
-        sides["pair_bucket"] = (
-            (sides["doc_a"] * 1_000_003 + sides["doc_b"]) % 64
-        ).astype("int32")
-        return sides[["doc_a", "doc_b", "doc_id", "payload", "pair_bucket"]]
+    side_rows = cand.map_batches(pair_rows, batch_format="pyarrow")
 
     def verify_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        """Per pair-hash bucket: both sides of each pair are present —
-        exact Jaccard over the two shingle sets."""
+        """Per pair bucket: payloads and pair rows co-located — exact
+        Jaccard per distinct pair (cross-bucket LSH duplicates collapse
+        here via drop_duplicates)."""
+        is_doc = group["doc_id"] >= 0
+        by_doc = dict(zip(group.loc[is_doc, "doc_id"], group.loc[is_doc, "payload"]))
+        pairs_df = group.loc[~is_doc, ["doc_a", "doc_b"]].drop_duplicates()
         out_a, out_b, out_j = [], [], []
-        for (da, db2), rows in group.groupby(["doc_a", "doc_b"]):
-            by_doc = dict(zip(rows["doc_id"], rows["payload"]))
+        for da, db2 in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
             sh_a = np.frombuffer(by_doc[da], dtype=np.uint64)
             sh_b = np.frombuffer(by_doc[db2], dtype=np.uint64)
             j = jaccard(sh_a, sh_b)
@@ -274,8 +259,7 @@ def minhash_lsh_dedup(
 
     return (
         shingle_rows.union(side_rows)
-        .groupby("bucket")
-        .map_groups(attach_payload, batch_format="pandas")
+        .repartition(16)
         .groupby("pair_bucket")
         .map_groups(verify_pairs, batch_format="pandas")
     )

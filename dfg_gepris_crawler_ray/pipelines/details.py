@@ -127,8 +127,14 @@ def run_details_extraction(
         bad = g[(g["n_done"] > 1) | ((g["n_done"] >= 1) & (g["n_pending"] >= 1))]
         return bad[["context", "id"]]
 
+    # coalesce the per-block partials (a few dozen bytes per key) into
+    # ~64 blocks before the keyed shuffle: Ray's sort-shuffle pays a
+    # fixed cost per INPUT block, and the clustered extract emits one
+    # tiny partial block per corpus block (measured at sf0.1×256:
+    # 4,000 input blocks → 59 s shuffle; repartition(64) first → 3.7 s)
     redo_rows = (
         combined.map_batches(status_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(64)
         .groupby("rbucket")
         .map_groups(bucket_conflicts, batch_format="pandas")
         .take_all()
@@ -175,11 +181,15 @@ def run_details_extraction(
     # ONLY the boundary rows (≤2 entities per block by construction),
     # so the raw html never funnels through the driver regardless of
     # how many blocks the corpus has.
+    # repartition(8) first: the boundary rows are ≤2 entities per input
+    # block, so the filter leaves thousands of near-empty blocks whose
+    # per-block shuffle overhead would dwarf the data (same effect as
+    # the redo-scan coalesce above)
     pending = combined.map_batches(
         lambda b: b.filter(pc.equal(b.column("status"), PENDING_STATUS)),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).repartition(8)
     repaired = pending.groupby("bucket").map_groups(
         lambda b: extract_bucket(b, strict=strict, politeness=politeness),
         batch_format="pyarrow",
