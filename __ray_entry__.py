@@ -670,6 +670,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sliding_windows": relational.sliding_window_counts,
         "rel_distinct_customers": relational.distinct_customers_per_segment,
         "rel_topk_per_segment": relational.topk_orders_per_segment,
+        "rel_asof_join": relational.asof_join_latest_order,
+        "text_hash_split": textstats.hash_split,
+        "text_quantile_digest": textstats.quantile_digest,
+        "dedup_clusters_dist": lambda sf: dedup.dedup_clusters(sf, mode="distributed"),
     }
 
 
@@ -739,7 +743,7 @@ def _quality_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "crawl_projekt_core": f"""
             SELECT 1000 + doc_id AS id,
                    'Projekt ' || doc_id AS name_de,
@@ -1147,7 +1151,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM s GROUP BY user_id, session_no
         """,
+        "rel_asof_join": """
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+            FROM events e JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            QUALIFY row_number() OVER (
+              PARTITION BY e.event_id
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+        """,
+        "text_hash_split": """
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                     AS hash_bucket,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+                          THEN 'train'
+                        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                          THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         # dedup_minhash_lsh / dedup_simhash_pairs / dedup_embedding_pairs /
-        # knn_lsh / text_quality / text_lang_id: non-SQL-expressible
-        # (hash-based sketches / heuristic models) → rows-only checks.
+        # knn_lsh / text_quality / text_lang_id / text_quantile_digest:
+        # non-SQL-expressible (hash-based sketches / heuristic models /
+        # approximate digests) → rows-only checks + error-bound pytest.
     }
+    # the distributed-cluster labeling must produce byte-identical
+    # output to the driver union-find, so it shares its oracle
+    oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
+    return oracles

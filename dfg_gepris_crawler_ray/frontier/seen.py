@@ -7,9 +7,15 @@ shard it across K actors routed by a stable hash of the canonical key
 (``hash(key) % K``); each shard holds either
 
 - an exact Python set (test scale / correctness oracle), or
-- a Bloom bit-array (numpy, k hashes) — the scale path: 10^10 keys at
-  10 bits/key ≈ 12.5 GB total, i.e. ~49 MB per shard on a 256-shard
-  cluster, with a documented false-positive rate (~0.9% at k=3).
+- a Bloom bit-array (numpy, k hashes) — 10^10 keys at 10 bits/key ≈
+  12.5 GB total, i.e. ~49 MB per shard on a 256-shard cluster, with a
+  documented false-positive rate (~0.9% at k=3), or
+- a Cuckoo filter (Fan et al., CoNEXT 2014: 4-slot buckets of 16-bit
+  fingerprints, partner bucket via xor of the fingerprint hash,
+  bounded eviction chains) — same order of memory as Bloom at ~0.01%
+  FP, and it supports DELETION, which Bloom cannot: a recrawl that
+  retires URLs (moved/purged entities) removes them from the filter
+  instead of tombstoning a side table.
 
 The exact Parquet state table remains the source of truth; the filter
 is the fast streaming membership test (SURVEY.md §2.6 note). Batch
@@ -28,7 +34,15 @@ from ..kernels.hashing import stable_hash64_array
 class SeenShard:
     """One shard of the seen-filter. Keys arrive pre-hashed (uint64)."""
 
-    def __init__(self, mode: str = "exact", bloom_bits: int = 1 << 24, bloom_hashes: int = 3):
+    def __init__(
+        self,
+        mode: str = "exact",
+        bloom_bits: int = 1 << 24,
+        bloom_hashes: int = 3,
+        cuckoo_buckets: int = 1 << 16,
+        cuckoo_slots: int = 4,
+        max_kicks: int = 500,
+    ):
         self.mode = mode
         if mode == "exact":
             self.keys: set[int] = set()
@@ -36,6 +50,13 @@ class SeenShard:
             self.bits = np.zeros(bloom_bits // 64 + 1, dtype=np.uint64)
             self.nbits = bloom_bits
             self.k = bloom_hashes
+        elif mode == "cuckoo":
+            if cuckoo_buckets & (cuckoo_buckets - 1):
+                raise ValueError("cuckoo_buckets must be a power of two (xor partner)")
+            self.table = np.zeros((cuckoo_buckets, cuckoo_slots), dtype=np.uint16)
+            self.m = cuckoo_buckets
+            self.max_kicks = max_kicks
+            self.rng = np.random.default_rng(0x5EED)
         else:
             raise ValueError(f"unknown seen-filter mode {mode!r}")
 
@@ -53,6 +74,54 @@ class SeenShard:
             out[i] = (h1 + np.uint64(i) * h2) % np.uint64(self.nbits)
         return out
 
+    # --- cuckoo internals (Fan et al. 2014) --------------------------------
+
+    def _cuckoo_fp_idx(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """fingerprint (16-bit, never 0) + the two candidate buckets.
+        Partner bucket = i1 xor hash(fp), an involution: either index
+        recovers the other from the stored fingerprint alone."""
+        from ..kernels.hashing import splitmix64
+
+        fp = (hashes >> np.uint64(48)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        mask = np.uint64(self.m - 1)
+        i1 = (hashes & mask).astype(np.int64)
+        fp_h = (splitmix64(fp.astype(np.uint64)) & mask).astype(np.int64)
+        i2 = i1 ^ fp_h
+        return fp, i1, i2
+
+    def _cuckoo_present(self, fp, i1, i2) -> np.ndarray:
+        return ((self.table[i1] == fp[:, None]).any(axis=1)) | (
+            (self.table[i2] == fp[:, None]).any(axis=1)
+        )
+
+    def _cuckoo_insert_one(self, fp: int, i1: int, i2: int) -> None:
+        from ..kernels.hashing import splitmix64
+
+        for idx in (i1, i2):
+            free = np.nonzero(self.table[idx] == 0)[0]
+            if len(free):
+                self.table[idx, free[0]] = fp
+                return
+        # eviction chain: kick a random resident to its partner bucket
+        idx = int(i1 if self.rng.integers(2) else i2)
+        cur = np.uint16(fp)
+        mask = np.uint64(self.m - 1)
+        for _ in range(self.max_kicks):
+            slot = int(self.rng.integers(self.table.shape[1]))
+            cur, self.table[idx, slot] = self.table[idx, slot], cur
+            partner = idx ^ int(
+                splitmix64(np.asarray([cur], dtype=np.uint64))[0] & mask
+            )
+            free = np.nonzero(self.table[partner] == 0)[0]
+            if len(free):
+                self.table[partner, free[0]] = cur
+                return
+            idx = partner
+        raise RuntimeError(
+            "cuckoo filter over capacity — grow cuckoo_buckets or shard wider"
+        )
+
     def add(self, hashes: np.ndarray) -> np.ndarray:
         """Insert; returns bool array: True where the key was NEW.
 
@@ -65,6 +134,12 @@ class SeenShard:
                 (h not in self.keys for h in uniq.tolist()), dtype=bool, count=len(uniq)
             )
             self.keys.update(uniq.tolist())
+        elif self.mode == "cuckoo":
+            fp, i1, i2 = self._cuckoo_fp_idx(uniq)
+            present = self._cuckoo_present(fp, i1, i2)  # vectorized probe
+            for j in np.nonzero(~present)[0]:  # sequential inserts (evictions)
+                self._cuckoo_insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
+            new_uniq = ~present
         else:
             pos = self._positions(uniq)
             word, bit = pos // np.uint64(64), pos % np.uint64(64)
@@ -83,6 +158,9 @@ class SeenShard:
             return np.fromiter(
                 (h in self.keys for h in hashes.tolist()), dtype=bool, count=len(hashes)
             )
+        if self.mode == "cuckoo":
+            fp, i1, i2 = self._cuckoo_fp_idx(hashes)
+            return self._cuckoo_present(fp, i1, i2)
         pos = self._positions(hashes)
         word, bit = pos // np.uint64(64), pos % np.uint64(64)
         present = np.ones(len(hashes), dtype=bool)
@@ -90,8 +168,37 @@ class SeenShard:
             present &= (self.bits[word[i]] >> bit[i]) & np.uint64(1) == 1
         return present
 
+    def delete(self, hashes: np.ndarray) -> np.ndarray:
+        """Remove keys (cuckoo/exact only — THE capability Bloom lacks;
+        reference analogue: retiring moved/purged entities from the
+        recrawl frontier). Returns True where a matching entry was
+        removed. Only delete keys that were actually inserted — cuckoo
+        deletion of a never-inserted key can evict a fingerprint twin."""
+        if self.mode == "exact":
+            out = np.fromiter(
+                (h in self.keys for h in hashes.tolist()), dtype=bool, count=len(hashes)
+            )
+            self.keys.difference_update(hashes.tolist())
+            return out
+        if self.mode != "cuckoo":
+            raise ValueError("delete() requires an exact or cuckoo filter")
+        fp, i1, i2 = self._cuckoo_fp_idx(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        for j in range(len(hashes)):
+            for idx in (int(i1[j]), int(i2[j])):
+                slots = np.nonzero(self.table[idx] == fp[j])[0]
+                if len(slots):
+                    self.table[idx, slots[0]] = 0
+                    out[j] = True
+                    break
+        return out
+
     def size(self) -> int:
-        return len(self.keys) if self.mode == "exact" else int(-1)
+        if self.mode == "exact":
+            return len(self.keys)
+        if self.mode == "cuckoo":
+            return int((self.table != 0).sum())
+        return int(-1)
 
 
 class SeenFilter:
@@ -126,6 +233,10 @@ class SeenFilter:
 
     def contains(self, keys: list[str]) -> np.ndarray:
         return self._scatter_gather("contains", stable_hash64_array(keys))
+
+    def delete(self, keys: list[str]) -> np.ndarray:
+        """Retire keys from the filter (exact / cuckoo modes)."""
+        return self._scatter_gather("delete", stable_hash64_array(keys))
 
     def add_hashed(self, hashes: np.ndarray) -> np.ndarray:
         """``add`` over pre-hashed uint64 keys — the hot-path variant:

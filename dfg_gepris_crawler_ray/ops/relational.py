@@ -531,3 +531,91 @@ def top_orders(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def asof_join_latest_order(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join — the §2.10 custom-operator path (a): for every
+    event, the same user's most recent order at event time
+    (``o_orderdate <= ts``; ties broken by ``o_orderkey`` max). Inner
+    semantics: events whose user has no prior order are dropped (keeps
+    dtypes deterministic vs the SQL oracle).
+
+    Shape: co-partition both sides by user-hash bucket (ONE keyed
+    shuffle), per-bucket vectorized ``pd.merge_asof`` over frames
+    sorted on the time key. At web scale with time-partitioned storage
+    the same per-bucket kernel runs as a sorted merge join; no
+    all-pairs work anywhere."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "ts": df["ts"],
+                "o_orderkey": -1,
+                "o_orderdate": pd.NaT,
+                "_side": "e",
+            }
+        ).assign(_b=lambda d: (d["key"] % 64).astype("int32"))
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_custkey"].astype("int64"),
+                "event_id": -1,
+                "ts": pd.NaT,
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "o_orderdate": df["o_orderdate"],
+                "_side": "o",
+            }
+        ).assign(_b=lambda d: (d["key"] % 64).astype("int32"))
+
+    unioned = events.map_batches(tag_events, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        e = group[group["_side"] == "e"][["key", "event_id", "ts"]].sort_values(
+            "ts", kind="stable"
+        )
+        o = group[group["_side"] == "o"][["key", "o_orderkey", "o_orderdate"]].sort_values(
+            ["o_orderdate", "o_orderkey"], kind="stable"
+        )
+        out_cols = ["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]
+        if not len(e) or not len(o):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        m = pd.merge_asof(
+            e,
+            o,
+            left_on="ts",
+            right_on="o_orderdate",
+            by="key",
+            direction="backward",  # with the secondary o_orderkey sort,
+            # equal-timestamp ties resolve to the max o_orderkey
+        )
+        m = m[m["o_orderkey"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["key"].astype("int64"),
+                "ts": m["ts"],
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+                "o_orderdate": m["o_orderdate"],
+            }
+        )[out_cols]
+
+    return unioned.groupby("_b").map_groups(per_bucket, batch_format="pandas")

@@ -290,3 +290,112 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", zero_copy_batch=True,
                           concurrency=2)
+
+
+def hash_split(sf_dir: str, train: int = 80, valid: int = 10) -> "ray.data.Dataset":
+    """Deterministic hash-based train/valid/test split — the standard
+    reproducible corpus partitioner for training-data pipelines. The
+    assignment is ``md5(str(doc_id))`` so an ANSI-SQL oracle reproduces
+    it bit-for-bit; row-local (NO shuffle, no state)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        split = np.where(
+            buckets < train, "train", np.where(buckets < train + valid, "valid", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "hash_bucket": pa.array(buckets),
+                "split": pa.array(split.tolist(), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- mergeable quantile digest ---------------------------------------------
+
+DIGEST_CENTROIDS = 256
+
+
+def _compress_centroids(means: np.ndarray, weights: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (mean, weight) centroids down to ≤ k by equal-weight
+    chunking over the mean-sorted sequence (t-digest-style merging
+    pass with a uniform scale function)."""
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    if len(means) <= k:
+        return means, weights
+    bounds = np.cumsum(weights)
+    target = total / k
+    bins = np.minimum((bounds - 1e-9) // target, k - 1).astype(np.int64)
+    out_w = np.bincount(bins, weights=weights, minlength=k)
+    out_m = np.bincount(bins, weights=weights * means, minlength=k)
+    keep = out_w > 0
+    return out_m[keep] / out_w[keep], out_w[keep]
+
+
+def quantile_digest(
+    sf_dir: str, qs=(0.5, 0.9, 0.99), k: int = DIGEST_CENTROIDS
+) -> "pa.Table":
+    """Approximate per-event-type quantiles via a MERGEABLE centroid
+    digest — the corpus-scale alternative to the exact
+    ``value_quantiles`` (which needs each group's full value vector in
+    one task). Per-batch partial digests (≤ k centroids each) shrink
+    the exchange to O(k) per group per batch; the driver merge is a
+    centroid compression, not a data collect. Rank error ≈ 1/k per
+    merge level (error-bound pinned in tests against the exact
+    quantiles)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    qs = list(qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = {"event_type": [], "means": [], "weights": []}
+        for etype, grp in df.groupby("event_type"):
+            v = np.sort(grp["value"].to_numpy(dtype=np.float64))
+            m, w = _compress_centroids(v, np.ones(len(v)), k)
+            rows["event_type"].append(etype)
+            rows["means"].append(m.tolist())
+            rows["weights"].append(w.tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(rows["event_type"], type=pa.string()),
+                "means": pa.array(rows["means"], type=pa.list_(pa.float64())),
+                "weights": pa.array(rows["weights"], type=pa.list_(pa.float64())),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+    out = {"event_type": [], "q": [], "value": []}
+    for etype, grp in partials.groupby("event_type"):
+        means = np.concatenate([np.asarray(m) for m in grp["means"]])
+        weights = np.concatenate([np.asarray(w) for w in grp["weights"]])
+        means, weights = _compress_centroids(means, weights, k)
+        cum = np.cumsum(weights) - weights / 2.0  # centroid mid-ranks
+        total = weights.sum()
+        for q in qs:
+            target = q * total
+            est = float(np.interp(target, cum, means))
+            out["event_type"].append(etype)
+            out["q"].append(q)
+            out["value"].append(est)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "q": pa.array(out["q"], type=pa.float64()),
+            "value": pa.array(out["value"], type=pa.float64()),
+        }
+    )

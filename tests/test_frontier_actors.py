@@ -166,3 +166,55 @@ def test_apply_host_budget_preserves_priority():
     out = apply_host_budget(frontier, max_per_host=2)
     assert list(out["id"]) == [0, 1, 2, 4]  # first 2 per host, priority order kept
     assert list(out["fetch_seq"]) == [0, 1, 2, 3]
+
+
+def test_seen_filter_cuckoo_membership_and_fp(ray_session):
+    """Cuckoo mode: no false negatives, FP rate far below Bloom's at
+    comparable memory (16-bit fingerprints, 4-slot buckets)."""
+    f = SeenFilter(num_shards=2, mode="cuckoo", cuckoo_buckets=1 << 12)
+    keys = [f"k/{i}" for i in range(5000)]
+    novel = f.add(keys)
+    assert novel.all()
+    assert f.contains(keys).all()  # no false negatives
+    again = f.add(keys)
+    assert not again.any()  # all already seen
+    fresh = [f"other/{i}" for i in range(20000)]
+    fp_rate = f.contains(fresh).mean()
+    assert fp_rate < 0.005, fp_rate  # ~2*4/2^16 ≈ 0.012% theoretical
+
+
+def test_seen_filter_cuckoo_delete(ray_session):
+    """Deletion — the capability Bloom lacks: retired keys drop out of
+    the filter while the rest stay."""
+    f = SeenFilter(num_shards=2, mode="cuckoo", cuckoo_buckets=1 << 12)
+    keys = [f"k/{i}" for i in range(2000)]
+    f.add(keys)
+    retired, kept = keys[:1000], keys[1000:]
+    removed = f.delete(retired)
+    assert removed.all()
+    assert f.contains(kept).all()  # survivors unaffected
+    # retired keys are gone modulo fingerprint twins (rate ≈ FP rate)
+    assert f.contains(retired).mean() < 0.01
+    # re-adding a retired key reports it as novel again
+    assert f.add(retired[:100]).all()
+
+
+def test_seen_filter_cuckoo_high_load(ray_session):
+    """The eviction chain packs buckets to high occupancy without
+    false negatives (design load ~84% here)."""
+    f = SeenFilter(num_shards=1, mode="cuckoo", cuckoo_buckets=1 << 10)
+    n = int((1 << 10) * 4 * 0.84)
+    keys = [f"k/{i}" for i in range(n)]
+    f.add(keys)
+    assert f.contains(keys).all()
+
+
+def test_unique_entities_cuckoo_matches_exact(ray_session):
+    from dfg_gepris_crawler_ray.frontier.seen import unique_entities_by_context
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages = ensure_pages("/root/testdata/sf0.001")
+    a = unique_entities_by_context(pages, num_shards=4, mode="exact").to_pandas()
+    b = unique_entities_by_context(pages, num_shards=4, mode="cuckoo").to_pandas()
+    key = lambda df: sorted(map(tuple, df.astype(str).to_numpy().tolist()))
+    assert key(a) == key(b)

@@ -354,3 +354,77 @@ def test_dedup_clusters_distributed_matches_driver():
     assert key(a) == key(b)
     # sanity: at least one non-trivial cluster exists in the corpus
     assert (a["cluster_rep"] != a["doc_id"]).any()
+
+
+def test_hash_split_deterministic_and_proportional():
+    import hashlib
+
+    from dfg_gepris_crawler_ray.ops.textstats import hash_split
+
+    SF = "/root/testdata/sf0.001"
+    df = hash_split(SF).to_pandas()
+    # deterministic: exact md5-derived assignment
+    for _, r in df.head(50).iterrows():
+        want = int(hashlib.md5(str(int(r["doc_id"])).encode()).hexdigest()[:8], 16) % 100
+        assert r["hash_bucket"] == want
+    # roughly proportional 80/10/10
+    frac = df["split"].value_counts(normalize=True)
+    assert 0.6 < frac.get("train", 0) < 0.95
+    assert set(df["split"]) <= {"train", "valid", "test"}
+    # stable across runs
+    df2 = hash_split(SF).to_pandas()
+    assert df.sort_values("doc_id").reset_index(drop=True).equals(
+        df2.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_quantile_digest_error_bound():
+    """The mergeable digest's estimates stay within ~1% rank error of
+    the exact per-group quantiles."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.textstats import quantile_digest
+
+    SF = "/root/testdata/sf0.01"
+    est = quantile_digest(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    for (etype, q), grp in est.groupby(["event_type", "q"]):
+        vals = np.sort(ev.loc[ev["event_type"] == etype, "value"].to_numpy())
+        got = float(grp["value"].iloc[0])
+        # rank of the estimate in the exact distribution vs target rank
+        rank = np.searchsorted(vals, got) / len(vals)
+        assert abs(rank - q) < 0.015, (etype, q, rank)
+
+
+def test_asof_join_matches_pandas_reference():
+    """Bucketed merge_asof equals a brute-force per-event reference."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.relational import asof_join_latest_order
+
+    SF = "/root/testdata/sf0.001"
+    got = asof_join_latest_order(SF).to_pandas().sort_values("event_id").reset_index(drop=True)
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts", "user_id"]).to_pandas()
+    orders = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_pandas()
+    rows = []
+    by_cust = dict(tuple(orders.groupby("o_custkey")))
+    for r in ev.itertuples():
+        o = by_cust.get(r.user_id)
+        if o is None:
+            continue
+        elig = o[o["o_orderdate"] <= r.ts]
+        if not len(elig):
+            continue
+        best = elig.sort_values(["o_orderdate", "o_orderkey"]).iloc[-1]
+        rows.append(
+            dict(event_id=r.event_id, user_id=r.user_id, ts=r.ts,
+                 o_orderkey=int(best["o_orderkey"]), o_orderdate=best["o_orderdate"])
+        )
+    want = pd.DataFrame(rows).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["o_orderkey"].to_numpy() == want["o_orderkey"].to_numpy()).all()
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
