@@ -671,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct_customers": relational.distinct_customers_per_segment,
         "rel_topk_per_segment": relational.topk_orders_per_segment,
         "rel_asof_join": relational.asof_join_latest_order,
+        "rel_q3_topk_shuffle": relational.q3_topk_revenue_shuffle,
         "text_hash_split": textstats.hash_split,
         "text_quantile_digest": textstats.quantile_digest,
         "dedup_clusters_dist": lambda sf: dedup.dedup_clusters(sf, mode="distributed"),
@@ -1176,6 +1177,8 @@ def oracle_sql() -> dict[str, str]:
         # approximate digests) → rows-only checks + error-bound pytest.
     }
     # the distributed-cluster labeling must produce byte-identical
-    # output to the driver union-find, so it shares its oracle
+    # output to the driver union-find, so it shares its oracle; the
+    # hash-shuffle Q3 must equal the broadcast Q3
     oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
+    oracles["rel_q3_topk_shuffle"] = oracles["rel_q3_topk_revenue"]
     return oracles

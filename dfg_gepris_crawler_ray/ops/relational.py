@@ -619,3 +619,92 @@ def asof_join_latest_order(sf_dir: str) -> "ray.data.Dataset":
         )[out_cols]
 
     return unioned.groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+def q3_topk_revenue_shuffle(
+    sf_dir: str, segment: str = "BUILDING", k: int = 10
+) -> "ray.data.Dataset":
+    """The Q3 3-way join via HASH-SHUFFLE — the scale path
+    ``segment_order_revenue_topk`` documents for when the segment's
+    order-key set no longer fits a ``ray.put`` broadcast.
+
+    Shape: customer(segment) semi-join into orders stays broadcast
+    (customers per segment ≪ orders); the orders⋈lineitem join runs as
+    a key-hash-bucket co-partition — per-batch partial revenue per
+    order first, so the shuffle carries one row per surviving order
+    per batch, never raw lineitems. Output identical to the broadcast
+    form (same oracle shape)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_keys = {
+        ck
+        for ck, seg in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()
+        )
+        if seg == segment
+    }
+    seg_ref = ray.put(seg_keys)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(seg_ref)
+        sel = df[df["o_custkey"].isin(keys)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": sel["o_orderkey"].astype("int64"),
+                "o_orderdate": sel["o_orderdate"],
+                "revenue": 0.0,
+                "_side": "o",
+            }
+        ).assign(_b=lambda d: (d["o_orderkey"] % 64).astype("int32"))
+
+    def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = (
+            pd.DataFrame({"o_orderkey": df["l_orderkey"].astype("int64"), "revenue": rev})
+            .groupby("o_orderkey", as_index=False)["revenue"]
+            .sum()  # per-batch partial: one row per order per batch
+        )
+        g["o_orderdate"] = pd.NaT
+        g["_side"] = "l"
+        return g[["o_orderkey", "o_orderdate", "revenue", "_side"]].assign(
+            _b=lambda d: (d["o_orderkey"] % 64).astype("int32")
+        )
+
+    unioned = orders.map_batches(tag_orders, batch_format="pandas").union(
+        li.map_batches(tag_lineitem, batch_format="pandas")
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        o = group[group["_side"] == "o"][["o_orderkey", "o_orderdate"]]
+        l = group[group["_side"] == "l"]
+        if not len(o) or not len(l):
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "revenue": pd.Series([], dtype="float64"),
+                    "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        rev = l.groupby("o_orderkey", as_index=False)["revenue"].sum()
+        m = rev.merge(o, on="o_orderkey")  # inner: only segment orders survive
+        return m[["o_orderkey", "revenue", "o_orderdate"]]
+
+    per_order = unioned.groupby("_b").map_groups(per_bucket, batch_format="pandas")
+    topk = per_order.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = round_half_away(df["revenue"], 2)
+        return df[["o_orderkey", "revenue", "o_orderdate"]]
+
+    return topk.map_batches(finish, batch_format="pandas")
