@@ -298,8 +298,11 @@ def ngram_jaccard_pairs(
        partial intersection counts (ONE Python call per bucket).
     3. groupby (doc_a, doc_b) sum → exact |A∩B| (pairs sharing ≥1 gram
        only — lossless for any threshold > 0).
-    4. |A| and |B| broadcast (per-doc distinct-gram counts, one int per
-       doc) → integer-exact threshold + ppm.
+    4. |A| and |B| RIDE ALONG on the gram rows (each posting carries
+       its doc's distinct-gram count — a constant per doc, so any
+       partial row has the true sizes) → integer-exact threshold +
+       ppm. No driver-resident size map: a per-doc broadcast dict
+       would be corpus-cardinality at 10^10 docs.
 
     Postings of hub grams with more than ``max_bucket`` docs are
     dropped with a log (at web scale drop stopword-run grams); the
@@ -310,37 +313,34 @@ def ngram_jaccard_pairs(
     num_buckets = 64
 
     def to_grams(batch: pa.Table) -> pa.Table:
-        out_hash, out_doc = [], []
+        out_hash, out_doc, out_size = [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            for g in word_ngrams(text, n):
+            grams_set = word_ngrams(text, n)
+            n_grams = len(grams_set)
+            for g in grams_set:
                 h = hashlib.blake2b(g.encode(), digest_size=8).digest()
                 out_hash.append(int.from_bytes(h, "big") % (1 << 62))
                 out_doc.append(doc_id)
+                out_size.append(n_grams)
         ha = np.asarray(out_hash, dtype=np.int64)
         return pa.table(
             {
                 "bucket": pa.array(ha % num_buckets, type=pa.int32()),
                 "gram_hash": pa.array(ha),
                 "doc_id": pa.array(out_doc, type=pa.int64()),
+                "n_grams": pa.array(out_size, type=pa.int64()),
             }
         )
 
-    grams = ds.map_batches(
-        to_grams, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # reused twice: set sizes + pair partials
-
-    from ray.data.aggregate import Count
-
-    sizes_df = grams.groupby("doc_id").aggregate(Count(alias_name="n_grams")).to_pandas()
-    set_sizes = dict(zip(sizes_df["doc_id"].astype(int), sizes_df["n_grams"].astype(int)))
-    sizes_ref = ray.put(set_sizes)
+    grams = ds.map_batches(to_grams, batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_pair_partials(group: pd.DataFrame) -> pd.DataFrame:
         """One call per hash bucket: self-merge on gram_hash → partial
-        |A∩B| per doc pair within this bucket's grams."""
-        g = group[["gram_hash", "doc_id"]]
+        |A∩B| per doc pair within this bucket's grams, set sizes
+        carried along (first value per pair side)."""
+        g = group[["gram_hash", "doc_id", "n_grams"]]
         post = g.groupby("gram_hash")["doc_id"].transform("size")
         hubs = int((post > max_bucket).sum())
         if hubs:
@@ -355,8 +355,9 @@ def ngram_jaccard_pairs(
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         out = (
             m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
-            .size()
-            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b", "size": "inter"})
+            .agg(inter=("gram_hash", "size"), size_a=("n_grams_x", "first"),
+                 size_b=("n_grams_y", "first"))
+            .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
         )
         # second shuffle key: pair hash → the global sum is again 64
         # vectorized groups, not one Ray aggregate per pair (a 1M-group
@@ -369,11 +370,10 @@ def ngram_jaccard_pairs(
     )
 
     def sum_and_threshold(group: pd.DataFrame) -> pd.DataFrame:
-        sizes = ray.get(sizes_ref)
-        s = group.groupby(["doc_a", "doc_b"], as_index=False)["inter"].sum()
-        size_a = s["doc_a"].map(sizes).astype("int64")
-        size_b = s["doc_b"].map(sizes).astype("int64")
-        union = size_a + size_b - s["inter"]
+        s = group.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("inter", "sum"), size_a=("size_a", "first"), size_b=("size_b", "first")
+        )
+        union = s["size_a"].astype("int64") + s["size_b"].astype("int64") - s["inter"]
         keep = (union > 0) & (threshold_den * s["inter"] >= threshold_num * union)
         s = s[keep]
         s["jaccard_ppm"] = (s["inter"] * 1_000_000 // union[keep]).astype("int64")

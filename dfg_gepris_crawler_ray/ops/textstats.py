@@ -62,10 +62,17 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
     P, M = 1099511628211, (1 << 61) - 1
     rolls = np.empty(len(texts), dtype=np.uint64)
+    # token hashes memoized per batch: natural text repeats tokens
+    # heavily, so blake2b runs once per distinct token, not per
+    # occurrence (values identical to the uncached loop)
+    cache: dict[str, int] = {}
     for i, t in enumerate(texts):
         h = 14695981039346656037
         for tok in t.split(" "):
-            h = (h * P + hash_token(tok)) % M
+            th = cache.get(tok)
+            if th is None:
+                th = cache[tok] = hash_token(tok)
+            h = (h * P + th) % M
         rolls[i] = h
     return pa.table(
         {
