@@ -118,10 +118,13 @@ def main():
     timed("dedup_exact", lambda: dedup.exact_dedup(SF_DIR).materialize())
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_dedup(SF_DIR).materialize())
     timed("dedup_ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(SF_DIR).materialize())
+    timed("dedup_clusters", lambda: dedup.dedup_clusters(SF_DIR).materialize())
     timed("knn_brute", lambda: similarity.knn_brute(SF_DIR))
     timed("text_token_stats", lambda: textstats.token_stats(SF_DIR).materialize())
+    timed("text_hash_split", lambda: textstats.hash_split(SF_DIR).materialize())
     timed("rel_pricing_summary", lambda: relational.pricing_summary(SF_DIR).materialize())
     timed("rel_session_windows", lambda: relational.session_windows(SF_DIR).materialize())
+    timed("rel_asof_join", lambda: relational.asof_join_latest_order(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big
