@@ -605,7 +605,14 @@ def _q_data_monitor(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from dfg_gepris_crawler_ray.ops import dedup, multimodal, relational, similarity, textstats
+    from dfg_gepris_crawler_ray.ops import (
+        curation,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
 
     return {
         # --- crawl pipelines (SURVEY §2 / §3) ------------------------------
@@ -674,6 +681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q3_topk_shuffle": relational.q3_topk_revenue_shuffle,
         "text_hash_split": textstats.hash_split,
         "text_quantile_digest": textstats.quantile_digest,
+        "text_corpus_curation": curation.corpus_curation,
+        "rel_stratified_sample": curation.stratified_sample,
         "dedup_clusters_dist": lambda sf: dedup.dedup_clusters(sf, mode="distributed"),
     }
 
@@ -740,6 +749,47 @@ def _quality_oracle_sql() -> str:
                round(0.7 * least(n_tokens / 100.0, 1.0)
                      + 0.3 * (1 - abs(ratio - 0.4)), 6) AS quality_score
         FROM r
+    """
+
+
+def _curation_oracle_sql(
+    min_quality: float = 0.5, min_tokens: int = 30, lo: int = 0, hi: int = 80
+) -> str:
+    """End-to-end mirror of ops.curation.corpus_curation: quality
+    scoring (shared stopword source) → hash split → exact-dedup
+    keep-one, in the same order."""
+    from dfg_gepris_crawler_ray.ops.textstats import _STOPWORDS
+
+    stops = sorted(set().union(*_STOPWORDS.values()))
+    stop_list = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in stops) + "]"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS toks
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, text, len(toks) AS n_tokens,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE len(list_filter(toks, w -> list_contains({stop_list}, w)))::DOUBLE
+                           / len(toks) END AS ratio
+          FROM t
+        ),
+        q AS (
+          SELECT doc_id, text, n_tokens,
+                 round(0.7 * least(n_tokens / 100.0, 1.0)
+                       + 0.3 * (1 - abs(ratio - 0.4)), 6) AS quality_score
+          FROM r
+        ),
+        f AS (
+          SELECT doc_id, text, n_tokens, quality_score
+          FROM q
+          WHERE quality_score >= {min_quality} AND n_tokens >= {min_tokens}
+            AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                  BETWEEN {lo} AND {hi - 1}
+        )
+        SELECT doc_id, n_tokens, quality_score FROM f
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
     """
 
 
@@ -1170,6 +1220,13 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'valid'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "text_corpus_curation": _curation_oracle_sql(),
+        "rel_stratified_sample": """
+            SELECT event_id, ts, user_id, event_type, value FROM events
+            WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+                  < CASE event_type WHEN 'click' THEN 100 WHEN 'view' THEN 100
+                                    WHEN 'purchase' THEN 500 ELSE 1000 END
         """,
         # dedup_minhash_lsh / dedup_simhash_pairs / dedup_embedding_pairs /
         # knn_lsh / text_quality / text_lang_id / text_quantile_digest:

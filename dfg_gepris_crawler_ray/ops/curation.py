@@ -1,0 +1,116 @@
+"""End-to-end training-corpus curation — the composition the single
+ops exist for, run as ONE streaming pipeline.
+
+``corpus_curation``: quality filter → deterministic split → exact
+dedup keep-one — the canonical "raw crawl → training corpus" funnel.
+All row-local scoring fuses into a single ``map_batches`` pass over
+the corpus (one read, no intermediate materialization); the only
+exchange is the content-hash bucket groupby of the SURVIVORS (post-
+filter, so the shuffle carries the kept subset only). Every step is
+ANSI-SQL-reproducible, so the whole pipeline is oracle-checked
+end-to-end — not just its parts.
+
+``stratified_sample``: per-class deterministic hash sampling (e.g.
+downsample the dominant event classes, keep the rare ones whole) —
+row-local, reproducible, SQL-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .textstats import quality_batch
+
+#: per-class keep rates for the stratified events sample (rebalancing:
+#: dominant interaction classes downsampled, rare/important kept whole)
+STRATA_RATES = {"click": 0.1, "view": 0.1, "purchase": 0.5, "signup": 1.0, "error": 1.0}
+
+
+def corpus_curation(
+    sf_dir: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 30,
+    split: str = "train",
+    train: int = 80,
+    valid: int = 10,
+) -> "ray.data.Dataset":
+    """documents → curated training corpus: (doc_id, n_tokens,
+    quality_score) for docs that pass the quality bar, fall in the
+    requested hash split, and are their duplicate-group's
+    representative (min doc_id per exact content hash).
+
+    Dedup runs AFTER the filters (smaller shuffle; the oracle mirrors
+    the same order)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lo, hi = (0, train) if split == "train" else (
+        (train, train + valid) if split == "valid" else (train + valid, 100)
+    )
+
+    def score_and_filter(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)  # doc_id, n_tokens, stopword_ratio, quality_score
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        split_bucket = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 for i in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        n_tok = np.asarray(q.column("n_tokens"))
+        score = np.asarray(q.column("quality_score"))
+        keep = (
+            (score >= min_quality)
+            & (n_tok >= min_tokens)
+            & (split_bucket >= lo)
+            & (split_bucket < hi)
+        )
+        kept_md5 = [m for m, k in zip(md5s, keep) if k]
+        return pa.table(
+            {
+                "doc_id": pa.array([i for i, k in zip(ids, keep) if k], type=pa.int64()),
+                "n_tokens": pa.array(n_tok[keep]),
+                "quality_score": pa.array(score[keep]),
+                "content_md5": pa.array(kept_md5, type=pa.string()),
+                "bucket": pa.array(
+                    [int(m[:2], 16) % 64 for m in kept_md5], type=pa.int32()
+                ),
+            }
+        )
+
+    scored = ds.map_batches(score_and_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_representative(group: pd.DataFrame) -> pd.DataFrame:
+        rep = group.loc[group.groupby("content_md5")["doc_id"].idxmin()]
+        return rep[["doc_id", "n_tokens", "quality_score"]]
+
+    return scored.groupby("bucket").map_groups(keep_representative, batch_format="pandas")
+
+
+def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None) -> "ray.data.Dataset":
+    """Deterministic per-class sampling of the events stream: keep an
+    event iff ``md5(str(event_id)) % 1000 < rate(class) * 1000``.
+    Row-local (no shuffle, no RNG state); the same rows come back on
+    every run and in SQL."""
+    rates = STRATA_RATES if rates is None else rates
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        etypes = batch.column("event_type").to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000 for i in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        cut = np.fromiter(
+            (int(rates.get(t, 1.0) * 1000) for t in etypes), dtype=np.int64, count=len(etypes)
+        )
+        return batch.filter(pa.array(h < cut))
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)

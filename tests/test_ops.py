@@ -428,3 +428,48 @@ def test_asof_join_matches_pandas_reference():
     assert len(got) == len(want)
     assert (got["o_orderkey"].to_numpy() == want["o_orderkey"].to_numpy()).all()
     assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+
+
+def test_corpus_curation_subset_semantics():
+    """Curated corpus ⊆ documents; every kept doc passes the bar; one
+    representative per content hash; split respected."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.curation import corpus_curation
+
+    SF = "/root/testdata/sf0.001"
+    got = corpus_curation(SF, min_quality=0.5, min_tokens=30).to_pandas()
+    assert len(got) > 0
+    assert (got["quality_score"] >= 0.5).all()
+    assert (got["n_tokens"] >= 30).all()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas().set_index("doc_id")
+    md5s = got["doc_id"].map(
+        lambda i: hashlib.md5(docs.loc[i, "text"].encode()).hexdigest()
+    )
+    assert md5s.is_unique  # one representative per duplicate group
+    buckets = got["doc_id"].map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+    )
+    assert (buckets < 80).all()  # train split only
+
+
+def test_stratified_sample_rates():
+    from dfg_gepris_crawler_ray.ops.curation import STRATA_RATES, stratified_sample
+
+    SF = "/root/testdata/sf0.01"
+    got = stratified_sample(SF).to_pandas()
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"/root/testdata/sf0.01/events.parquet").to_pandas()
+    for etype, rate in STRATA_RATES.items():
+        n_full = (full["event_type"] == etype).sum()
+        n_got = (got["event_type"] == etype).sum()
+        if rate == 1.0:
+            assert n_got == n_full  # rare classes kept whole
+        else:
+            assert abs(n_got / n_full - rate) < 0.05, (etype, n_got / n_full)
+    # determinism
+    again = stratified_sample(SF).to_pandas()
+    assert sorted(got["event_id"]) == sorted(again["event_id"])
