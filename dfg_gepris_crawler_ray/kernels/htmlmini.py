@@ -33,12 +33,14 @@ _VOID_TAGS = frozenset(
 
 
 class Node:
-    __slots__ = ("tag", "attrib", "children")
+    __slots__ = ("tag", "attrib", "children", "_desc", "_by_tag")
 
     def __init__(self, tag: str, attrib: dict | None = None):
         self.tag = tag
         self.attrib = attrib or {}
         self.children: list = []  # Node | str interleaved, document order
+        self._desc: list | None = None  # lazy descendant cache (find/find_all)
+        self._by_tag: dict | None = None  # lazy tag → descendants index
 
     # --- attribute / class helpers -------------------------------------
     def get(self, name: str, default=None):
@@ -97,6 +99,28 @@ class Node:
             if not advanced:
                 stack.pop()
 
+    def _candidates(self, tag: str | None) -> list["Node"]:
+        """Descendants to scan for a query — cached per node (trees are
+        immutable after parse in this engine), with a tag-keyed index
+        built on first use: repeated selector queries over the same
+        subtree (the validator → parse-chain pattern, ~10 queries per
+        page) traverse the tree ONCE instead of once per query."""
+        desc = self._desc
+        if desc is None:
+            desc = self._desc = list(self.iter_elems())
+        if tag is None:
+            return desc
+        idx = self._by_tag
+        if idx is None:
+            idx = self._by_tag = {}
+            for el in desc:
+                lst = idx.get(el.tag)
+                if lst is None:
+                    idx[el.tag] = [el]
+                else:
+                    lst.append(el)
+        return idx.get(tag, ())
+
     def find_all(self, tag: str | None = None, cls: str | None = None,
                  id: str | None = None, pred=None) -> list["Node"]:
         """Descendant search (xpath ``.//``), AND of the given filters.
@@ -104,9 +128,7 @@ class Node:
         ``cls`` matches a class *token* (CSS semantics).
         """
         out = []
-        for el in self.iter_elems():
-            if tag is not None and el.tag != tag:
-                continue
+        for el in self._candidates(tag):
             if cls is not None and not el.has_class(cls):
                 continue
             if id is not None and el.attrib.get("id") != id:
@@ -118,10 +140,9 @@ class Node:
 
     def find(self, tag: str | None = None, cls: str | None = None,
              id: str | None = None, pred=None):
-        """First matching descendant — lazy early-exit scan."""
-        for el in self.iter_elems():
-            if tag is not None and el.tag != tag:
-                continue
+        """First matching descendant (document order preserved by the
+        cached per-tag candidate list)."""
+        for el in self._candidates(tag):
             if cls is not None and not el.has_class(cls):
                 continue
             if id is not None and el.attrib.get("id") != id:

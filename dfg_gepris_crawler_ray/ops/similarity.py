@@ -48,14 +48,22 @@ def _merge_topk(partials, query_ids, k: int) -> pa.Table:
 
 
 def _load_queries(sf_dir: str, query_ids: list[int]) -> np.ndarray:
+    """Fetch the query vectors with the id predicate pushed into the
+    parquet read (row-group pruning) — only matching row groups are
+    decoded, never the whole embedding column."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    lookup = {}
-    wanted = set(query_ids)
-    for vid, emb in zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()):
-        if vid in wanted:
-            lookup[vid] = np.asarray(emb, dtype=np.float64)
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(query_ids))],
+    )
+    lookup = {
+        vid: np.asarray(emb, dtype=np.float64)
+        for vid, emb in zip(
+            tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()
+        )
+    }
     return np.stack([lookup[q] for q in query_ids])
 
 
