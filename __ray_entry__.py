@@ -645,6 +645,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_embedding_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, threshold=0.35),
+        "dedup_embedding_ivf": lambda sf: dedup.embedding_neardup_pairs(
+            sf, threshold=0.35, mode="ivf"
+        ),
         "knn_brute": lambda sf: similarity.knn_brute(sf).select(
             ["query_id", "rank", "neighbor_id"]
         ),
@@ -681,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_q3_topk_shuffle": relational.q3_topk_revenue_shuffle,
         "text_hash_split": textstats.hash_split,
         "text_quantile_digest": textstats.quantile_digest,
+        "text_bpe_tokens": textstats.bpe_token_count,
         "text_corpus_curation": curation.corpus_curation,
         "rel_stratified_sample": curation.stratified_sample,
         "dedup_clusters_dist": lambda sf: dedup.dedup_clusters(sf, mode="distributed"),
@@ -1219,6 +1223,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
                           THEN 'valid'
                         ELSE 'test' END AS split
+            FROM documents
+        """,
+        "text_bpe_tokens": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
+                     AS n_bpe_tokens
             FROM documents
         """,
         "text_corpus_curation": _curation_oracle_sql(),

@@ -703,12 +703,25 @@ def embedding_neardup_pairs(
       triangle hits. O(N²/P) per task, exact (oracle-checkable). Right
       up to ~10^6 vectors per broadcast shard; beyond that, shard the
       matrix and run the block-pair grid.
+    - ``mode="ivf"``: IVF multi-assignment — distributed spherical
+      k-means, each vector joins its top-``n_assign`` centroid lists,
+      pairwise scan per list, distributed pair-dedup. Sound
+      approximate: a near-dup pair co-occurs in a list unless the two
+      vectors' top-``n_assign`` centroid sets are disjoint (measured
+      at the aggressive threshold 0.35: recall 0.66/0.87/0.97 for
+      n_assign 2/3/4 at 16 centroids — the default 4 is pinned ≥0.9
+      in tests; production near-dup thresholds ≥0.9 co-locate far
+      more tightly and tolerate smaller n_assign). The scale default when the matrix
+      outgrows even the block-pair grid's O(N²) compute.
     - ``mode="bucketed"``: per-``label`` pairwise scan — cheap but only
       finds within-bucket pairs (measured: misses ~90% of true pairs
       at threshold 0.35 on the synthetic table, where labels don't
       align with the similarity structure; sound only when the bucket
-      key provably co-locates near-dups).
+      key provably co-locates near-dups). Kept as the cautionary
+      example; prefer ``ivf``.
     """
+    if mode == "ivf":
+        return _embedding_neardup_ivf(sf_dir, threshold)
     if mode == "bucketed":
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -804,3 +817,73 @@ def embedding_neardup_pairs(
     return ray.data.from_arrow(
         pa.concat_tables(hits) if hits else schema.empty_table()
     )
+
+
+def _embedding_neardup_ivf(
+    sf_dir: str,
+    threshold: float,
+    n_centroids: int = 16,
+    n_assign: int = 4,
+    n_iters: int = 3,
+) -> "ray.data.Dataset":
+    """IVF multi-assignment near-dup pairs (see embedding_neardup_pairs
+    mode='ivf'). One keyed shuffle (centroid id); per-list pairwise
+    matmul; pair-hash-bucket dedup of cross-list duplicates."""
+    from .similarity import spherical_kmeans
+
+    cent = spherical_kmeans(sf_dir, n_centroids=n_centroids, n_iters=n_iters)
+    cent_ref = ray.put(cent)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        mat = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
+        )
+        mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        top = np.argsort(-(mn @ c.T), axis=1)[:, :n_assign]  # (n, n_assign)
+        rep_ids = np.repeat(ids, n_assign)
+        rep_cent = top.reshape(-1).astype(np.int64)
+        rep_vecs = np.repeat(mn, n_assign, axis=0)
+        return pa.table(
+            {
+                "centroid": pa.array(rep_cent),
+                "vec_id": pa.array(rep_ids),
+                "normed": pa.array(rep_vecs.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def list_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype="int64"),
+                 "vec_b": pd.Series([], dtype="int64"),
+                 "cosine": pd.Series([], dtype="float64"),
+                 "pair_bucket": pd.Series([], dtype="int32")}
+            )
+        mat = np.asarray([np.asarray(v) for v in g["normed"]])
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
+        hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        return pd.DataFrame(
+            {
+                "vec_a": lo,
+                "vec_b": hi,
+                "cosine": np.floor(sims[ia, ib][keep] * 1e6 + 0.5) / 1e6,
+                "pair_bucket": ((lo * 1_000_003 + hi) % 64).astype("int32"),
+            }
+        )
+
+    pairs = assigned.groupby("centroid").map_groups(list_pairs, batch_format="pandas")
+
+    def dedupe(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b", "cosine"]]
+
+    return pairs.groupby("pair_bucket").map_groups(dedupe, batch_format="pandas")

@@ -109,35 +109,16 @@ def knn_brute(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pa.Table:
     return _merge_topk(partials, query_ids, k)
 
 
-def knn_ivf(
-    sf_dir: str,
-    query_ids=(0, 1, 2, 3, 4),
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    n_iters: int = 3,
-) -> pa.Table:
-    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
-    the other classic scale path besides LSH.
-
-    1. Spherical k-means over the full table, computed DISTRIBUTED:
-       centroids broadcast per iteration, per-batch partial (sum,count)
-       accumulators inside ``map_batches``, tiny driver reduce. Init is
-       deterministic (the ``n_centroids`` lowest vec_ids).
-    2. Each vector belongs to its nearest centroid's inverted list;
-       a query scores only the ``n_probe`` nearest lists. At cluster
-       scale the lists are hash-partitioned by centroid id so a probe
-       touches ``n_probe / n_centroids`` of the data.
-
-    Columns match ``knn_brute``; measured recall@10 ≈ 0.86 at the default 4/16 probe budget (sf0.01).
-    """
-    query_ids = list(query_ids)
-    q = _load_queries(sf_dir, query_ids)
-    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
-
-    cent = _load_queries(sf_dir, list(range(n_centroids)))  # deterministic init
+def spherical_kmeans(
+    sf_dir: str, n_centroids: int = 16, n_iters: int = 3
+) -> np.ndarray:
+    """Distributed spherical k-means over the embeddings table:
+    centroids broadcast per iteration, per-batch partial (sum, count)
+    accumulators inside ``map_batches``, tiny driver reduce
+    (n_centroids rows per batch — bounded, never the vectors).
+    Deterministic init: the ``n_centroids`` lowest vec_ids."""
+    cent = _load_queries(sf_dir, list(range(n_centroids)))
     cent = cent / np.clip(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12, None)
-
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     for _ in range(n_iters):
@@ -167,6 +148,37 @@ def knn_ivf(
                 s = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)
                 new_cent[cid] = s / max(np.linalg.norm(s), 1e-12)
         cent = new_cent
+    return cent
+
+
+def knn_ivf(
+    sf_dir: str,
+    query_ids=(0, 1, 2, 3, 4),
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+) -> pa.Table:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the other classic scale path besides LSH.
+
+    1. Spherical k-means over the full table, computed DISTRIBUTED:
+       centroids broadcast per iteration, per-batch partial (sum,count)
+       accumulators inside ``map_batches``, tiny driver reduce. Init is
+       deterministic (the ``n_centroids`` lowest vec_ids).
+    2. Each vector belongs to its nearest centroid's inverted list;
+       a query scores only the ``n_probe`` nearest lists. At cluster
+       scale the lists are hash-partitioned by centroid id so a probe
+       touches ``n_probe / n_centroids`` of the data.
+
+    Columns match ``knn_brute``; measured recall@10 ≈ 0.86 at the default 4/16 probe budget (sf0.01).
+    """
+    query_ids = list(query_ids)
+    q = _load_queries(sf_dir, query_ids)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = spherical_kmeans(sf_dir, n_centroids, n_iters)
 
     # probe lists per query + candidate SCORING inside the scan: each
     # batch scores only its rows assigned to probed lists and emits a

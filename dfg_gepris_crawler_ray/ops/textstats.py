@@ -12,6 +12,7 @@ Large-scale training-data pipeline staples, each a vectorised
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -406,3 +407,35 @@ def quantile_digest(
             "value": pa.array(out["value"], type=pa.float64()),
         }
     )
+
+
+#: GPT-2-style pre-tokenizer shape (contractions, letter runs, digit
+#: runs, symbol runs, each with an optional leading space) restricted
+#: to character classes whose semantics are IDENTICAL in Python `re`
+#: and RE2 — so the SQL oracle counts the same tokens bit-for-bit.
+BPE_TOKEN_RE = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+_BPE_RX = re.compile(BPE_TOKEN_RE)
+
+
+def bpe_token_count(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace count plus a
+    BPE-ish pre-tokenizer count (the budget estimate a training
+    pipeline uses before real tokenization). Pattern compiled once per
+    process at module import; row-local, no shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ws = np.fromiter((len(t.split(" ")) for t in texts), dtype=np.int64, count=len(texts))
+        bpe = np.fromiter(
+            (len(_BPE_RX.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ws_tokens": pa.array(ws),
+                "n_bpe_tokens": pa.array(bpe),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)

@@ -473,3 +473,19 @@ def test_stratified_sample_rates():
     # determinism
     again = stratified_sample(SF).to_pandas()
     assert sorted(got["event_id"]) == sorted(again["event_id"])
+
+
+def test_embedding_neardup_ivf_recall():
+    """IVF multi-assignment near-dup: precision 1.0 (every reported
+    pair is verified exact cosine) and recall ≥ 0.9 vs the exact
+    block-pair grid at the query threshold."""
+    from dfg_gepris_crawler_ray.ops.dedup import embedding_neardup_pairs
+
+    SF = "/root/testdata/sf0.01"
+    exact = embedding_neardup_pairs(SF, threshold=0.35, mode="exact").to_pandas()
+    ivf = embedding_neardup_pairs(SF, threshold=0.35, mode="ivf").to_pandas()
+    exact_set = set(zip(exact["vec_a"], exact["vec_b"]))
+    ivf_set = set(zip(ivf["vec_a"], ivf["vec_b"]))
+    assert ivf_set <= exact_set  # no false pairs (scores are exact)
+    recall = len(ivf_set & exact_set) / len(exact_set)
+    assert recall >= 0.9, recall
