@@ -685,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_hash_split": textstats.hash_split,
         "text_quantile_digest": textstats.quantile_digest,
         "text_bpe_tokens": textstats.bpe_token_count,
+        "text_top_tokens": lambda sf: textstats.top_tokens(sf, k=50),
         "text_corpus_curation": curation.corpus_curation,
         "rel_stratified_sample": curation.stratified_sample,
         "dedup_clusters_dist": lambda sf: dedup.dedup_clusters(sf, mode="distributed"),
@@ -1232,6 +1233,13 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "text_top_tokens": """
+            SELECT tok AS token, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+            ORDER BY n DESC, tok ASC
+            LIMIT 50
         """,
         "text_corpus_curation": _curation_oracle_sql(),
         "rel_stratified_sample": """

@@ -439,3 +439,61 @@ def bpe_token_count(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_tokens(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
+    """Exact corpus-wide token top-k — the canonical wordcount, shaped
+    for scale: per-batch partial counts (one row per distinct token per
+    batch) → token-hash-bucket shuffle → vectorized per-bucket sum +
+    per-bucket top-k pre-prune (each bucket can contribute at most k
+    winners, so the global sort sees ≤ 64·k rows, not the vocabulary).
+    Ties break by token ascending (deterministic, matches the oracle's
+    ORDER BY)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for tok in t.split(" "):
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = list(counts)
+        buckets = (
+            stable_hash64_array_local(toks) % np.uint64(64)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "n": pa.array(list(counts.values()), type=pa.int64()),
+                "bucket": pa.array(buckets),
+            }
+        )
+
+    def bucket_topk(group) -> "pa.Table":
+        import pandas as pd
+
+        g = group.groupby("token", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(k)
+        return g[["token", "n"]]
+
+    pruned = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+    )
+    # global merge: ≤ 64·k tiny rows
+    import pandas as pd
+
+    allp = pruned.to_pandas()
+    out = allp.sort_values(["n", "token"], ascending=[False, True], kind="stable").head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def stable_hash64_array_local(tokens: list[str]) -> np.ndarray:
+    """blake2b-based uint64 per token (shared with kernels.hashing
+    semantics; local import avoids a cycle)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+        )
+    return out
