@@ -489,3 +489,23 @@ def test_embedding_neardup_ivf_recall():
     assert ivf_set <= exact_set  # no false pairs (scores are exact)
     recall = len(ivf_set & exact_set) / len(exact_set)
     assert recall >= 0.9, recall
+
+
+def test_top_tokens_matches_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.textstats import top_tokens
+
+    SF = "/root/testdata/sf0.001"
+    got = top_tokens(SF, k=20).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT tok AS token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM read_parquet('{SF}/documents.parquet'))
+        GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
+        """
+    ).df()
+    assert list(got["token"]) == list(want["token"])
+    assert list(got["n"]) == list(want["n"])
