@@ -72,6 +72,17 @@ def main():
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Silence the known-cosmetic "RefBundle with a different schema"
+    # warning: Ray 2.49's sort-shuffle emits schema-less EMPTY reduce
+    # partitions when a groupby's key space underfills its partition
+    # count (root cause + reproduction documented in BASELINE.md; no
+    # UDF in this repo returns column-less frames).
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
     import dfg_gepris_crawler_ray
 
     dfg_gepris_crawler_ray.register_for_ray()
