@@ -46,6 +46,47 @@ class CrawlStore:
         df.to_parquet(tmp, index=False)
         os.replace(tmp, path)  # atomic publish
 
+    # --- Dataset-resident state tables (the 10^10-key form) ---------------
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}_ds")
+
+    def load_table_ds(self, name: str, empty: pd.DataFrame) -> "object":
+        """State table as a ``ray.data.Dataset``: reads the partitioned
+        ``<name>_ds/`` directory if present, falls back to the single
+        pandas-era parquet, else the empty schema — so a ds-resident
+        run can take over a store a pandas run started."""
+        import ray.data
+
+        d = self._table_dir(name)
+        if os.path.isdir(d):
+            return ray.data.read_parquet(d)
+        if os.path.exists(self._table_path(name)):
+            return ray.data.read_parquet(self._table_path(name))
+        return ray.data.from_pandas(empty)
+
+    def save_table_ds(self, name: str, ds: "object") -> None:
+        """Partitioned parquet publish with atomic rename: the Dataset
+        writes every block to ``<name>_ds.tmp/`` then the directory
+        swaps in — a crashed writer never corrupts the live table."""
+        import shutil
+
+        d = self._table_dir(name)
+        tmp = d + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        ds.write_parquet(tmp)
+        old = d + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(d):
+            os.replace(d, old)
+        os.replace(tmp, d)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        # the single-file form is now stale — remove so loads see the dir
+        if os.path.exists(self._table_path(name)):
+            os.remove(self._table_path(name))
+
     # --- run artifacts -----------------------------------------------------
     def run_dir(self, run_id: int) -> str:
         d = os.path.join(self.root, "runs", f"run={run_id}")

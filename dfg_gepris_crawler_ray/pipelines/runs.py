@@ -22,6 +22,7 @@ does and never leaves the streaming path.
 from __future__ import annotations
 
 import json
+import os
 import re
 from datetime import datetime, timezone
 
@@ -271,3 +272,182 @@ def get_latest_dm_stat(store: CrawlStore, stat: str):
     if not len(dm):
         return None
     return dm.sort_values("run_ended_at").iloc[-1][stat]
+
+
+# ---------------------------------------------------------------------------
+# details run — Dataset-resident state (the 10^10-key form)
+# ---------------------------------------------------------------------------
+
+def run_details_ds(
+    store: CrawlStore,
+    pages_dir: str,
+    context: str,
+    ids_spec="db:all:0",
+    host_lookup=None,
+    max_per_host: int | None = None,
+    num_buckets: int = 64,
+    politeness=None,
+) -> dict:
+    """``run_details`` with the state machine Dataset-resident
+    end-to-end: state and history never materialize on the driver.
+    Every transition runs through the distributed forms
+    (``frontier.state_ds`` J1/J3/J4/J7/J8, bucketed J5 anti-join);
+    the driver holds only run-bounded artifacts — the frontier id
+    list (budget-bounded by the J1 limit), status counters, moved/new
+    key sets, and the manifest. Equivalence with the pandas
+    ``run_details`` is pinned in tests/test_runs_ds.py.
+
+    This is the form that runs a 10^10-key crawl state; the pandas
+    ``run_details`` stays the driver-scale tool (simpler artifacts,
+    byte-stable manifests)."""
+    import ray
+
+    from . import derive
+    from ..frontier.state_ds import (
+        get_ids_ds,
+        insert_detail_items_ds,
+        mark_projekts_for_moved_ds,
+        mark_roots_for_moved_subinstitutions_ds,
+        upsert_from_details_ds,
+    )
+    from ..ops.relational import anti_join_bucketed
+
+    state_ds = store.load_table_ds("state", S.empty_state())
+    history_ds = store.load_table_ds("history", S.empty_history())
+    runs = store.load_table("runs", S.empty_runs())  # tiny ledger, driver-side
+    runs, run_id = S.store_run(runs, "details", context, _now())
+
+    # J1 frontier selection (distributed sort; budget-bounded collect)
+    if isinstance(ids_spec, str) and re.match(r"db:(all|needed):\d+", ids_spec):
+        _, mode, limit = ids_spec.split(":")
+        ids = get_ids_ds(
+            state_ds, runs, context, only_needed=(mode == "needed"), limit=int(limit)
+        )
+    else:
+        ids = parse_ids_spec(ids_spec, S.empty_state(), runs, context)
+    frontier = plan_frontier(ids, context, host_lookup, max_per_host)
+    frontier_keys = [(context, int(i)) for i in frontier["id"]]
+
+    # fetch + extract (identical streaming path; items stay a Dataset)
+    if frontier_keys:
+        ds = filter_detail_pages(
+            annotate_pages(read_pages(pages_dir, kinds=DETAIL_KINDS), num_buckets)
+        )
+        ds = semi_join_frontier(ds, ray.put(set(frontier_keys)))
+        items = ds.groupby("bucket").map_groups(
+            lambda b: extract_bucket(b, politeness=politeness), batch_format="pyarrow"
+        ).materialize()
+    else:
+        items = ray.data.from_pandas(
+            pd.DataFrame(
+                columns=["id", "context", "status", "item", "error_kind",
+                         "host", "attempts", "pages_fetched"]
+            )
+        )
+
+    # run counters + processed-id set: distributed aggregation, tiny results
+    status_counts: dict[str, int] = {}
+    for row in derive.status_counts(items).take_all():
+        status_counts[row["status"]] = int(row["n"])
+    processed_ids: set[int] = set()
+    for b in items.map_batches(
+        lambda df: pd.DataFrame({"id": df["id"].astype("int64")}), batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        processed_ids.update(int(i) for i in b["id"])
+
+    # J3 upsert (per-batch broadcast intersection inside)
+    state_ds = upsert_from_details_ds(state_ds, processed_ids, context, run_id)
+
+    # J4 history dedup-on-append (bucketed replay)
+    def to_history_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": df["id"].astype("int64"),
+                "context": context,
+                "created_at": run_id,
+                "item": df["item"].where(df["status"] == "success", None),
+                "status": df["status"],
+            }
+        )
+
+    delta_rows = items.map_batches(to_history_rows, batch_format="pandas")
+    history_ds = insert_detail_items_ds(history_ds, runs, delta_rows).materialize()
+
+    # post-run jobs — all through the distributed forms
+    if context == "projekt":
+        # J5 frontier expansion: referenced persons ANTI-JOIN state
+        # persons via the bucketed hash anti-join (both sides Datasets)
+        refs = derive.all_reference_edges(items, "person")
+
+        def distinct_ids(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"id": df["person_id"].astype("int64").unique()})
+
+        referenced = refs.map_batches(distinct_ids, batch_format="pandas")
+        state_persons = state_ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"id": df.loc[df["context"] == "person", "id"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+        new_person_rows = (
+            anti_join_bucketed(referenced, state_persons, on="id")
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "id": df["id"].astype("int64").unique(),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    dict(
+                        id=df["id"],
+                        context="person",
+                        last_available_seen=None,
+                        last_available_change=None,
+                        last_available_item=None,
+                        last_detail_check=None,
+                        detail_check_needed=True,
+                    )
+                ),
+                batch_format="pandas",
+            )
+        )
+        state_ds = state_ds.union(new_person_rows)
+    else:
+        run_started = dict(zip(runs["id"].astype(int), runs["run_started_at"]))
+        latest = derive.latest_detail_items_ds(history_ds, run_started).materialize()
+        refs = derive.all_reference_edges(latest, kind=context)
+        state_ds = mark_projekts_for_moved_ds(
+            state_ds, history_ds, run_id, context, refs
+        )
+        if context == "institution":
+            # J8: hierarchy closure from the latest institution items
+            # (row-local tree flatten — derive.hierarchy_rows shape)
+            hierarchy = derive.hierarchy_rows(latest)
+            state_ds = mark_roots_for_moved_subinstitutions_ds(
+                state_ds, history_ds, run_id, hierarchy
+            )
+
+    scraped = int(status_counts.get("success", 0))
+    runs = S.update_run_result(runs, run_id, _now(), scraped)
+
+    state_ds = state_ds.materialize()
+    store.save_table_ds("state", state_ds)
+    store.save_table_ds("history", history_ds)
+    store.save_table("runs", runs)
+    items.write_parquet(os.path.join(store.run_dir(run_id), "items_ds"))
+    manifest = store.write_manifest(
+        run_id,
+        spider="details",
+        context=context,
+        pages_dir=pages_dir,
+        ids_spec=str(ids_spec),
+        frontier_size=len(frontier),
+        status_counts=status_counts,
+        state_backend="dataset",
+        parent_run=run_id - 1 if run_id > 1 else None,
+    )
+    return dict(run_id=run_id, frontier=frontier, items=items,
+                manifest=manifest, **{f"n_{k}": v for k, v in status_counts.items()})

@@ -1,0 +1,81 @@
+"""The Dataset-resident details run equals the pandas run — full
+lifecycle equivalence across J1/J3/J4/J5/J7/J8 (pipelines.runs
+run_details_ds vs run_details)."""
+
+import pandas as pd
+import pytest
+
+from dfg_gepris_crawler_ray.frontier import state as S
+from dfg_gepris_crawler_ray.frontier.manifests import CrawlStore
+from dfg_gepris_crawler_ray.pipelines.runs import (
+    run_details,
+    run_details_ds,
+    run_search,
+)
+from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _norm_state(df: pd.DataFrame) -> list:
+    df = df[S.STATE_COLUMNS].copy()
+    for c in ("last_available_seen", "last_available_change", "last_detail_check"):
+        df[c] = df[c].astype("Float64")
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: None if pd.isna(v) else str(v))
+    return sorted(map(tuple, df.to_numpy().tolist()))
+
+
+def _norm_history(df: pd.DataFrame) -> list:
+    df = df[S.HISTORY_COLUMNS].copy()
+    df["created_at"] = df["created_at"].astype("Int64")
+    for c in df.columns:
+        df[c] = df[c].map(lambda v: None if pd.isna(v) else str(v))
+    return sorted(map(tuple, df.to_numpy().tolist()))
+
+
+def test_run_details_ds_matches_pandas(tmp_path):
+    pages = ensure_pages(SF)
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    person_ids = [1000 + d for d in range(n_docs) if d % 3 == 1]
+    inst_ids = [1000 + d for d in range(n_docs) if d % 3 == 2]
+
+    stores = {}
+    for name in ("pandas", "ds"):
+        store = CrawlStore(str(tmp_path / name))
+        run_search(store, pages, "projekt")  # identical J2 state seed
+        stores[name] = store
+
+    # projekt run (J1 db-source + J3 + J4 + J5 expansion), then person
+    # (J7) and institution (J7 + J8) runs over explicit id lists
+    ra = run_details(stores["pandas"], pages, "projekt", ids_spec="db:all:0")
+    rb = run_details_ds(stores["ds"], pages, "projekt", ids_spec="db:all:0")
+    assert ra["frontier"]["id"].tolist() == rb["frontier"]["id"].tolist()  # J1 order
+
+    run_details(stores["pandas"], pages, "person", ids_spec=person_ids)
+    run_details_ds(stores["ds"], pages, "person", ids_spec=person_ids)
+    run_details(stores["pandas"], pages, "institution", ids_spec=inst_ids)
+    run_details_ds(stores["ds"], pages, "institution", ids_spec=inst_ids)
+
+    state_a = stores["pandas"].load_table("state", S.empty_state())
+    state_b = stores["ds"].load_table_ds("state", S.empty_state()).to_pandas()
+    assert _norm_state(state_b) == _norm_state(state_a)
+
+    hist_a = stores["pandas"].load_table("history", S.empty_history())
+    hist_b = stores["ds"].load_table_ds("history", S.empty_history()).to_pandas()
+    assert _norm_history(hist_b) == _norm_history(hist_a)
+
+    # a second identical projekt run must dedup history identically
+    run_details(stores["pandas"], pages, "projekt", ids_spec="db:all:0")
+    run_details_ds(stores["ds"], pages, "projekt", ids_spec="db:all:0")
+    hist_a2 = stores["pandas"].load_table("history", S.empty_history())
+    hist_b2 = stores["ds"].load_table_ds("history", S.empty_history()).to_pandas()
+    assert _norm_history(hist_b2) == _norm_history(hist_a2)
+    assert len(hist_a2) == len(hist_a)  # nothing changed → nothing appended
