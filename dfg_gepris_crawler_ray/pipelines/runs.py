@@ -451,3 +451,82 @@ def run_details_ds(
     )
     return dict(run_id=run_id, frontier=frontier, items=items,
                 manifest=manifest, **{f"n_{k}": v for k, v in status_counts.items()})
+
+
+def run_search_ds(store: CrawlStore, pages_dir: str, context: str) -> dict:
+    """``run_search`` with Dataset-resident state: the search
+    observations are CORPUS-cardinality (one per listed entity), so at
+    10^10 entities neither they nor the state may visit the driver.
+    J2 change detection + J6 not-found marking run through
+    ``upsert_from_search_ds`` (bucketed replay of the exact pandas
+    semantics); duplicate-id detection and the pagination sanity check
+    reduce distributed to tiny results. Equivalence pinned in
+    tests/test_runs_ds.py."""
+    from ..frontier.state_ds import upsert_from_search_ds
+
+    state_ds = store.load_table_ds("state", S.empty_state())
+    runs = store.load_table("runs", S.empty_runs())
+    runs, run_id = S.store_run(runs, "search_results", context, _now())
+
+    ds = annotate_pages(read_pages(pages_dir), num_buckets=8)
+    ds = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.equal(b.column("kind"), "search"),
+                pc.equal(b.column("context"), context),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    results = ds.map_batches(extract_search_batch, batch_format="pyarrow").materialize()
+    n_items = results.count()
+
+    # ST1 duplicate-id detection: per-batch partial counts → bucketed
+    # sum → only the duplicates (tiny by construction) reach the driver
+    def id_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("id", as_index=False).size().rename(columns={"size": "n"})
+        g["_b"] = (g["id"] % 64).astype("int32")
+        return g
+
+    def dup_only(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("id", as_index=False)["n"].sum()
+        return g[g["n"] > 1][["id"]]
+
+    duplicate_ids = sorted(
+        int(r["id"])
+        for r in results.map_batches(id_counts, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(dup_only, batch_format="pandas")
+        .take_all()
+    )
+
+    # ST2 pagination sanity: distinct reported totals (tiny set)
+    totals: set[int] = set()
+    for b in results.map_batches(
+        lambda df: df[["page_total"]].drop_duplicates(), batch_format="pandas"
+    ).iter_batches(batch_format="pandas"):
+        totals.update(int(t) for t in b["page_total"] if t >= 0)
+
+    observations = results.map_batches(
+        lambda df: pd.DataFrame({"id": df["id"].astype("int64"), "item": df["item"]}),
+        batch_format="pandas",
+    )
+    state_ds = upsert_from_search_ds(state_ds, observations, context, run_id)  # J2 + J6
+
+    runs = S.update_run_result(runs, run_id, _now(), n_items)
+    store.save_table_ds("state", state_ds.materialize())
+    store.save_table("runs", runs)
+    results.write_parquet(os.path.join(store.run_dir(run_id), "items_ds"))
+    manifest = store.write_manifest(
+        run_id,
+        spider="search_results",
+        context=context,
+        pages_dir=pages_dir,
+        items=n_items,
+        duplicate_ids=duplicate_ids,
+        reported_totals=sorted(totals),
+        state_backend="dataset",
+    )
+    return dict(run_id=run_id, items=results, duplicate_ids=duplicate_ids,
+                totals=sorted(totals), manifest=manifest)

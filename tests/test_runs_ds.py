@@ -79,3 +79,27 @@ def test_run_details_ds_matches_pandas(tmp_path):
     hist_b2 = stores["ds"].load_table_ds("history", S.empty_history()).to_pandas()
     assert _norm_history(hist_b2) == _norm_history(hist_a2)
     assert len(hist_a2) == len(hist_a)  # nothing changed → nothing appended
+
+
+def test_run_search_ds_matches_pandas(tmp_path):
+    """J2 change detection + J6 marking through the Dataset path equal
+    the pandas search run, including across a second (changed) run."""
+    from dfg_gepris_crawler_ray.pipelines.runs import run_search_ds
+
+    pages = ensure_pages(SF)
+    a = CrawlStore(str(tmp_path / "a"))
+    b = CrawlStore(str(tmp_path / "b"))
+    ra = run_search(a, pages, "projekt")
+    rb = run_search_ds(b, pages, "projekt")
+    assert ra["duplicate_ids"] == rb["duplicate_ids"]
+    assert ra["totals"] == rb["totals"]
+    state_a = a.load_table("state", S.empty_state())
+    state_b = b.load_table_ds("state", S.empty_state()).to_pandas()
+    assert _norm_state(state_b) == _norm_state(state_a)
+
+    # second run: identical listings → seen advances, nothing flagged
+    run_search(a, pages, "projekt")
+    run_search_ds(b, pages, "projekt")
+    state_a2 = a.load_table("state", S.empty_state())
+    state_b2 = b.load_table_ds("state", S.empty_state()).to_pandas()
+    assert _norm_state(state_b2) == _norm_state(state_a2)
