@@ -382,7 +382,23 @@ def run_details_ds(
         def distinct_ids(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({"id": df["person_id"].astype("int64").unique()})
 
-        referenced = refs.map_batches(distinct_ids, batch_format="pandas")
+        # GLOBAL dedupe of the referenced ids BEFORE the anti-join: the
+        # per-batch distinct leaves cross-batch duplicates, and a
+        # duplicate surviving the anti-join would insert the same
+        # person key twice (a per-batch unique() downstream is not
+        # cross-block-safe once blocks split). All copies of an id
+        # co-locate in one bucket, so the group dedupe is exact.
+        referenced = (
+            refs.map_batches(distinct_ids, batch_format="pandas")
+            .map_batches(
+                lambda df: df.assign(_db=(df["id"] % 64).astype("int32")),
+                batch_format="pandas",
+            )
+            .groupby("_db")
+            .map_groups(
+                lambda g: g.drop_duplicates("id")[["id"]], batch_format="pandas"
+            )
+        )
         state_persons = state_ds.map_batches(
             lambda df: pd.DataFrame(
                 {"id": df.loc[df["context"] == "person", "id"].astype("int64")}
@@ -391,14 +407,6 @@ def run_details_ds(
         )
         new_person_rows = (
             anti_join_bucketed(referenced, state_persons, on="id")
-            .map_batches(
-                lambda df: pd.DataFrame(
-                    {
-                        "id": df["id"].astype("int64").unique(),
-                    }
-                ),
-                batch_format="pandas",
-            )
             .map_batches(
                 lambda df: pd.DataFrame(
                     dict(
