@@ -38,6 +38,12 @@ class CrawlStore:
         path = self._table_path(name)
         if os.path.exists(path):
             return pd.read_parquet(path)
+        # interop: a Dataset-resident run may have published the
+        # partitioned directory form — a pandas-scale consumer reads it
+        # transparently (and vice versa via load_table_ds's fallback)
+        d = self._table_dir(name)
+        if os.path.isdir(d):
+            return pd.read_parquet(d)
         return empty
 
     def save_table(self, name: str, df: pd.DataFrame) -> None:
@@ -45,6 +51,13 @@ class CrawlStore:
         tmp = path + ".tmp"
         df.to_parquet(tmp, index=False)
         os.replace(tmp, path)  # atomic publish
+        # retire a Dataset-era directory form so both loaders see THIS
+        # publish as the live table (mirror of save_table_ds)
+        d = self._table_dir(name)
+        if os.path.isdir(d):
+            import shutil
+
+            shutil.rmtree(d)
 
     # --- Dataset-resident state tables (the 10^10-key form) ---------------
     def _table_dir(self, name: str) -> str:

@@ -103,3 +103,20 @@ def test_run_search_ds_matches_pandas(tmp_path):
     state_a2 = a.load_table("state", S.empty_state())
     state_b2 = b.load_table_ds("state", S.empty_state()).to_pandas()
     assert _norm_state(state_b2) == _norm_state(state_a2)
+
+
+def test_mixed_mode_store_interop(tmp_path):
+    """A store written by the Dataset-resident runs is readable by the
+    pandas runs and vice versa (handoff in both directions)."""
+    from dfg_gepris_crawler_ray.pipelines.runs import run_search_ds
+
+    pages = ensure_pages(SF)
+    store = CrawlStore(str(tmp_path / "mix"))
+    run_search_ds(store, pages, "projekt")  # ds-mode seed
+    r = run_details(store, pages, "projekt", ids_spec="db:all:0")  # pandas takeover
+    assert r["n_success"] > 0
+    state = store.load_table("state", S.empty_state())
+    assert (state["context"] == "projekt").sum() > 0
+    # and back: a ds run on the pandas-era tables
+    r2 = run_details_ds(store, pages, "projekt", ids_spec="db:all:0")
+    assert r2["n_success"] == r["n_success"]
