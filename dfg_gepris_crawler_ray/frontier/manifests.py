@@ -31,74 +31,139 @@ class CrawlStore:
         os.makedirs(os.path.join(root, "runs"), exist_ok=True)
 
     # --- state tables ------------------------------------------------------
+    #
+    # Publish protocol (crash-atomic, both forms): data is written to a
+    # NEW artifact (versioned ``<name>_ds.v<seq>/`` directory or the
+    # single ``<name>.parquet`` via tmp+rename), then a tiny pointer file
+    # ``<name>.live`` is atomically replaced to name the live artifact,
+    # then stale artifacts are garbage-collected. A crash at any point
+    # leaves the pointer naming a complete artifact, and ``load_table``
+    # and ``load_table_ds`` resolve through the SAME pointer so a ds run
+    # after a crashed pandas publish (or vice versa) can never read a
+    # different table than the other loader would.
     def _table_path(self, name: str) -> str:
         return os.path.join(self.root, f"{name}.parquet")
 
-    def load_table(self, name: str, empty: pd.DataFrame) -> pd.DataFrame:
+    def _pointer_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.live")
+
+    def _read_pointer(self, name: str) -> dict | None:
+        try:
+            with open(self._pointer_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _write_pointer(self, name: str, form: str, rel: str, seq: int) -> None:
+        path = self._pointer_path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"form": form, "path": rel, "seq": seq}, f)
+        os.replace(tmp, path)  # atomic publish of the live-artifact name
+
+    def _resolve_live(self, name: str) -> str | None:
+        """Path of the live artifact for ``name`` (file or directory),
+        or None if the table has never been published. Pointer wins;
+        pre-pointer stores fall back to the legacy heuristic
+        (directory form, then single file)."""
+        ptr = self._read_pointer(name)
+        if ptr is not None:
+            p = os.path.join(self.root, ptr["path"])
+            if os.path.exists(p):
+                return p
+        # legacy / recovery: no pointer (old store) or pointer target
+        # missing (manual deletion) — newest complete artifact wins
+        legacy_dir = os.path.join(self.root, f"{name}_ds")
+        if os.path.isdir(legacy_dir):
+            return legacy_dir
+        versions = sorted(
+            (
+                p
+                for p in os.listdir(self.root)
+                if p.startswith(f"{name}_ds.v")
+                and os.path.isdir(os.path.join(self.root, p))
+            ),
+            key=lambda p: int(p.rsplit(".v", 1)[1]),
+        )
+        if versions:
+            return os.path.join(self.root, versions[-1])
         path = self._table_path(name)
         if os.path.exists(path):
-            return pd.read_parquet(path)
-        # interop: a Dataset-resident run may have published the
-        # partitioned directory form — a pandas-scale consumer reads it
-        # transparently (and vice versa via load_table_ds's fallback)
-        d = self._table_dir(name)
-        if os.path.isdir(d):
-            return pd.read_parquet(d)
-        return empty
+            return path
+        return None
+
+    def _gc_stale(self, name: str, keep: str) -> None:
+        """Remove every artifact of ``name`` except ``keep`` (basename).
+        Best-effort: a failure here never affects the published table."""
+        import shutil
+
+        candidates = [f"{name}.parquet", f"{name}_ds"] + [
+            p for p in os.listdir(self.root) if p.startswith(f"{name}_ds.v")
+        ]
+        for base in candidates:
+            if base == keep:
+                continue
+            p = os.path.join(self.root, base)
+            try:
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                elif os.path.exists(p):
+                    os.remove(p)
+            except OSError:
+                pass
+
+    def load_table(self, name: str, empty: pd.DataFrame) -> pd.DataFrame:
+        live = self._resolve_live(name)
+        if live is None:
+            return empty
+        # pandas reads both the single-file and partitioned-dir forms
+        return pd.read_parquet(live)
 
     def save_table(self, name: str, df: pd.DataFrame) -> None:
         path = self._table_path(name)
         tmp = path + ".tmp"
         df.to_parquet(tmp, index=False)
-        os.replace(tmp, path)  # atomic publish
-        # retire a Dataset-era directory form so both loaders see THIS
-        # publish as the live table (mirror of save_table_ds)
-        d = self._table_dir(name)
-        if os.path.isdir(d):
-            import shutil
-
-            shutil.rmtree(d)
+        os.replace(tmp, path)  # artifact complete before pointer swap
+        ptr = self._read_pointer(name)
+        seq = (ptr["seq"] + 1) if ptr else 1
+        self._write_pointer(name, "file", f"{name}.parquet", seq)
+        self._gc_stale(name, keep=f"{name}.parquet")
 
     # --- Dataset-resident state tables (the 10^10-key form) ---------------
-    def _table_dir(self, name: str) -> str:
-        return os.path.join(self.root, f"{name}_ds")
-
     def load_table_ds(self, name: str, empty: pd.DataFrame) -> "object":
-        """State table as a ``ray.data.Dataset``: reads the partitioned
-        ``<name>_ds/`` directory if present, falls back to the single
-        pandas-era parquet, else the empty schema — so a ds-resident
-        run can take over a store a pandas run started."""
+        """State table as a ``ray.data.Dataset``: resolves the live
+        artifact through the same pointer as ``load_table`` — reads the
+        partitioned directory or the pandas-era single parquet, else the
+        empty schema — so a ds-resident run can take over a store a
+        pandas run started (and vice versa)."""
         import ray.data
 
-        d = self._table_dir(name)
-        if os.path.isdir(d):
-            return ray.data.read_parquet(d)
-        if os.path.exists(self._table_path(name)):
-            return ray.data.read_parquet(self._table_path(name))
-        return ray.data.from_pandas(empty)
+        live = self._resolve_live(name)
+        if live is None:
+            return ray.data.from_pandas(empty)
+        return ray.data.read_parquet(live)
 
     def save_table_ds(self, name: str, ds: "object") -> None:
-        """Partitioned parquet publish with atomic rename: the Dataset
-        writes every block to ``<name>_ds.tmp/`` then the directory
-        swaps in — a crashed writer never corrupts the live table."""
+        """Partitioned parquet publish, crash-atomic: blocks stream into
+        a fresh versioned directory ``<name>_ds.v<seq>/``, then the
+        ``<name>.live`` pointer atomically swaps to it, then stale
+        versions are garbage-collected. The live directory is never
+        renamed or mutated, so a crashed writer can neither corrupt nor
+        orphan the live table."""
         import shutil
 
-        d = self._table_dir(name)
+        ptr = self._read_pointer(name)
+        seq = (ptr["seq"] + 1) if ptr else 1
+        base = f"{name}_ds.v{seq}"
+        d = os.path.join(self.root, base)
         tmp = d + ".tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
+        for leftover in (tmp, d):  # crashed publish at this seq
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
         ds.write_parquet(tmp)
-        old = d + ".old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(d):
-            os.replace(d, old)
-        os.replace(tmp, d)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        # the single-file form is now stale — remove so loads see the dir
-        if os.path.exists(self._table_path(name)):
-            os.remove(self._table_path(name))
+        os.replace(tmp, d)  # artifact complete before pointer swap
+        self._write_pointer(name, "ds", base, seq)
+        self._gc_stale(name, keep=base)
 
     # --- run artifacts -----------------------------------------------------
     def run_dir(self, run_id: int) -> str:

@@ -57,6 +57,12 @@ class SeenShard:
             self.m = cuckoo_buckets
             self.max_kicks = max_kicks
             self.rng = np.random.default_rng(0x5EED)
+            # victim slot (Fan et al. §4): when an eviction chain
+            # exhausts max_kicks the displaced fingerprint parks here
+            # instead of being dropped, preserving the no-false-negative
+            # contract for every previously-added key even if the caller
+            # catches the over-capacity error and continues.
+            self.victim: tuple[int, int] | None = None  # (fp, bucket)
         else:
             raise ValueError(f"unknown seen-filter mode {mode!r}")
 
@@ -91,13 +97,22 @@ class SeenShard:
         return fp, i1, i2
 
     def _cuckoo_present(self, fp, i1, i2) -> np.ndarray:
-        return ((self.table[i1] == fp[:, None]).any(axis=1)) | (
+        present = ((self.table[i1] == fp[:, None]).any(axis=1)) | (
             (self.table[i2] == fp[:, None]).any(axis=1)
         )
+        if self.victim is not None:
+            vfp, vidx = self.victim
+            present |= (fp == np.uint16(vfp)) & ((i1 == vidx) | (i2 == vidx))
+        return present
 
     def _cuckoo_insert_one(self, fp: int, i1: int, i2: int) -> None:
         from ..kernels.hashing import splitmix64
 
+        if self.victim is not None:
+            raise RuntimeError(
+                "cuckoo filter over capacity (victim slot occupied) — "
+                "grow cuckoo_buckets or shard wider"
+            )
         for idx in (i1, i2):
             free = np.nonzero(self.table[idx] == 0)[0]
             if len(free):
@@ -118,6 +133,10 @@ class SeenShard:
                 self.table[partner, free[0]] = cur
                 return
             idx = partner
+        # chain exhausted with `cur` (a previously-resident fingerprint)
+        # in hand: park it in the victim slot BEFORE raising so no
+        # earlier add() is forgotten (Fan et al.'s standard behaviour)
+        self.victim = (int(cur), int(idx))
         raise RuntimeError(
             "cuckoo filter over capacity — grow cuckoo_buckets or shard wider"
         )
@@ -185,6 +204,14 @@ class SeenShard:
         fp, i1, i2 = self._cuckoo_fp_idx(hashes)
         out = np.zeros(len(hashes), dtype=bool)
         for j in range(len(hashes)):
+            if (
+                self.victim is not None
+                and int(fp[j]) == self.victim[0]
+                and self.victim[1] in (int(i1[j]), int(i2[j]))
+            ):
+                self.victim = None
+                out[j] = True
+                continue
             for idx in (int(i1[j]), int(i2[j])):
                 slots = np.nonzero(self.table[idx] == fp[j])[0]
                 if len(slots):
@@ -197,7 +224,7 @@ class SeenShard:
         if self.mode == "exact":
             return len(self.keys)
         if self.mode == "cuckoo":
-            return int((self.table != 0).sum())
+            return int((self.table != 0).sum()) + (self.victim is not None)
         return int(-1)
 
 

@@ -490,6 +490,15 @@ def _cluster_labels_distributed(
         ).materialize()
         if n_changed == 0:
             break
+    else:
+        # exhausted max_rounds with labels still moving: the output
+        # would silently disagree with the union-find oracle (cluster
+        # chains deeper than max_rounds). Surface it — callers on real
+        # corpora should raise max_rounds (cost is 2 shuffles/round).
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_rounds} rounds "
+            f"({n_changed} labels still changing) — raise max_rounds"
+        )
     return labels
 
 

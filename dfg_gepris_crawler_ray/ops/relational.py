@@ -134,18 +134,30 @@ def anti_join_bucketed(
     union, vectorized per-bucket ``isin``. This is the form to use
     when neither side fits a ``ray.put`` broadcast; the broadcast
     semi/anti-join (sources.pages.semi_join_frontier) stays the right
-    call when one side is budget-bounded."""
+    call when one side is budget-bounded.
+
+    Keys of any dtype: integer keys bucket by value (cheap); everything
+    else buckets by a stable hash of the string form — equal keys land
+    in the same bucket whatever the dtype (float/str keys previously
+    raised or truncated under the int64 cast)."""
+    from ..kernels.hashing import stable_hash64_array
+
+    def _bucket_of(s: pd.Series) -> pd.Series:
+        import pandas.api.types as ptypes
+
+        if ptypes.is_integer_dtype(s):
+            return (s.astype("int64") % num_buckets).astype("int32")
+        h = stable_hash64_array([str(v) for v in s.tolist()])
+        return pd.Series(
+            (h % np.uint64(num_buckets)).astype("int32"), index=s.index
+        )
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(
-            _ajb=(df[on].astype("int64") % num_buckets).astype("int32"), _side="l"
-        )
+        return df.assign(_ajb=_bucket_of(df[on]), _side="l")
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         keys = df[[on]].drop_duplicates()
-        return keys.assign(
-            _ajb=(keys[on].astype("int64") % num_buckets).astype("int32"), _side="r"
-        )
+        return keys.assign(_ajb=_bucket_of(keys[on]), _side="r")
 
     unioned = left.map_batches(tag_left, batch_format="pandas").union(
         right.map_batches(tag_right, batch_format="pandas")

@@ -23,11 +23,46 @@ def _as_matrix(embs) -> np.ndarray:
     return np.asarray([np.asarray(e, dtype=np.float64) for e in embs])
 
 
+def _batch_topk_idx(scores: np.ndarray, cand_ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the per-batch top-k by (cosine desc, neighbor_id asc) —
+    the SAME tie-break as the global ``_merge_topk``, so an exact cosine
+    tie at the k boundary can never discard the neighbor the global
+    merge would keep (output independent of batch boundaries)."""
+    return np.lexsort((cand_ids, -scores))[:k]
+
+
+def _reduce_topk(partials_ds, k: int, num_partitions: int = 8):
+    """Distributed pre-reduce of partial top-k rows: coalesce the
+    per-batch partials into ``num_partitions`` blocks and keep top-k per
+    query per block, so the driver merge reads ≤ B·Q·k rows regardless
+    of input block count (at 10^10 vectors the raw partials are ~k·Q
+    rows per *batch* — linear in block count). Same (cosine desc,
+    neighbor_id asc) ordering as the global merge → byte-identical
+    output."""
+    import pandas as pd
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(
+            ["query_id", "cosine", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("query_id", as_index=False, sort=False).head(k)
+
+    return (
+        partials_ds.repartition(num_partitions)
+        .map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def _merge_topk(partials, query_ids, k: int) -> pa.Table:
-    """Tiny driver merge of per-batch partial top-k rows →
+    """Tiny driver merge of pre-reduced partial top-k rows →
     (query_id, rank, neighbor_id, cosine); ties break by neighbor_id
-    ascending. The input is ≤ k rows per query per batch — bounded, not
-    corpus-cardinality."""
+    ascending. The input is ≤ k rows per query per reduce partition
+    (see ``_reduce_topk``) — bounded, not corpus-cardinality."""
     out = {"query_id": [], "rank": [], "neighbor_id": [], "cosine": []}
     for qid in query_ids:
         sub = partials[partials["query_id"] == qid]
@@ -91,7 +126,7 @@ def knn_brute(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pa.Table:
         for qi, qid in enumerate(query_ids):
             scores = sims[qi]
             mask = ids != qid
-            cand_idx = np.argsort(-scores[mask])[: k]
+            cand_idx = _batch_topk_idx(scores[mask], ids[mask], k)
             cand_ids = ids[mask][cand_idx]
             cand_scores = scores[mask][cand_idx]
             rows["query_id"].extend([qid] * len(cand_ids))
@@ -105,7 +140,9 @@ def knn_brute(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pa.Table:
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    partials = _reduce_topk(
+        ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096), k
+    )
     return _merge_topk(partials, query_ids, k)
 
 
@@ -203,7 +240,7 @@ def knn_ivf(
             mask = in_probe & (ids != qid)
             scores = sims[qi][mask]
             cand_ids = ids[mask]
-            top = np.argsort(-scores)[:k]
+            top = _batch_topk_idx(scores, cand_ids, k)
             rows["query_id"].extend([qid] * len(top))
             rows["neighbor_id"].extend(cand_ids[top].tolist())
             rows["cosine"].extend(scores[top].tolist())
@@ -215,7 +252,9 @@ def knn_ivf(
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    partials = _reduce_topk(
+        ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096), k
+    )
     return _merge_topk(partials, query_ids, k)
 
 
@@ -284,7 +323,7 @@ def knn_lsh(
             mask = hit & (ids != qid)
             scores = sims[qi][mask]
             cand_ids = ids[mask]
-            top = np.argsort(-scores)[:k]
+            top = _batch_topk_idx(scores, cand_ids, k)
             rows["query_id"].extend([qid] * len(top))
             rows["neighbor_id"].extend(cand_ids[top].tolist())
             rows["cosine"].extend(scores[top].tolist())
@@ -296,5 +335,7 @@ def knn_lsh(
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    partials = _reduce_topk(
+        ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096), k
+    )
     return _merge_topk(partials, query_ids, k)
