@@ -100,6 +100,8 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    verify_route: str = "auto",
+    broadcast_pair_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (doc_a < doc_b, jaccard ≥ threshold).
 
@@ -107,6 +109,26 @@ def minhash_lsh_dedup(
     (band_id, band_hash, doc_id) [map_batches] → groupby band bucket
     [the shuffle] → candidate pairs → exact-Jaccard verify inside the
     group task (re-shingling only the candidates).
+
+    ``verify_route`` picks how candidate shingle payloads reach their
+    pair bucket for verification:
+
+    - ``"broadcast"``: the (doc_id → pair buckets) routing rides as
+      three numpy arrays in the object store (sorted ids + offsets +
+      bucket list, built vectorized — no Python dict); the docs scan
+      semi-joins against it in place, so verification costs ONE keyed
+      shuffle carrying only candidate payloads. O(candidates) object-
+      store footprint — right while candidates fit one machine.
+    - ``"bucketed"``: no driver/broadcast routing at all — candidates
+      and per-doc payloads co-group by doc-id hash bucket (the
+      semi-join IS the group task), payload rows are emitted to their
+      pair buckets, and a second keyed shuffle verifies. Costs one
+      extra all-to-all over the corpus payloads; the form that
+      survives a dup-heavy 100-TB crawl where candidates are
+      O(duplicate pairs).
+    - ``"auto"`` (default): broadcast below ``broadcast_pair_limit``
+      candidate pairs, bucketed above. Both routes are
+      output-identical (pinned in tests).
     """
     rows_per_band = num_perm // bands
     seeds = minhash_permutations(num_perm)
@@ -174,17 +196,10 @@ def minhash_lsh_dedup(
             ).empty_table()
         )
 
-    # driver-side routing map: doc_id → the pair buckets that need its
-    # shingles (ids + bucket lists only, never text; bounded by the
-    # candidate set). Lets payloads ship DIRECTLY to their pair bucket,
-    # so verification costs ONE keyed shuffle instead of two.
-    need_buckets: dict[int, set[int]] = {}
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        for da, db_ in zip(b.column("doc_a").to_pylist(), b.column("doc_b").to_pylist()):
-            pb = (da * 1_000_003 + db_) % 64
-            need_buckets.setdefault(da, set()).add(pb)
-            need_buckets.setdefault(db_, set()).add(pb)
-    route_ref = ray.put(need_buckets)
+    if verify_route == "auto":
+        verify_route = (
+            "broadcast" if cand.count() <= broadcast_pair_limit else "bucketed"
+        )
 
     _JOIN_SCHEMA = pa.schema(
         [
@@ -195,26 +210,6 @@ def minhash_lsh_dedup(
             ("payload", pa.binary()),
         ]
     )
-
-    def doc_shingle_rows(batch: pa.Table) -> pa.Table:
-        """Semi-join the docs scan to candidate ids; emit each kept
-        doc's shingle set once per destination pair bucket."""
-        route = ray.get(route_ref)
-        rows = {"pair_bucket": [], "doc_id": [], "doc_a": [], "doc_b": [], "payload": []}
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            buckets = route.get(doc_id)
-            if not buckets:
-                continue
-            payload = shingle_hashes(text, shingle_k).tobytes()
-            for pb in buckets:
-                rows["pair_bucket"].append(pb)
-                rows["doc_id"].append(doc_id)
-                rows["doc_a"].append(-1)
-                rows["doc_b"].append(-1)
-                rows["payload"].append(payload)
-        return pa.Table.from_pydict(rows, schema=_JOIN_SCHEMA)
 
     def pair_rows(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_pylist()
@@ -228,10 +223,131 @@ def minhash_lsh_dedup(
         }
         return pa.Table.from_pydict(rows, schema=_JOIN_SCHEMA)
 
-    shingle_rows = ray.data.read_parquet(docs_path, columns=["doc_id", "text"]).map_batches(
-        doc_shingle_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
     side_rows = cand.map_batches(pair_rows, batch_format="pyarrow")
+    docs_scan = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+
+    if verify_route == "broadcast":
+        # routing as three flat numpy arrays (CSR layout): sorted unique
+        # candidate doc_ids, per-id offset, concatenated bucket lists —
+        # built vectorized from the collected pair frame, ~20 bytes per
+        # candidate endpoint in the object store (vs ~100+/entry for a
+        # Python dict) and probed with searchsorted in the scan.
+        cdf = cand.to_pandas()
+        da = cdf["doc_a"].to_numpy(dtype=np.int64)
+        db_ = cdf["doc_b"].to_numpy(dtype=np.int64)
+        pb = (da * 1_000_003 + db_) % 64
+        doc_ids = np.concatenate([da, db_])
+        buckets = np.concatenate([pb, pb]).astype(np.int32)
+        edge = np.unique(np.stack([doc_ids, buckets.astype(np.int64)], axis=1), axis=0)
+        uniq_ids, counts = np.unique(edge[:, 0], return_counts=True)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        route_ref = ray.put((uniq_ids, offsets, edge[:, 1].astype(np.int32)))
+
+        def doc_shingle_rows(batch: pa.Table) -> pa.Table:
+            """Semi-join the docs scan to candidate ids; emit each kept
+            doc's shingle set once per destination pair bucket."""
+            uniq, offs, bks = ray.get(route_ref)
+            ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+            pos = np.searchsorted(uniq, ids)
+            pos_c = np.clip(pos, 0, len(uniq) - 1)
+            present = (len(uniq) > 0) & (uniq[pos_c] == ids)
+            rows = {"pair_bucket": [], "doc_id": [], "doc_a": [], "doc_b": [], "payload": []}
+            texts = batch.column("text").to_pylist()
+            for i in np.nonzero(present)[0]:
+                doc_id = int(ids[i])
+                payload = shingle_hashes(texts[i], shingle_k).tobytes()
+                for pb_ in bks[offs[pos[i]] : offs[pos[i] + 1]]:
+                    rows["pair_bucket"].append(int(pb_))
+                    rows["doc_id"].append(doc_id)
+                    rows["doc_a"].append(-1)
+                    rows["doc_b"].append(-1)
+                    rows["payload"].append(payload)
+            return pa.Table.from_pydict(rows, schema=_JOIN_SCHEMA)
+
+        shingle_rows = docs_scan.map_batches(
+            doc_shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # bucketed semi-join: NOTHING routing-shaped touches the driver.
+        # Stage A co-groups candidate route rows and per-doc payloads by
+        # doc-id hash bucket; the group task keeps only docs some pair
+        # needs and emits their payload once per destination pair
+        # bucket. Stage B (below, shared) groups by pair bucket.
+        _A_SCHEMA = pa.schema(
+            [
+                ("doc_bucket", pa.int32()),
+                ("doc_id", pa.int64()),
+                ("pair_bucket", pa.int32()),
+                ("payload", pa.binary()),
+            ]
+        )
+
+        def route_rows(batch: pa.Table) -> pa.Table:
+            da = np.asarray(batch.column("doc_a").to_pylist(), dtype=np.int64)
+            db_ = np.asarray(batch.column("doc_b").to_pylist(), dtype=np.int64)
+            pb = ((da * 1_000_003 + db_) % 64).astype(np.int32)
+            ids = np.concatenate([da, db_])
+            pbs = np.concatenate([pb, pb])
+            return pa.Table.from_pydict(
+                {
+                    "doc_bucket": pa.array((ids % 64).astype(np.int32)),
+                    "doc_id": pa.array(ids),
+                    "pair_bucket": pa.array(pbs),
+                    "payload": pa.array([b""] * len(ids), type=pa.binary()),
+                },
+                schema=_A_SCHEMA,
+            )
+
+        def doc_payload_rows(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+            payloads = [
+                shingle_hashes(t, shingle_k).tobytes()
+                for t in batch.column("text").to_pylist()
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "doc_bucket": pa.array((ids % 64).astype(np.int32)),
+                    "doc_id": pa.array(ids),
+                    "pair_bucket": pa.array(
+                        np.full(len(ids), -1, dtype=np.int32)
+                    ),
+                    "payload": pa.array(payloads, type=pa.binary()),
+                },
+                schema=_A_SCHEMA,
+            )
+
+        def emit_payloads(group: pd.DataFrame) -> pa.Table:
+            routes = group.loc[
+                group["pair_bucket"] >= 0, ["doc_id", "pair_bucket"]
+            ].drop_duplicates()
+            docs_g = group.loc[group["pair_bucket"] < 0, ["doc_id", "payload"]]
+            m = routes.merge(docs_g, on="doc_id")  # the semi-join
+            # typed Arrow output: an empty pandas object column would
+            # become null-typed and break the union with side_rows
+            return pa.Table.from_pydict(
+                {
+                    "pair_bucket": pa.array(
+                        m["pair_bucket"].to_numpy(dtype=np.int32)
+                    ),
+                    "doc_id": pa.array(m["doc_id"].to_numpy(dtype=np.int64)),
+                    "doc_a": pa.array(np.full(len(m), -1, dtype=np.int64)),
+                    "doc_b": pa.array(np.full(len(m), -1, dtype=np.int64)),
+                    "payload": pa.array(m["payload"].tolist(), type=pa.binary()),
+                },
+                schema=_JOIN_SCHEMA,
+            )
+
+        shingle_rows = (
+            cand.map_batches(route_rows, batch_format="pyarrow")
+            .union(
+                docs_scan.map_batches(
+                    doc_payload_rows, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .repartition(16)
+            .groupby("doc_bucket")
+            .map_groups(emit_payloads, batch_format="pandas")
+        )
 
     def verify_pairs(group: pd.DataFrame) -> pd.DataFrame:
         """Per pair bucket: payloads and pair rows co-located — exact
@@ -502,23 +618,34 @@ def _cluster_labels_distributed(
     return labels
 
 
-def dedup_clusters(sf_dir: str, n: int = 3, mode: str = "driver") -> "ray.data.Dataset":
+def dedup_clusters(
+    sf_dir: str,
+    n: int = 3,
+    mode: str = "auto",
+    driver_pair_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
     """Near-duplicate clusters: connected components over the exact
     n-gram-Jaccard pair graph, each doc labeled with its component's
     minimum doc_id (``keep = doc_id == cluster_rep``) — the final
     keep-one-per-cluster step of a dedup pipeline.
 
-    - ``mode="driver"`` (default): union-find on the driver over the
-      collected pairs — right while pairs ≪ corpus (they are, by the
-      dedup threshold's construction).
+    - ``mode="driver"``: union-find on the driver over the collected
+      pairs — right while pairs ≪ corpus (they are, by the dedup
+      threshold's construction).
     - ``mode="distributed"``: min-label propagation over the pair
       Dataset (``_cluster_labels_distributed``) and a bucketed
       join back to the corpus — no driver-resident edge set; the path
       when even the pairs outgrow one machine. Equivalence with the
       driver mode is pinned in tests.
+    - ``mode="auto"`` (default): count the pairs (already materialized
+      by the pair scan — the count is metadata-only) and pick driver
+      below ``driver_pair_limit`` edges (~100 MB driver footprint),
+      distributed above. Both regimes share the same oracle.
     """
+    pair_ds = ngram_jaccard_pairs(sf_dir, n=n).materialize()
+    if mode == "auto":
+        mode = "driver" if pair_ds.count() <= driver_pair_limit else "distributed"
     if mode == "distributed":
-        pair_ds = ngram_jaccard_pairs(sf_dir, n=n)
         labels = _cluster_labels_distributed(pair_ds)
         docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
@@ -550,7 +677,7 @@ def dedup_clusters(sf_dir: str, n: int = 3, mode: str = "driver") -> "ray.data.D
             .map_groups(join, batch_format="pandas")
         )
 
-    pairs = ngram_jaccard_pairs(sf_dir, n=n).to_pandas()
+    pairs = pair_ds.to_pandas()
 
     parent: dict[int, int] = {}
 
@@ -819,13 +946,10 @@ def embedding_neardup_pairs(
         for i in range(len(refs))
         for j in range(i, len(refs))
     ]
-    hits = [t for t in ray.get(out_refs) if t.num_rows]
-    schema = pa.schema(
-        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
-    )
-    return ray.data.from_arrow(
-        pa.concat_tables(hits) if hits else schema.empty_table()
-    )
+    # hit pairs stay in the object store — the driver holds only the
+    # refs (a dup-heavy corpus can emit O(pairs) rows; ray.get +
+    # concat_tables here would materialize them all driver-side)
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def _embedding_neardup_ivf(

@@ -50,6 +50,24 @@ def test_minhash_lsh_finds_true_neardups_and_verifies():
         assert len(found) / len(truth) >= 0.8
 
 
+def test_minhash_verify_routes_identical():
+    """The broadcast (CSR-array semi-join) and bucketed (doc-bucket
+    co-group, no driver/broadcast routing) verify routes are
+    output-identical — the bucketed form is the unbounded-candidate
+    scale path."""
+    from dfg_gepris_crawler_ray.ops.dedup import minhash_lsh_dedup
+
+    def norm(df):
+        return (
+            df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+
+    a = norm(minhash_lsh_dedup(SF, verify_route="broadcast").to_pandas())
+    b = norm(minhash_lsh_dedup(SF, verify_route="bucketed").to_pandas())
+    assert a.equals(b)
+    assert len(a) > 0
+
+
 def test_ngram_jaccard_matches_duckdb():
     import duckdb
 
