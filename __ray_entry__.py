@@ -103,14 +103,12 @@ def _q_status_counts(sf_dir: str):
     return status_counts(_crawl_items(sf_dir))
 
 
-def _q_frontier_order(sf_dir: str):
-    """J1 priority + planned fetch order: never-checked ids first (state
-    order), then previously-checked ids (stalest first)."""
+def _frontier_state_fixture(sf_dir: str):
+    """Shared J1 fixture: projekt ids observed by a search run (run 1),
+    the even ones detail-checked by run 2."""
     import pyarrow.parquet as pq
 
     from dfg_gepris_crawler_ray.frontier import state as S
-    from dfg_gepris_crawler_ray.pipelines.runs import plan_frontier
-    from dfg_gepris_crawler_ray.testdata.gen_pages import host_of
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     projekt_docs = [d for d in range(n_docs) if d % 3 == 0]
@@ -126,6 +124,16 @@ def _q_frontier_order(sf_dir: str):
                  run_ended_at=None, total_scraped_items=None),
         ]
     )
+    return state, runs
+
+
+def _q_frontier_order(sf_dir: str):
+    """J1 priority + planned fetch order: never-checked ids first (state
+    order), then previously-checked ids (stalest first)."""
+    from dfg_gepris_crawler_ray.pipelines.runs import plan_frontier
+    from dfg_gepris_crawler_ray.testdata.gen_pages import host_of
+
+    state, runs = _frontier_state_fixture(sf_dir)
     # J1 through the DS path: the state table is Dataset-resident and
     # the priority sort + limit run distributed (state_ds.get_ids_ds);
     # equivalence with the pandas form is pinned in tests/test_state_ds.py
@@ -142,6 +150,35 @@ def _q_frontier_order(sf_dir: str):
             "fetch_seq": pa.array(frontier["fetch_seq"], type=pa.int64()),
             "id": pa.array(frontier["id"], type=pa.int64()),
             "host": pa.array(frontier["host"], type=pa.string()),
+        }
+    )
+
+
+def _q_frontier_order_ds(sf_dir: str):
+    """J1 through the frontier-RESIDENT path (``get_frontier_ds``, the
+    ``db:all:0`` regime): the selection stays an unsorted Dataset of
+    (tier, rank, id) rows — no global sort, no driver collect inside
+    the engine. Collected + ordered here only for the gate comparison;
+    matches the crawl_frontier_order oracle exactly."""
+    import ray.data as rd
+
+    from dfg_gepris_crawler_ray.frontier.state_ds import get_frontier_ds
+    from dfg_gepris_crawler_ray.testdata.gen_pages import host_of
+
+    state, runs = _frontier_state_fixture(sf_dir)
+    fr = get_frontier_ds(rd.from_pandas(state), runs, "projekt")
+    df = (
+        fr.to_pandas()
+        .sort_values(["tier", "rank", "id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "fetch_seq": pa.array(range(len(df)), type=pa.int64()),
+            "id": pa.array(df["id"].astype("int64")),
+            "host": pa.array(
+                [host_of(int(i) - 1000) for i in df["id"]], type=pa.string()
+            ),
         }
     )
 
@@ -288,6 +325,124 @@ def _lifecycle_store_full(sf_dir: str):
         )
         _ITEMS_CACHE[key] = store
     return _ITEMS_CACHE[key]
+
+
+def _lifecycle_store_ds(sf_dir: str):
+    """Dataset-resident lifecycle (cached): ``run_search_ds`` (J2+J6
+    through bucketed upsert) then ``run_details_ds`` with
+    ``db:all:0`` — the frontier-resident regime (resident J1, fused
+    sentinel-row semi-join extract, bucketed J3, bucketed J5
+    anti-join). The frontier never touches the driver."""
+    key = ("lifecycle_ds", sf_dir)
+    if key not in _ITEMS_CACHE:
+        import tempfile
+
+        from dfg_gepris_crawler_ray.frontier.manifests import CrawlStore
+        from dfg_gepris_crawler_ray.pipelines.runs import run_details_ds, run_search_ds
+
+        store = CrawlStore(tempfile.mkdtemp(prefix="gepris_lifecycle_ds_"))
+        pages = _pages(sf_dir)
+        run_search_ds(store, pages, "projekt")
+        r = run_details_ds(store, pages, "projekt", ids_spec="db:all:0")
+        assert r["manifest"]["frontier_resident"], "db:all:0 must be frontier-resident"
+        _ITEMS_CACHE[key] = store
+    return _ITEMS_CACHE[key]
+
+
+def _q_details_lifecycle_ds(sf_dir: str):
+    """State table after the full Dataset-resident lifecycle: every
+    projekt detail-checked by run 2 (J3 through the bucketed upsert),
+    plus the J5-expanded person frontier rows (detail_check_needed,
+    never checked)."""
+    from dfg_gepris_crawler_ray.frontier import state as S
+
+    store = _lifecycle_store_ds(sf_dir)
+    state = store.load_table_ds("state", S.empty_state()).to_pandas()
+    state = state.sort_values(["context", "id"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "id": pa.array(state["id"].astype("int64")),
+            "context": pa.array(state["context"], type=pa.string()),
+            "last_detail_check": pa.array(
+                [None if pd.isna(v) else int(v) for v in state["last_detail_check"]],
+                type=pa.int64(),
+            ),
+            "detail_check_needed": pa.array(
+                [bool(v) for v in state["detail_check_needed"]], type=pa.bool_()
+            ),
+        }
+    )
+
+
+def _q_person_details(sf_dir: str):
+    """person_details spider run (reference spiders/person_details.py):
+    every person entity crawled from a mixed-source corpus — ids with a
+    GOOD google-webcache copy (doc_id % 14 == 1) serve from the cache;
+    ids with a garbage cache copy (doc_id % 14 == 8 — the failed-request
+    observable) or no cache copy fall back to gepris. Output: source
+    actually used, raw-details row count, first-text-node name."""
+    import datetime
+    import json as _json
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.kernels.urls import (
+        details_page_url,
+        details_url,
+        google_cache_url,
+    )
+    from dfg_gepris_crawler_ray.pipelines.person_details import run_person_details
+    from dfg_gepris_crawler_ray.testdata.gen_pages import entity_id, person_de_html
+
+    key = ("person_details_pages", sf_dir)
+    if key not in _ITEMS_CACHE:
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        t0 = datetime.datetime(2021, 10, 22)
+        rows = []
+        for d in range(n_docs):
+            if d % 3 != 1:
+                continue
+            eid = entity_id(d)
+            html = person_de_html(d, n_docs).encode()
+            rows.append((details_page_url(eid, "person", "de"), t0, html))
+            if d % 7 == 1:
+                cache_html = (
+                    html if d % 14 == 1 else b"<html><body>Error 404</body></html>"
+                )
+                rows.append(
+                    (google_cache_url(details_url(eid, "person")), t0, cache_html)
+                )
+        pages_dir = tempfile.mkdtemp(prefix="gepris_person_details_")
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], type=pa.string()),
+                    "warc_ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                    "html": pa.array([r[2] for r in rows], type=pa.binary()),
+                }
+            ),
+            f"{pages_dir}/pages.parquet",
+        )
+        n_ids = [entity_id(d) for d in range(n_docs) if d % 3 == 1]
+        _ITEMS_CACHE[key] = (pages_dir, n_ids)
+    pages_dir, person_ids = _ITEMS_CACHE[key]
+
+    out = run_person_details(pages_dir, ids=person_ids).to_pandas()
+
+    def n_details(s):
+        return len(_json.loads(s)) if s else 0
+
+    return pa.table(
+        {
+            "id": pa.array(out["id"].astype("int64")),
+            "name_de": pa.array(out["name_de"], type=pa.string()),
+            "source": pa.array(out["source"], type=pa.string()),
+            "n_details": pa.array(
+                [n_details(s) for s in out["details"]], type=pa.int64()
+            ),
+        }
+    )
 
 
 def _q_moved_propagation(sf_dir: str):
@@ -623,6 +778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_institution_hierarchy": _q_hierarchy,
         "crawl_status_counts": _q_status_counts,
         "crawl_frontier_order": _q_frontier_order,
+        "crawl_frontier_order_ds": _q_frontier_order_ds,
+        "crawl_details_lifecycle_ds": _q_details_lifecycle_ds,
+        "crawl_person_details": _q_person_details,
         "crawl_frontier_needed": _q_frontier_needed,
         "crawl_search_projekt": _q_search_projekt,
         "crawl_search_person": _q_search_person,
@@ -1258,4 +1416,37 @@ def oracle_sql() -> dict[str, str]:
     # hash-shuffle Q3 must equal the broadcast Q3
     oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
     oracles["rel_q3_topk_shuffle"] = oracles["rel_q3_topk_revenue"]
+    # the frontier-resident J1 (get_frontier_ds) must order identically
+    # to the budgeted J1, so it shares its oracle
+    oracles["crawl_frontier_order_ds"] = oracles["crawl_frontier_order"]
+    # person_details spider: cache-good ids (doc_id%14==1) serve from
+    # the webcache source, everything else (garbage cache or none)
+    # falls back to gepris; raw details rows = Adresse + E-Mail
+    # (+ Internet when even, + ORCID when %5==0)
+    oracles["crawl_person_details"] = f"""
+        SELECT 1000 + doc_id AS id,
+               {_PERSON_TITLE} || 'Vorname Nachname ' || doc_id
+                 -- crucifix removal keeps the preceding space
+                 -- (data_transformations.py:105-106: removesuffix('(†)'))
+                 || CASE WHEN doc_id % 17 = 0 THEN ' ' ELSE '' END AS name_de,
+               CASE WHEN doc_id % 14 = 1 THEN 'cache' ELSE 'gepris' END AS source,
+               2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS n_details
+        FROM documents WHERE doc_id % 3 = 1
+    """
+    # full Dataset-resident lifecycle: state after run_search_ds (J2+J6)
+    # + run_details_ds db:all:0 (resident J1 → fused semi-join extract →
+    # bucketed J3 → bucketed J5 person expansion)
+    oracles["crawl_details_lifecycle_ds"] = f"""
+        SELECT 1000 + doc_id AS id, 'projekt' AS context,
+               2 AS last_detail_check, FALSE AS detail_check_needed
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT DISTINCT 1000 + 3 * ((doc_id * 7 + k) % ((cnt + 1) // 3)) + 1 AS id,
+               'person' AS context, NULL AS last_detail_check,
+               TRUE AS detail_check_needed
+        FROM documents, (SELECT count(*) AS cnt FROM documents),
+             (VALUES (1), (2), (3), (4)) v(k)
+        WHERE doc_id % 3 = 0 AND {_OK}
+    """
     return oracles

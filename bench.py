@@ -53,9 +53,86 @@ def _scaling():
     )
 
 
+def _frontier_scale():
+    """Evidence for the ``db:all:0`` frontier-resident claim: a details
+    run over a synthetic 10^7-key Dataset-resident state table. The
+    frontier (J1 selection, page semi-join, J3 upsert, J5 expansion)
+    never collects to the driver; prints one JSON line with wall time
+    and peak driver RSS."""
+    import resource
+    import tempfile
+
+    import ray
+
+    n_keys = int(os.environ.get("GRAFT_FRONTIER_KEYS", str(10_000_000)))
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import dfg_gepris_crawler_ray
+
+    dfg_gepris_crawler_ray.register_for_ray()
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.frontier import state as S
+    from dfg_gepris_crawler_ray.frontier.manifests import CrawlStore
+    from dfg_gepris_crawler_ray.pipelines.runs import run_details_ds
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF_DIR)  # un-replicated corpus: the cost
+    # under test is the frontier machinery, not extraction volume
+
+    def to_state_rows(batch: dict) -> pd.DataFrame:
+        ids = batch["id"]
+        return pd.DataFrame(
+            {
+                "id": 1000 + ids,
+                "context": "projekt",
+                "last_available_seen": 1.0,
+                "last_available_change": 1.0,
+                "last_available_item": '{"seed":1}',
+                "last_detail_check": None,
+                "detail_check_needed": True,
+            }
+        )[list(S.STATE_COLUMNS)]
+
+    state_ds = ray.data.range(n_keys).map_batches(
+        to_state_rows, batch_format="numpy"
+    )
+    store = CrawlStore(tempfile.mkdtemp(prefix="gepris_frontier_scale_"))
+    store.save_table_ds("state", state_ds)
+    runs = S.empty_runs()
+    runs, _ = S.store_run(runs, "search_results", "projekt", "t1")
+    store.save_table("runs", runs)
+
+    t0 = time.perf_counter()
+    r = run_details_ds(store, pages_dir, "projekt", ids_spec="db:all:0")
+    wall = round(time.perf_counter() - t0, 3)
+    peak_rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+    out = {
+        "mode": "frontier_scale",
+        "state_keys": n_keys,
+        "frontier_size": int(r["frontier_size"]),
+        "frontier_resident": bool(r["manifest"]["frontier_resident"]),
+        "n_success": int(r.get("n_success", 0)),
+        "wall_sec": wall,
+        "driver_peak_rss_mb": peak_rss_mb,
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 def main():
     if "--scaling" in sys.argv:
         _scaling()
+        return
+    if "--frontier-scale" in sys.argv:
+        _frontier_scale()
         return
 
     import ray

@@ -239,6 +239,48 @@ def parse_person(root: Node, element_id: int) -> dict:
     return loader.load_item()
 
 
+def parse_person_details_raw(root: Node, element_id: int) -> dict:
+    """The ``person_details`` spider's parse
+    (reference spiders/person_details.py:54-63): id, first-text-node
+    name (crucifix removed), the RAW per-row ``details`` pairs — one
+    ``attributes_pairs_list`` per ``<p>`` row of the details div, NO
+    ``nm_person`` normalisation — and the normalised trees.
+
+    Fidelity note: the reference spider is an experimental
+    politeness-workaround and is broken as shipped — it calls the
+    nonexistent ``self.details_pairs_list`` (base.py defines only
+    ``attributes_pairs_list``) and adds a ``details`` field that
+    ``PersonItem`` does not declare (items.py:52-57), so ``load_item``
+    would raise. This port implements the evident intent: the raw
+    details pairs ride through unnormalised (recorded in COVERAGE.md).
+    """
+    # //h1[@class="facelift"]/text() .get() → FIRST text node (the
+    # spider bypasses get_name's multi-text checks)
+    h1s = root.find_all(tag="h1", pred=lambda e: e.get("class") == "facelift")
+    name = None
+    for h1 in h1s:
+        for t in h1.iter_texts():
+            c = clean_string(t)
+            if c:
+                name = remove_crucifix_suffix(c)
+                break
+        if name is not None:
+            break
+    content = get_content_div(root)
+    details = []
+    for node in content:
+        for d in node.child_elems("div"):
+            if d.get("class") == "details":
+                for row in d.child_elems("p"):
+                    details.append(attributes_pairs_list(row.child_elems("span")))
+    return dict(
+        id=element_id,
+        name_de=name,
+        details=details,
+        trees=normalise_person_trees(extract_trees(content)),
+    )
+
+
 def parse_institution(root: Node, element_id: int) -> dict:
     """details.py:133-140 (``load_institute``)."""
     loader = InstitutionDetailsLoader()

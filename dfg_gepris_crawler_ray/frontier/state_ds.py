@@ -146,26 +146,16 @@ def upsert_from_details_ds(
 
 # --- J1: crawl-priority selection at state scale ----------------------------
 
-def get_ids_ds(
+def _j1_slim(
     state: "ray.data.Dataset",
     runs: pd.DataFrame,
     context: str,
     only_needed: bool = False,
-    limit: int = 0,
-) -> list[int]:
-    """J1 (reference database.py:43-64) over a Dataset-resident state:
-    never-detail-checked keys first, then checked keys stalest-first
-    (by the start time of their last check run), LIMIT on the union.
-
-    Distributed shape: a column-pruned scan emits (tier, staleness
-    rank, id) — three ints per candidate row, never the item payloads —
-    then ONE global sort + limit. The tie-break inside each staleness
-    tier is ``id`` ascending (deterministic under any partitioning);
-    the pandas form's tie-break is state-table insertion order, which
-    a 10^10-key distributed table cannot observe — callers that need
-    byte-faithful insertion order must carry an explicit ``seq``
-    column. The runs ledger is tiny (one row per crawl run) and
-    broadcasts by closure as a rank map."""
+) -> "ray.data.Dataset":
+    """Column-pruned J1 candidate scan: (tier, staleness rank, id) —
+    three ints per candidate row, never the item payloads. The runs
+    ledger is tiny (one row per crawl run) and broadcasts by closure
+    as a rank map."""
     ordered_runs = runs.sort_values("run_started_at", kind="stable")
     rank_of = {int(rid): pos for pos, rid in enumerate(ordered_runs["id"])}
 
@@ -188,11 +178,94 @@ def get_ids_ds(
             {"tier": tier, "rank": rank, "id": sel["id"].astype("int64")}
         )
 
-    slim = state.map_batches(prep, batch_format="pandas")
-    ordered = slim.sort(["tier", "rank", "id"])
+    return state.map_batches(prep, batch_format="pandas")
+
+
+def get_frontier_ds(
+    state: "ray.data.Dataset",
+    runs: pd.DataFrame,
+    context: str,
+    only_needed: bool = False,
+    limit: int = 0,
+) -> "ray.data.Dataset":
+    """J1 selection that STAYS a Dataset — the ``db:all:0`` form.
+
+    With a limit the selection needs the global priority order (one
+    distributed sort + limit — budget-bounded, but still returned as a
+    Dataset); unbudgeted (``limit=0``) selection is order-free (every
+    candidate crawls), so no sort runs at all. Rows: (tier, rank, id)
+    so downstream host budgeting can reconstruct priority order
+    per host without another global sort."""
+    slim = _j1_slim(state, runs, context, only_needed)
+    if limit > 0:
+        slim = slim.sort(["tier", "rank", "id"]).limit(limit)
+    return slim
+
+
+def get_ids_ds(
+    state: "ray.data.Dataset",
+    runs: pd.DataFrame,
+    context: str,
+    only_needed: bool = False,
+    limit: int = 0,
+) -> list[int]:
+    """J1 (reference database.py:43-64) over a Dataset-resident state:
+    never-detail-checked keys first, then checked keys stalest-first
+    (by the start time of their last check run), LIMIT on the union.
+
+    Distributed shape: the :func:`_j1_slim` scan then ONE global sort +
+    limit; the collected list is budget-bounded by the caller's limit.
+    The tie-break inside each staleness tier is ``id`` ascending
+    (deterministic under any partitioning); the pandas form's tie-break
+    is state-table insertion order, which a 10^10-key distributed table
+    cannot observe — callers that need byte-faithful insertion order
+    must carry an explicit ``seq`` column. For the unbudgeted form use
+    :func:`get_frontier_ds`, which never collects."""
+    ordered = _j1_slim(state, runs, context, only_needed).sort(["tier", "rank", "id"])
     if limit > 0:
         ordered = ordered.limit(limit)
     return [int(i) for i in ordered.to_pandas()["id"]]
+
+
+def upsert_from_details_bucketed(
+    state: "ray.data.Dataset", processed: "ray.data.Dataset", context: str, run_id: int
+) -> "ray.data.Dataset":
+    """J3 with the processed-id set Dataset-resident (J2's union-tag
+    shape): state rows and this run's processed ids co-partition by key
+    bucket; each bucket replays the exact pandas upsert — the flag
+    update and the insert-if-absent are both key-local, so the bucketed
+    composition equals the driver semantics at any cardinality. This is
+    the ``db:all:0`` form of :func:`upsert_from_details_ds`, whose
+    broadcast id set is only safe when a J1 budget bounds the run."""
+
+    def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_bucket(df).assign(_kind="state")
+
+    def tag_proc(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"id": df["id"].astype("int64")})
+        out["context"] = context
+        return _with_bucket(out).assign(_kind="proc")
+
+    unioned = state.map_batches(tag_state, batch_format="pandas").union(
+        processed.map_batches(tag_proc, batch_format="pandas")
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        st = group[group["_kind"] == "state"]
+        st = (
+            st[[c for c in S.STATE_COLUMNS]].reset_index(drop=True)
+            if len(st)
+            else S.empty_state()
+        )
+        ids = (
+            group.loc[group["_kind"] == "proc", "id"]
+            .astype("int64")
+            .drop_duplicates()
+            .tolist()
+        )
+        return S.upsert_from_details(st, ids, context, run_id)
+
+    return unioned.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 # --- A2: coalesce view at scale ---------------------------------------------

@@ -108,6 +108,24 @@ def data_monitor_url(host: str = DEFAULT_HOST) -> str:
     return f"https://{host}/gepris/OCTOPUS?task={DATA_MONITOR_TASK}"
 
 
+#: alternate page source for the person_details politeness-workaround
+#: spider (reference gepris_helper.py:27,44-45)
+GOOGLE_CACHE_BASE_URL = "https://webcache.googleusercontent.com/search?q=cache:"
+
+
+def google_cache_url(actual_url: str) -> str:
+    """gepris_helper.py:44-45"""
+    return GOOGLE_CACHE_BASE_URL + actual_url
+
+
+def strip_google_cache(url: str) -> str | None:
+    """Inverse of :func:`google_cache_url`: the wrapped gepris URL, or
+    None when ``url`` is not a cache URL."""
+    if url.startswith(GOOGLE_CACHE_BASE_URL):
+        return url[len(GOOGLE_CACHE_BASE_URL):]
+    return None
+
+
 def url_host(url: str) -> str:
     """Politeness partition key: the URL's netloc."""
     return urlsplit(url).netloc

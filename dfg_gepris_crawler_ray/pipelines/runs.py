@@ -278,6 +278,92 @@ def get_latest_dm_stat(store: CrawlStore, stat: str):
 # details run — Dataset-resident state (the 10^10-key form)
 # ---------------------------------------------------------------------------
 
+def _annotated_pages_schema(pages_dir: str, num_buckets: int):
+    """Arrow schema of the annotated pages stream, computed statically
+    (empty-batch pass through the annotator) — no Dataset execution."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.pages import annotate_batch
+
+    f = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))[0]
+    base = pq.read_schema(f)
+    empty = pa.table(
+        {c: pa.array([], type=base.field(c).type) for c in ["url", "warc_ts", "html"]}
+    )
+    return annotate_batch(empty, num_buckets).schema
+
+
+def _extract_frontier_resident(
+    pages: "ray.data.Dataset",
+    frontier: "ray.data.Dataset",
+    context: str,
+    pages_schema,
+    num_buckets: int,
+    politeness=None,
+) -> "ray.data.Dataset":
+    """Fused bucketed semi-join + extract — the frontier never touches
+    the driver. Frontier ids enter the pages stream as sentinel rows
+    (``kind='frontier'``, every other column null) bucketed by the SAME
+    entity-key hash the pages carry, so ONE keyed shuffle co-locates
+    each entity's pages with its membership row; the group task filters
+    to frontier members and runs the normal per-entity chain. Per-bucket
+    frontier share is |frontier| / num_buckets — raise ``num_buckets``
+    with frontier cardinality (the documented partitioning knob)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    from ..kernels.hashing import stable_hash64
+
+    def to_sentinel_rows(df: pd.DataFrame) -> "pa.Table":
+        ids = df["id"].astype("int64").to_numpy()
+        n = len(ids)
+        arrays = []
+        for field in pages_schema:
+            if field.name == "id":
+                arrays.append(pa.array(ids, type=field.type))
+            elif field.name == "context":
+                arrays.append(pa.array([context] * n, type=field.type))
+            elif field.name == "kind":
+                arrays.append(pa.array(["frontier"] * n, type=field.type))
+            elif field.name == "bucket":
+                b = np.asarray(
+                    [stable_hash64(f"{context}/{int(i)}") % num_buckets for i in ids],
+                    dtype=np.int32,
+                )
+                arrays.append(pa.array(b, type=field.type))
+            else:
+                arrays.append(pa.nulls(n, type=field.type))
+        return pa.Table.from_arrays(arrays, schema=pages_schema)
+
+    sentinel_rows = frontier.map_batches(to_sentinel_rows, batch_format="pandas")
+
+    def extract_group(tbl: "pa.Table") -> "pa.Table":
+        is_fr = pc2.equal(tbl.column("kind"), "frontier")
+        fr = tbl.filter(is_fr)
+        pg = tbl.filter(pc2.invert(is_fr))
+        keys = set(
+            zip(
+                fr.column("context").to_pylist(),
+                (int(i) for i in fr.column("id").to_pylist()),
+            )
+        )
+        if pg.num_rows:
+            mi = pd.MultiIndex.from_arrays(
+                [pg.column("context").to_pandas(), pg.column("id").to_pandas()]
+            )
+            pg = pg.filter(pa.array(mi.isin(list(keys))))
+        return extract_bucket(pg, politeness=politeness)
+
+    return (
+        pages.union(sentinel_rows)
+        .groupby("bucket")
+        .map_groups(extract_group, batch_format="pyarrow")
+    )
+
 def run_details_ds(
     store: CrawlStore,
     pages_dir: str,
@@ -291,23 +377,35 @@ def run_details_ds(
     """``run_details`` with the state machine Dataset-resident
     end-to-end: state and history never materialize on the driver.
     Every transition runs through the distributed forms
-    (``frontier.state_ds`` J1/J3/J4/J7/J8, bucketed J5 anti-join);
-    the driver holds only run-bounded artifacts — the frontier id
-    list (budget-bounded by the J1 limit), status counters, moved/new
-    key sets, and the manifest. Equivalence with the pandas
-    ``run_details`` is pinned in tests/test_runs_ds.py.
+    (``frontier.state_ds`` J1/J3/J4/J7/J8, bucketed J5 anti-join).
+    Equivalence with the pandas ``run_details`` is pinned in
+    tests/test_runs_ds.py.
 
-    This is the form that runs a 10^10-key crawl state; the pandas
-    ``run_details`` stays the driver-scale tool (simpler artifacts,
-    byte-stable manifests)."""
+    Two frontier regimes, chosen by the ids spec:
+
+    - **budgeted** (``db:*:N`` with N>0, literal lists, id files): the
+      frontier is run-bounded by construction, so it collects to an
+      ordered driver list (exact planned-order manifests, broadcast
+      semi-join page selection, broadcast J3) — the reference's cron
+      budgets never exceed 50k ids.
+    - **unbudgeted** (``db:all:0`` / ``db:needed:0``): the frontier
+      NEVER touches the driver — J1 selection stays a Dataset
+      (``get_frontier_ds``), the host budget applies per-host
+      distributed, page selection fuses into the extract shuffle as
+      sentinel rows (``_extract_frontier_resident``), and J3 runs
+      through the bucketed upsert. The driver holds only counters and
+      the manifest — the 10^10-key form.
+    """
     import ray
 
     from . import derive
     from ..frontier.state_ds import (
+        get_frontier_ds,
         get_ids_ds,
         insert_detail_items_ds,
         mark_projekts_for_moved_ds,
         mark_roots_for_moved_subinstitutions_ds,
+        upsert_from_details_bucketed,
         upsert_from_details_ds,
     )
     from ..ops.relational import anti_join_bucketed
@@ -317,46 +415,103 @@ def run_details_ds(
     runs = store.load_table("runs", S.empty_runs())  # tiny ledger, driver-side
     runs, run_id = S.store_run(runs, "details", context, _now())
 
-    # J1 frontier selection (distributed sort; budget-bounded collect)
+    # J1 frontier selection
+    resident = False
     if isinstance(ids_spec, str) and re.match(r"db:(all|needed):\d+", ids_spec):
         _, mode, limit = ids_spec.split(":")
-        ids = get_ids_ds(
-            state_ds, runs, context, only_needed=(mode == "needed"), limit=int(limit)
-        )
+        if int(limit) > 0:
+            # budget-bounded: distributed sort, bounded collect
+            ids = get_ids_ds(
+                state_ds, runs, context, only_needed=(mode == "needed"), limit=int(limit)
+            )
+        else:
+            resident = True
+            frontier_sel = get_frontier_ds(
+                state_ds, runs, context, only_needed=(mode == "needed")
+            )
     else:
         ids = parse_ids_spec(ids_spec, S.empty_state(), runs, context)
-    frontier = plan_frontier(ids, context, host_lookup, max_per_host)
-    frontier_keys = [(context, int(i)) for i in frontier["id"]]
 
-    # fetch + extract (identical streaming path; items stay a Dataset)
-    if frontier_keys:
-        ds = filter_detail_pages(
-            annotate_pages(read_pages(pages_dir, kinds=DETAIL_KINDS), num_buckets)
-        )
-        ds = semi_join_frontier(ds, ray.put(set(frontier_keys)))
-        items = ds.groupby("bucket").map_groups(
-            lambda b: extract_bucket(b, politeness=politeness), batch_format="pyarrow"
-        ).materialize()
-    else:
-        items = ray.data.from_pandas(
-            pd.DataFrame(
-                columns=["id", "context", "status", "item", "error_kind",
-                         "host", "attempts", "pages_fetched"]
+    empty_items_df = pd.DataFrame(
+        columns=["id", "context", "status", "item", "error_kind",
+                 "host", "attempts", "pages_fetched"]
+    )
+    if resident:
+        frontier = None
+        # host budget, distributed: each host's keys co-locate and the
+        # J1 priority order is reconstructed from the carried
+        # (tier, rank, id) columns — apply_host_budget's exact
+        # keep-first-N-per-host semantics without a global sort
+        if max_per_host is not None:
+            def add_host(df: pd.DataFrame) -> pd.DataFrame:
+                hosts = [
+                    host_lookup(context, int(i)) if host_lookup else "default"
+                    for i in df["id"]
+                ]
+                return df.assign(host=hosts)
+
+            def cap_host(g: pd.DataFrame) -> pd.DataFrame:
+                g = g.sort_values(["tier", "rank", "id"], kind="mergesort")
+                return g.head(max_per_host)
+
+            frontier_sel = (
+                frontier_sel.map_batches(add_host, batch_format="pandas")
+                .groupby("host")
+                .map_groups(cap_host, batch_format="pandas")
             )
-        )
+        frontier_sel = frontier_sel.materialize()
+        n_frontier = frontier_sel.count()
+        if n_frontier:
+            pages = filter_detail_pages(
+                annotate_pages(read_pages(pages_dir, kinds=DETAIL_KINDS), num_buckets)
+            )
+            items = _extract_frontier_resident(
+                pages,
+                frontier_sel,
+                context,
+                _annotated_pages_schema(pages_dir, num_buckets),
+                num_buckets,
+                politeness,
+            ).materialize()
+        else:
+            items = ray.data.from_pandas(empty_items_df)
+    else:
+        frontier = plan_frontier(ids, context, host_lookup, max_per_host)
+        n_frontier = len(frontier)
+        frontier_keys = [(context, int(i)) for i in frontier["id"]]
+        if frontier_keys:
+            ds = filter_detail_pages(
+                annotate_pages(read_pages(pages_dir, kinds=DETAIL_KINDS), num_buckets)
+            )
+            ds = semi_join_frontier(ds, ray.put(set(frontier_keys)))
+            items = ds.groupby("bucket").map_groups(
+                lambda b: extract_bucket(b, politeness=politeness), batch_format="pyarrow"
+            ).materialize()
+        else:
+            items = ray.data.from_pandas(empty_items_df)
 
-    # run counters + processed-id set: distributed aggregation, tiny results
+    # run counters: distributed aggregation, tiny results
     status_counts: dict[str, int] = {}
     for row in derive.status_counts(items).take_all():
         status_counts[row["status"]] = int(row["n"])
-    processed_ids: set[int] = set()
-    for b in items.map_batches(
-        lambda df: pd.DataFrame({"id": df["id"].astype("int64")}), batch_format="pandas"
-    ).iter_batches(batch_format="pandas"):
-        processed_ids.update(int(i) for i in b["id"])
 
-    # J3 upsert (per-batch broadcast intersection inside)
-    state_ds = upsert_from_details_ds(state_ds, processed_ids, context, run_id)
+    # J3 upsert
+    if resident:
+        # processed ids stay a Dataset → bucketed upsert (no broadcast)
+        processed = items.map_batches(
+            lambda df: pd.DataFrame({"id": df["id"].astype("int64")}),
+            batch_format="pandas",
+        )
+        state_ds = upsert_from_details_bucketed(state_ds, processed, context, run_id)
+    else:
+        # budget-bounded: broadcast intersection (bounded by the budget)
+        processed_ids: set[int] = set()
+        for b in items.map_batches(
+            lambda df: pd.DataFrame({"id": df["id"].astype("int64")}),
+            batch_format="pandas",
+        ).iter_batches(batch_format="pandas"):
+            processed_ids.update(int(i) for i in b["id"])
+        state_ds = upsert_from_details_ds(state_ds, processed_ids, context, run_id)
 
     # J4 history dedup-on-append (bucketed replay)
     def to_history_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -452,13 +607,15 @@ def run_details_ds(
         context=context,
         pages_dir=pages_dir,
         ids_spec=str(ids_spec),
-        frontier_size=len(frontier),
+        frontier_size=n_frontier,
+        frontier_resident=resident,
         status_counts=status_counts,
         state_backend="dataset",
         parent_run=run_id - 1 if run_id > 1 else None,
     )
-    return dict(run_id=run_id, frontier=frontier, items=items,
-                manifest=manifest, **{f"n_{k}": v for k, v in status_counts.items()})
+    return dict(run_id=run_id, frontier=frontier, frontier_size=n_frontier,
+                items=items, manifest=manifest,
+                **{f"n_{k}": v for k, v in status_counts.items()})
 
 
 def run_search_ds(store: CrawlStore, pages_dir: str, context: str) -> dict:
