@@ -596,7 +596,10 @@ def run_details_ds(
     scraped = int(status_counts.get("success", 0))
     runs = S.update_run_result(runs, run_id, _now(), scraped)
 
-    state_ds = state_ds.materialize()
+    # no materialize before the save: state_ds is consumed exactly once
+    # here, so write_parquet streams the plan's blocks straight to the
+    # versioned directory (a materialize would be one extra full copy
+    # of a 10^10-key table through the object store)
     store.save_table_ds("state", state_ds)
     store.save_table_ds("history", history_ds)
     store.save_table("runs", runs)
@@ -680,7 +683,7 @@ def run_search_ds(store: CrawlStore, pages_dir: str, context: str) -> dict:
     state_ds = upsert_from_search_ds(state_ds, observations, context, run_id)  # J2 + J6
 
     runs = S.update_run_result(runs, run_id, _now(), n_items)
-    store.save_table_ds("state", state_ds.materialize())
+    store.save_table_ds("state", state_ds)  # single consumer — stream to disk
     store.save_table("runs", runs)
     results.write_parquet(os.path.join(store.run_dir(run_id), "items_ds"))
     manifest = store.write_manifest(

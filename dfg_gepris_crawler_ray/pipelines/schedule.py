@@ -46,11 +46,25 @@ def run_daily_cycle(
     pages_dir: str,
     day_of_month: int | None = None,
     host_lookup=None,
+    backend: str = "pandas",
 ) -> dict:
     """One scheduler day: monitor → per-context search + needed-details
     (+ the re-index run when ``day_of_month`` is given). Returns per-run
     results plus the notifier classification each run would have mailed
-    (pipelines.notify)."""
+    (pipelines.notify).
+
+    ``backend="ds"`` routes every search/details run through the
+    Dataset-resident forms (``run_search_ds`` / ``run_details_ds``) so
+    the cron cadence exercises the 10^10-key scale path end-to-end;
+    the budgets and notifier classifications are identical (equivalence
+    pinned in tests/test_schedule.py)."""
+    if backend == "ds":
+        from .runs import run_details_ds as _details
+        from .runs import run_search_ds as _search
+    elif backend == "pandas":
+        _details, _search = run_details, run_search
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
     out: dict = {"notifications": []}
 
     dm = run_data_monitor(store, pages_dir)
@@ -63,9 +77,9 @@ def run_daily_cycle(
         out["notifications"].append(note)
 
     for context, budget in DAILY_NEEDED_BUDGETS:
-        search = run_search(store, pages_dir, context)
+        search = _search(store, pages_dir, context)
         out[f"search_{context}"] = search
-        n_items = int(len(search["items"]))
+        n_items = int(search["manifest"]["items"])
         note = classify_run(
             "search_results", context, scraped_items=n_items,
             expected=expected_items(
@@ -76,7 +90,7 @@ def run_daily_cycle(
         if note:
             out["notifications"].append(note)
 
-        details = run_details(
+        details = _details(
             store, pages_dir, context,
             ids_spec=f"db:needed:{budget}", host_lookup=host_lookup,
         )
@@ -99,7 +113,7 @@ def run_daily_cycle(
         out["reindex_plan"] = plan
         if plan is not None:
             context, budget = plan
-            out["reindex"] = run_details(
+            out["reindex"] = _details(
                 store, pages_dir, context,
                 ids_spec=f"db:all:{budget}", host_lookup=host_lookup,
             )

@@ -415,6 +415,34 @@ def test_quantile_digest_error_bound():
         assert abs(rank - q) < 0.015, (etype, q, rank)
 
 
+def test_quantile_digest_within_duckdb_oracle_band():
+    """Bounded-value check against the SQL oracle: each digest estimate
+    must lie between DuckDB's exact ``quantile_cont`` at q ± the
+    digest's rank-error bound (0.015) — the tolerance form of an
+    oracle that exact hash-compare cannot express for an approximate
+    sketch."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.textstats import quantile_digest
+
+    SF = "/root/testdata/sf0.01"
+    eps = 0.015
+    est = quantile_digest(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    for row in est.itertuples():
+        lo_q, hi_q = max(0.0, row.q - eps), min(1.0, row.q + eps)
+        lo, hi = con.execute(
+            "SELECT quantile_cont(value, ?), quantile_cont(value, ?) "
+            "FROM events WHERE event_type = ?",
+            [lo_q, hi_q, row.event_type],
+        ).fetchone()
+        assert lo <= row.value <= hi, (row.event_type, row.q, row.value, lo, hi)
+    con.close()
+
+
 def test_asof_join_matches_pandas_reference():
     """Bucketed merge_asof equals a brute-force per-event reference."""
     import pandas as pd

@@ -52,6 +52,44 @@ def test_daily_cycle_end_to_end(tmp_path):
     assert kinds.count("Error") + kinds.count("Warning") >= 1
 
 
+def test_daily_cycle_ds_backend_matches_pandas(tmp_path):
+    """The cron cadence through the Dataset-resident runs: identical
+    frontier sizes, status counts, and durable state vs the pandas
+    backend over the same corpus."""
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.frontier import state as S
+    from dfg_gepris_crawler_ray.frontier.manifests import CrawlStore
+    from dfg_gepris_crawler_ray.pipelines.schedule import run_daily_cycle
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages = ensure_pages(SF)
+    a = CrawlStore(str(tmp_path / "pandas"))
+    b = CrawlStore(str(tmp_path / "ds"))
+    oa = run_daily_cycle(a, pages, day_of_month=2)
+    ob = run_daily_cycle(b, pages, day_of_month=2, backend="ds")
+    for ctx in ("institution", "person", "projekt"):
+        ma = oa[f"details_{ctx}"]["manifest"]
+        mb = ob[f"details_{ctx}"]["manifest"]
+        assert ma["frontier_size"] == mb["frontier_size"], ctx
+        assert ma["status_counts"] == mb["status_counts"], ctx
+        assert oa[f"search_{ctx}"]["manifest"]["items"] == \
+            ob[f"search_{ctx}"]["manifest"]["items"], ctx
+    assert [n[0] for n in oa["notifications"]] == [n[0] for n in ob["notifications"]]
+
+    def norm(df):
+        df = df[S.STATE_COLUMNS].copy()
+        for c in ("last_available_seen", "last_available_change", "last_detail_check"):
+            df[c] = df[c].astype("Float64")
+        for c in df.columns:
+            df[c] = df[c].map(lambda v: None if pd.isna(v) else str(v))
+        return sorted(map(tuple, df.to_numpy().tolist()))
+
+    sa = a.load_table("state", S.empty_state())
+    sb = b.load_table_ds("state", S.empty_state()).to_pandas()
+    assert norm(sa) == norm(sb)
+
+
 def test_following_days_are_incremental(tmp_path):
     """Unchanged corpus: day 2 re-checks only what day 1's post-jobs
     flagged (J8 roots of moved sub-institutions — flagged AFTER that
