@@ -839,12 +839,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct_customers": relational.distinct_customers_per_segment,
         "rel_topk_per_segment": relational.topk_orders_per_segment,
         "rel_asof_join": relational.asof_join_latest_order,
+        "rel_bucketed_join": relational.customer_order_rollup_bucketed,
+        "rel_range_join": relational.purchase_followup_range_join,
         "rel_q3_topk_shuffle": relational.q3_topk_revenue_shuffle,
         "text_hash_split": textstats.hash_split,
         "text_quantile_digest": textstats.quantile_digest,
         "text_bpe_tokens": textstats.bpe_token_count,
         "text_top_tokens": lambda sf: textstats.top_tokens(sf, k=50),
         "text_corpus_curation": curation.corpus_curation,
+        "text_sequence_packing": lambda sf: curation.sequence_packing(sf, budget=1024),
         "rel_stratified_sample": curation.stratified_sample,
         "dedup_clusters_dist": lambda sf: dedup.dedup_clusters(sf, mode="distributed"),
     }
@@ -1416,6 +1419,41 @@ def oracle_sql() -> dict[str, str]:
     # hash-shuffle Q3 must equal the broadcast Q3
     oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
     oracles["rel_q3_topk_shuffle"] = oracles["rel_q3_topk_revenue"]
+    # bucketed large⋈large join + aggregate (scale form of the
+    # broadcast segment_revenue join)
+    oracles["rel_bucketed_join"] = """
+        SELECT c_custkey, c_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spent
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+    """
+    # range self-join: same-user follow-up events within 30 min of
+    # each purchase
+    oracles["rel_range_join"] = """
+        SELECT a.event_id, count(*) AS n_follow
+        FROM events a JOIN events b
+          ON b.user_id = a.user_id AND b.event_id != a.event_id
+         AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
+        WHERE a.event_type = 'purchase'
+        GROUP BY a.event_id
+    """
+    # sequence packing: global ordered token prefix-sum chunking —
+    # exactly a SQL window prefix sum
+    oracles["text_sequence_packing"] = """
+        WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+        ), p AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS prefix
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST(prefix // 1024 AS BIGINT) AS seq_id,
+               CAST(prefix % 1024 AS BIGINT) AS seq_offset
+        FROM p
+    """
     # the frontier-resident J1 (get_frontier_ds) must order identically
     # to the budgeted J1, so it shares its oracle
     oracles["crawl_frontier_order_ds"] = oracles["crawl_frontier_order"]

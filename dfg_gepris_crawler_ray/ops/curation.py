@@ -114,3 +114,90 @@ def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None) -> "ra
         return batch.filter(pa.array(h < cut))
 
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sequence_packing(sf_dir: str, budget: int = 1024) -> "ray.data.Dataset":
+    """Token-budget sequence packing: assign each document (in doc_id
+    order) to a training sequence so every sequence holds ``budget``
+    tokens of consecutive documents — the standard pre-tokenization
+    packing step of an LLM data pipeline (here in its deterministic
+    budgeted-chunking form: ``seq_id = floor(exclusive_prefix_tokens /
+    budget)``, so a document may straddle two sequences — where the
+    tokenizer would split it).
+
+    Distributed shape — a GLOBAL ordered prefix sum in two passes, the
+    scan-then-offset pattern that scales to any corpus:
+
+    1. one pass emits per-batch partials ``(first doc_id, token sum)``
+       — two ints per batch, collected to the driver (bounded by block
+       count, never rows);
+    2. the driver orders partials by first-doc-id and computes each
+       batch's starting offset (a tiny cumulative sum), broadcast via
+       ``ray.put``;
+    3. a second identical-batching pass adds the local exclusive
+       prefix to the batch's offset — row-local, no shuffle at all.
+
+    Requires doc_id-clustered input (documents.parquet is written
+    sorted; both passes read with the same block/batch layout so batch
+    boundaries — keyed by first doc_id — line up). Token convention
+    matches ``token_stats``: ``len(text.split(' '))``.
+    """
+    import ray
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def _counts(batch: pa.Table) -> np.ndarray:
+        texts = batch.column("text").to_pylist()
+        return np.fromiter(
+            (len(t.split(" ")) for t in texts), dtype=np.int64, count=len(texts)
+        )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"first_doc": pa.array([], type=pa.int64()),
+                 "tokens": pa.array([], type=pa.int64())}
+            )
+        c = _counts(batch)
+        return pa.table(
+            {
+                "first_doc": pa.array([int(batch.column("doc_id")[0].as_py())]),
+                "tokens": pa.array([int(c.sum())]),
+            }
+        )
+
+    def _read():
+        return ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    stats = (
+        _read()
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("first_doc")
+    )
+    starts = stats["tokens"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(stats["first_doc"].astype(int), starts.astype(int)))
+    off_ref = ray.put(offsets)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "n_tokens": pa.array([], type=pa.int64()),
+                 "seq_id": pa.array([], type=pa.int64()),
+                 "seq_offset": pa.array([], type=pa.int64())}
+            )
+        offs = ray.get(off_ref)
+        c = _counts(batch)
+        start = offs[int(batch.column("doc_id")[0].as_py())]
+        prefix = start + np.concatenate([[0], np.cumsum(c[:-1])])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(c),
+                "seq_id": pa.array(prefix // budget),
+                "seq_offset": pa.array(prefix % budget),
+            }
+        )
+
+    return _read().map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -720,3 +720,139 @@ def q3_topk_revenue_shuffle(
         return df[["o_orderkey", "revenue", "o_orderdate"]]
 
     return topk.map_batches(finish, batch_format="pandas")
+
+
+def customer_order_rollup_bucketed(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """Large⋈large inner join + per-key aggregate, both sides at
+    arbitrary scale: customers and orders co-partition by customer-key
+    hash bucket (the union-tag pattern of ``anti_join_bucketed``), and
+    each bucket joins + aggregates vectorized — ONE all-to-all
+    exchange, no broadcast side, no post-join shuffle (the aggregate
+    key equals the join key, so it is bucket-local).
+
+    This is the scale form of the broadcast join in
+    ``segment_revenue``: use it when the dimension side no longer fits
+    a ``ray.put``. Output: (c_custkey, c_name, n_orders, total_spent)
+    for customers with ≥1 order."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["c_custkey"].astype("int64"),
+                "name": df["c_name"],
+                "price": 0.0,
+                "n": 0,
+                "_b": (df["c_custkey"].astype("int64") % num_buckets).astype("int32"),
+                "_side": "c",
+            }
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch pre-aggregation: the exchange carries one partial
+        # row per customer per batch, never the raw order stream
+        g = df.groupby("o_custkey", as_index=False).agg(
+            price=("o_totalprice", "sum"), n=("o_totalprice", "size")
+        )
+        return pd.DataFrame(
+            {
+                "key": g["o_custkey"].astype("int64"),
+                "name": "",
+                "price": g["price"],
+                "n": g["n"].astype("int64"),
+                "_b": (g["o_custkey"].astype("int64") % num_buckets).astype("int32"),
+                "_side": "o",
+            }
+        )
+
+    unioned = cust.map_batches(tag_cust, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        c = group[group["_side"] == "c"][["key", "name"]]
+        o = group[group["_side"] == "o"].groupby("key", as_index=False).agg(
+            total_spent=("price", "sum"), n_orders=("n", "sum")
+        )
+        m = c.merge(o, on="key")  # inner: customers with orders
+        return pd.DataFrame(
+            {
+                "c_custkey": m["key"].astype("int64"),
+                "c_name": m["name"],
+                "n_orders": m["n_orders"].astype("int64"),
+                "total_spent": round_half_away(m["total_spent"], 2),
+            }
+        )
+
+    return (
+        unioned.repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def purchase_followup_range_join(
+    sf_dir: str, minutes: int = 30, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Range self-join over the events stream: for every *purchase*
+    event, the number of the same user's OTHER events inside the
+    ``minutes``-minute window after it — the interval-join shape Ray
+    Data has no native operator for.
+
+    Composition: events co-partition by user-key hash bucket (one
+    exchange); inside each bucket the per-user window count is a
+    vectorized double ``searchsorted`` over the user's time-sorted
+    event array — O(E log E) per bucket, never the O(E²) cross product
+    a naive join would materialize. Partitioning assumption: a single
+    user's events fit one task (salt hot users across sub-buckets if
+    not). Output: (event_id, n_follow) for purchases with ≥1 follow-up
+    in window."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user": df["user_id"].astype("int64"),
+                "t": df["ts"],
+                "anchor": (df["event_type"] == "purchase"),
+                "_b": (df["user_id"].astype("int64") % num_buckets).astype("int32"),
+            }
+        )
+
+    delta = pd.Timedelta(minutes=minutes)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out_key, out_n = [], []
+        for _, g in group.groupby("user"):
+            ev = np.sort(g["t"].to_numpy())
+            anchors = g[g["anchor"]]
+            if not len(anchors):
+                continue
+            starts = anchors["t"].to_numpy()
+            lo = np.searchsorted(ev, starts, side="left")
+            hi = np.searchsorted(ev, starts + delta, side="left")
+            n = hi - lo - 1  # the anchor sits inside its own window
+            keep = n > 0
+            out_key.extend(anchors.loc[keep, "event_id"].tolist())
+            out_n.extend(n[keep].tolist())
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series(out_key, dtype="int64"),
+                "n_follow": pd.Series(out_n, dtype="int64"),
+            }
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pandas")
+        .repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

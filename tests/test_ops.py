@@ -555,3 +555,85 @@ def test_top_tokens_matches_duckdb():
     ).df()
     assert list(got["token"]) == list(want["token"])
     assert list(got["n"]) == list(want["n"])
+
+
+def test_sequence_packing_matches_numpy_prefix():
+    """Two-pass distributed prefix sum equals the single-process scan,
+    including documents that straddle a sequence boundary."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.curation import sequence_packing
+
+    budget = 256
+    got = (
+        sequence_packing(SF, budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    counts = docs["text"].map(lambda t: len(t.split(" "))).to_numpy(dtype=np.int64)
+    prefix = np.concatenate([[0], np.cumsum(counts[:-1])])
+    assert got["n_tokens"].tolist() == counts.tolist()
+    assert got["seq_id"].tolist() == (prefix // budget).tolist()
+    assert got["seq_offset"].tolist() == (prefix % budget).tolist()
+    # at least one document straddles a boundary at this budget
+    assert ((got["seq_offset"] + got["n_tokens"]) > budget).any()
+
+
+def test_bucketed_join_matches_duckdb():
+    """Large⋈large bucketed join+aggregate equals the SQL inner join."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import customer_order_rollup_bucketed
+
+    got = (
+        customer_order_rollup_bucketed(SF)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT c_custkey, c_name, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spent
+        FROM read_parquet('{SF}/customer.parquet') c
+        JOIN read_parquet('{SF}/orders.parquet') o ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name ORDER BY c_custkey
+        """
+    ).df()
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert got["n_orders"].tolist() == want["n_orders"].tolist()
+    assert np.allclose(got["total_spent"], want["total_spent"], atol=1e-6)
+    assert len(got) > 0
+
+
+def test_range_join_matches_duckdb():
+    """Bucketed searchsorted range self-join equals the SQL interval
+    join (30-minute follow-up window per purchase)."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import purchase_followup_range_join
+
+    got = (
+        purchase_followup_range_join(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT a.event_id, count(*) AS n_follow
+        FROM read_parquet('{SF}/events.parquet') a
+        JOIN read_parquet('{SF}/events.parquet') b
+          ON b.user_id = a.user_id AND b.event_id != a.event_id
+         AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
+        WHERE a.event_type = 'purchase'
+        GROUP BY a.event_id ORDER BY a.event_id
+        """
+    ).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["n_follow"].tolist() == want["n_follow"].tolist()
+    assert len(got) > 0
