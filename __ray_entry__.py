@@ -848,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_tokens": lambda sf: textstats.top_tokens(sf, k=50),
         "text_corpus_curation": curation.corpus_curation,
         "text_sequence_packing": lambda sf: curation.sequence_packing(sf, budget=1024),
+        "text_tfidf_top_term": textstats.tfidf_top_term,
         "rel_stratified_sample": curation.stratified_sample,
         "dedup_clusters_dist": lambda sf: dedup.dedup_clusters(sf, mode="distributed"),
     }
@@ -1419,6 +1420,23 @@ def oracle_sql() -> dict[str, str]:
     # hash-shuffle Q3 must equal the broadcast Q3
     oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
     oracles["rel_q3_topk_shuffle"] = oracles["rel_q3_topk_revenue"]
+    # per-doc top TF-IDF term, integer-exact (score = tf * n_docs // df)
+    oracles["text_tfidf_top_term"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ), df AS (
+          SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, token AS top_term, tf, df,
+               CAST(tf * n.n_docs // df AS BIGINT) AS score
+        FROM tf JOIN df USING (token), n
+        QUALIFY row_number() OVER (
+          PARTITION BY doc_id
+          ORDER BY tf * n.n_docs // df DESC, token ASC
+        ) = 1
+    """
     # bucketed large⋈large join + aggregate (scale form of the
     # broadcast segment_revenue join)
     oracles["rel_bucketed_join"] = """

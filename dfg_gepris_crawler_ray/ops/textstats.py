@@ -497,3 +497,116 @@ def stable_hash64_array_local(tokens: list[str]) -> np.ndarray:
             hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
         )
     return out
+
+
+def tfidf_top_term(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """Per-document top TF-IDF term, integer-exact so the SQL oracle
+    reproduces it bit-for-bit: ``score = tf * n_docs // df`` (the
+    idf ratio kept as an integer quotient), ties broken by token
+    ascending.
+
+    Distributed shape — the classic two-shuffle TF-IDF without any
+    driver-resident vocabulary:
+
+    1. per-doc term counting inside ``map_batches`` (one (doc, token,
+       tf) row per distinct term per doc);
+    2. document frequency: per-batch partial df counts → token-hash
+       bucket groupby (the vocabulary stays distributed);
+    3. tf ⋈ df by token-hash bucket (union-tag co-group — neither side
+       broadcasts);
+    4. per-doc top-1 by doc-hash bucket groupby, vectorized
+       sort + head inside each bucket.
+
+    Token convention matches ``token_stats``: ``text.split(' ')``,
+    empties kept.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = int(pq.read_metadata(path).num_rows)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, tokens, tfs = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            counts: dict[str, int] = {}
+            for t in text.split(" "):
+                counts[t] = counts.get(t, 0) + 1
+            doc_ids.extend([doc_id] * len(counts))
+            tokens.extend(counts.keys())
+            tfs.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "token": pa.array(tokens, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def tag_df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # partial df per batch: one row per token (each (doc, token)
+        # appears once in tf, so counting rows counts documents)
+        g = df.groupby("token", as_index=False).size().rename(columns={"size": "df"})
+        g["doc_id"] = -1
+        g["tf"] = -1
+        b = stable_hash64_array_local(list(g["token"])) % num_buckets
+        return g.assign(_b=b.astype(np.int32), _side="d")[
+            ["doc_id", "token", "tf", "df", "_b", "_side"]
+        ]
+
+    def tag_tf(df: pd.DataFrame) -> pd.DataFrame:
+        b = stable_hash64_array_local(list(df["token"])) % num_buckets
+        return df.assign(df=-1, _b=b.astype(np.int32), _side="t")[
+            ["doc_id", "token", "tf", "df", "_b", "_side"]
+        ]
+
+    unioned = tf.map_batches(tag_df_partial, batch_format="pandas").union(
+        tf.map_batches(tag_tf, batch_format="pandas")
+    )
+
+    def join_score(group: pd.DataFrame) -> pd.DataFrame:
+        dfs = (
+            group[group["_side"] == "d"]
+            .groupby("token", as_index=False)["df"]
+            .sum()
+        )
+        tfs = group[group["_side"] == "t"][["doc_id", "token", "tf"]]
+        m = tfs.merge(dfs, on="token")
+        m["score"] = (m["tf"].astype("int64") * n_docs) // m["df"].astype("int64")
+        m["_db"] = (m["doc_id"].astype("int64") % num_buckets).astype("int32")
+        return m[["doc_id", "token", "tf", "df", "score", "_db"]]
+
+    scored = (
+        unioned.repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(join_score, batch_format="pandas")
+    )
+
+    def top1(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["doc_id", "score", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = g.groupby("doc_id", as_index=False).head(1)
+        return pd.DataFrame(
+            {
+                "doc_id": top["doc_id"].astype("int64"),
+                "top_term": top["token"],
+                "tf": top["tf"].astype("int64"),
+                "df": top["df"].astype("int64"),
+                "score": top["score"].astype("int64"),
+            }
+        )
+
+    return (
+        scored.repartition(num_buckets)
+        .groupby("_db")
+        .map_groups(top1, batch_format="pandas")
+    )

@@ -637,3 +637,38 @@ def test_range_join_matches_duckdb():
     assert got["event_id"].tolist() == want["event_id"].tolist()
     assert got["n_follow"].tolist() == want["n_follow"].tolist()
     assert len(got) > 0
+
+
+def test_tfidf_top_term_matches_duckdb():
+    """Two-shuffle distributed TF-IDF (integer-exact) equals SQL."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.textstats import tfidf_top_term
+
+    got = (
+        tfidf_top_term(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM read_parquet('{SF}/documents.parquet')
+        ), tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ), df AS (
+          SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+        ), n AS (
+          SELECT count(*) AS n_docs FROM read_parquet('{SF}/documents.parquet')
+        )
+        SELECT doc_id, token AS top_term, tf, df,
+               CAST(tf * n.n_docs // df AS BIGINT) AS score
+        FROM tf JOIN df USING (token), n
+        QUALIFY row_number() OVER (
+          PARTITION BY doc_id ORDER BY tf * n.n_docs // df DESC, token ASC
+        ) = 1
+        ORDER BY doc_id
+        """
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["top_term"].tolist() == want["top_term"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
