@@ -825,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "media_resize": multimodal.media_resize,
         "media_frame_sample": multimodal.media_frame_sample,
+        "media_audio_windows": multimodal.media_audio_windows,
         # --- generic relational operators ---------------------------------
         "rel_pricing_summary": relational.pricing_summary,
         "rel_segment_revenue": relational.segment_revenue,
@@ -1420,6 +1421,19 @@ def oracle_sql() -> dict[str, str]:
     # hash-shuffle Q3 must equal the broadcast Q3
     oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
     oracles["rel_q3_topk_shuffle"] = oracles["rel_q3_topk_revenue"]
+    # audio windowing: wav = _FORMATS[doc_id % 3] == 'wav' → doc_id%3==2;
+    # payload = (100 + doc_id%50) bytes of value (doc_id % 251)
+    oracles["media_audio_windows"] = """
+        WITH m AS (
+          SELECT doc_id, 100 + doc_id % 50 AS n FROM documents WHERE doc_id % 3 = 2
+        ), w AS (
+          SELECT doc_id, n, unnest(generate_series(0, (n - 32) // 16)) AS widx
+          FROM m WHERE n >= 32
+        )
+        SELECT doc_id, widx AS window_idx, widx * 16 AS start_sample,
+               (doc_id % 251) * 32 AS energy
+        FROM w
+    """
     # per-doc top TF-IDF term, integer-exact (score = tf * n_docs // df)
     oracles["text_tfidf_top_term"] = """
         WITH tok AS (

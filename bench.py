@@ -220,6 +220,10 @@ def main():
     timed("rel_pricing_summary", lambda: relational.pricing_summary(SF_DIR).materialize())
     timed("rel_session_windows", lambda: relational.session_windows(SF_DIR).materialize())
     timed("rel_asof_join", lambda: relational.asof_join_latest_order(SF_DIR).materialize())
+    timed("rel_bucketed_join", lambda: relational.customer_order_rollup_bucketed(SF_DIR).materialize())
+    timed("rel_range_join", lambda: relational.purchase_followup_range_join(SF_DIR).materialize())
+    timed("text_sequence_packing", lambda: curation.sequence_packing(SF_DIR).materialize())
+    timed("text_tfidf_top_term", lambda: textstats.tfidf_top_term(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

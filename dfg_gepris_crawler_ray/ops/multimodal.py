@@ -197,3 +197,68 @@ def media_frame_sample(sf_dir: str, every: int = 10) -> "ray.data.Dataset":
         batch_format="pyarrow",
         batch_size=256,
     )
+
+
+class AudioWindower:
+    """Actor-pool audio framing stage (wav payloads): explode each
+    clip into fixed-size analysis windows with per-window energy —
+    the STFT-input framing step of an audio pipeline. The sample
+    decode is the byte stream itself under the fake decoder (a real
+    implementation swaps in soundfile/ffmpeg inside the same batch
+    shape); window geometry and the integer energy sum are exact, so
+    the stage is SQL-oracle-checkable.
+
+    ``__init__`` holds the window plan (once per actor); ``__call__``
+    vectorizes the explode with a stride trick per clip.
+    """
+
+    def __init__(self, win: int = 32, hop: int = 16, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        if decoder == "real":  # pragma: no cover - stub
+            raise NotImplementedError("real audio decoding unavailable here")
+        self.win = win
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_doc, out_idx, out_start, out_energy = [], [], [], []
+        for d, p, fmt in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("media").to_pylist(),
+            batch.column("media_format").to_pylist(),
+        ):
+            if fmt != "wav" or len(p) < self.win:
+                continue
+            samples = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+            n_windows = (len(samples) - self.win) // self.hop + 1
+            starts = np.arange(n_windows) * self.hop
+            # strided window sum (vectorized; windows overlap at hop<win)
+            csum = np.concatenate([[0], np.cumsum(samples)])
+            energy = csum[starts + self.win] - csum[starts]
+            out_doc.extend([d] * n_windows)
+            out_idx.extend(range(n_windows))
+            out_start.extend(starts.tolist())
+            out_energy.extend(energy.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "window_idx": pa.array(out_idx, type=pa.int64()),
+                "start_sample": pa.array(out_start, type=pa.int64()),
+                "energy": pa.array(out_energy, type=pa.int64()),
+            }
+        )
+
+
+def media_audio_windows(
+    sf_dir: str, win: int = 32, hop: int = 16, concurrency: int = 2
+) -> "ray.data.Dataset":
+    """wav clips → overlapping analysis windows (actor pool, small
+    batches — audio rows are large)."""
+    return media_table(sf_dir).map_batches(
+        AudioWindower,
+        fn_constructor_kwargs={"win": win, "hop": hop},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -672,3 +672,28 @@ def test_tfidf_top_term_matches_duckdb():
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["top_term"].tolist() == want["top_term"].tolist()
     assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_audio_windows_energy_and_geometry():
+    """Window explode geometry + strided energy sums equal the direct
+    per-clip computation (wav clips only; actor __init__ holds the
+    window plan)."""
+    from dfg_gepris_crawler_ray.ops.multimodal import media_audio_windows, synth_payload
+
+    got = (
+        media_audio_windows(SF, win=32, hop=16)
+        .to_pandas()
+        .sort_values(["doc_id", "window_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    # spot-check one clip end to end
+    d = int(got["doc_id"].iloc[0])
+    p = np.frombuffer(synth_payload(d), dtype=np.uint8).astype(int)
+    n_windows = (len(p) - 32) // 16 + 1
+    sub = got[got["doc_id"] == d]
+    assert sub["window_idx"].tolist() == list(range(n_windows))
+    for r in sub.itertuples():
+        assert r.energy == int(p[r.start_sample : r.start_sample + 32].sum())
+    # only wav-format docs appear
+    assert set(got["doc_id"] % 3) == {2}
