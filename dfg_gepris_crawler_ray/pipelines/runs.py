@@ -416,6 +416,9 @@ def run_details_ds(
     runs, run_id = S.store_run(runs, "details", context, _now())
 
     # J1 frontier selection
+    import time as _time
+
+    _t0 = _time.perf_counter()
     resident = False
     if isinstance(ids_spec, str) and re.match(r"db:(all|needed):\d+", ids_spec):
         _, mode, limit = ids_spec.split(":")
@@ -490,10 +493,14 @@ def run_details_ds(
         else:
             items = ray.data.from_pandas(empty_items_df)
 
+    extract_wall_s = round(_time.perf_counter() - _t0, 3)
+
     # run counters: distributed aggregation, tiny results
     status_counts: dict[str, int] = {}
+    n_rows = 0
     for row in derive.status_counts(items).take_all():
         status_counts[row["status"]] = int(row["n"])
+        n_rows += int(row["n"])
 
     # J3 upsert
     if resident:
@@ -615,6 +622,13 @@ def run_details_ds(
         status_counts=status_counts,
         state_backend="dataset",
         parent_run=run_id - 1 if run_id > 1 else None,
+        metrics=dict(
+            extract_wall_s=extract_wall_s,
+            rows=n_rows,
+            rows_per_s=round(n_rows / extract_wall_s, 1) if extract_wall_s else None,
+            pages_fetched=int(items.sum("pages_fetched") or 0) if n_rows else 0,
+            attempts=int(items.sum("attempts") or 0) if n_rows else 0,
+        ),
     )
     return dict(run_id=run_id, frontier=frontier, frontier_size=n_frontier,
                 items=items, manifest=manifest,
