@@ -52,6 +52,16 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--robots", default=None,
                     help="JSON file mapping host → robots.txt body")
 
+    sp = sub.add_parser(
+        "person-details",
+        help="person_details run (webcache-first alternate source)",
+    )
+    sp.add_argument("--pages", required=True, help="pages parquet dir")
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.add_argument("--ids", default=None, help="comma-separated person ids")
+    sp.add_argument("--ids-file", default=None, help="json file of {'id': ...} records")
+    sp.add_argument("--out", default=None, help="output parquet dir (default: print counts)")
+
     sp = sub.add_parser("monitor", help="data_monitor run")
     common(sp)
 
@@ -79,9 +89,27 @@ def main(argv=None) -> int:
     from dfg_gepris_crawler_ray.frontier.manifests import CrawlStore
     from dfg_gepris_crawler_ray.pipelines import runs as R
 
-    store = CrawlStore(args.store)
+    store = CrawlStore(args.store) if getattr(args, "store", None) else None
     try:
-        if args.command == "search":
+        if args.command == "person-details":
+            # stateless like the reference spider: items only, no store
+            from dfg_gepris_crawler_ray.pipelines.person_details import run_person_details
+
+            ids = [int(x) for x in args.ids.split(",")] if args.ids else None
+            out_ds = run_person_details(args.pages, ids=ids, ids_file=args.ids_file)
+            if args.out:
+                out_ds.write_parquet(args.out)
+                print(json.dumps(dict(out=args.out)))
+            else:
+                counts: dict[str, int] = {}
+                for row in out_ds.map_batches(
+                    lambda df: df.groupby(["source", "status"], as_index=False).size(),
+                    batch_format="pandas",
+                ).iter_rows():
+                    key = f"{row['source']}/{row['status']}"
+                    counts[key] = counts.get(key, 0) + int(row["size"])
+                print(json.dumps(counts))
+        elif args.command == "search":
             out = R.run_search(store, args.pages, args.context)
             print(json.dumps(dict(run_id=out["run_id"], items=len(out["items"]),
                                   duplicate_ids=out["duplicate_ids"])))
