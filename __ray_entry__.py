@@ -850,9 +850,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_corpus_curation": curation.corpus_curation,
         "text_sequence_packing": lambda sf: curation.sequence_packing(sf, budget=1024),
         "text_tfidf_top_term": textstats.tfidf_top_term,
+        "text_chunking": lambda sf: curation.text_chunking(sf, chunk_tokens=32, overlap=8),
+        # crawl-priority link signal; floats from an iterative method →
+        # rows-only gate + numpy-reference pytest (test_ops)
+        "crawl_pagerank": _q_pagerank,
         "rel_stratified_sample": curation.stratified_sample,
         "dedup_clusters_dist": lambda sf: dedup.dedup_clusters(sf, mode="distributed"),
     }
+
+
+def _q_pagerank(sf_dir: str):
+    """PageRank over the projekt→person reference graph (4 power
+    iterations — enough to differentiate ranks; the op takes any
+    count; bucketed shuffles — ops/graph.py). Ranks rounded to 9 dp
+    for a stable rows-only record."""
+    from dfg_gepris_crawler_ray.ops.graph import reference_graph_pagerank
+
+    out = reference_graph_pagerank(sf_dir, n_iters=4).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    return pa.table(
+        {
+            "node": pa.array(out["node"].astype("int64")),
+            "rank": pa.array((out["rank"] * 1e9).round() / 1e9, type=pa.float64()),
+        }
+    )
 
 
 def _q_lang_hist(sf_dir: str):
@@ -1421,6 +1442,23 @@ def oracle_sql() -> dict[str, str]:
     # hash-shuffle Q3 must equal the broadcast Q3
     oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
     oracles["rel_q3_topk_shuffle"] = oracles["rel_q3_topk_revenue"]
+    # RAG chunking: sliding 32-token windows, 8-token overlap
+    # (stride 24 — sized to the synthetic docs' 10-99 token range);
+    # chunk grid integer-exact
+    oracles["text_chunking"] = """
+        WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+        ), c AS (
+          SELECT doc_id, n,
+                 unnest(generate_series(0,
+                   CASE WHEN n <= 32 THEN 0
+                        ELSE (n - 32 + 23) // 24 END)) AS chunk_idx
+          FROM t
+        )
+        SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+               least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS n_tok
+        FROM c
+    """
     # audio windowing: wav = _FORMATS[doc_id % 3] == 'wav' → doc_id%3==2;
     # payload = (100 + doc_id%50) bytes of value (doc_id % 251)
     oracles["media_audio_windows"] = """

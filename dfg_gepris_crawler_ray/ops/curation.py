@@ -201,3 +201,47 @@ def sequence_packing(sf_dir: str, budget: int = 1024) -> "ray.data.Dataset":
         )
 
     return _read().map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def text_chunking(
+    sf_dir: str, chunk_tokens: int = 128, overlap: int = 32
+) -> "ray.data.Dataset":
+    """RAG-style sliding-window chunking: explode each document into
+    token windows of ``chunk_tokens`` with ``overlap`` tokens shared
+    between neighbours (stride = chunk_tokens − overlap). Row-local —
+    a pure ``map_batches`` explode, no shuffle at any corpus size.
+
+    Chunk grid (integer-exact, SQL-reproducible): with n tokens and
+    stride s, ``n_chunks = 1 + max(0, ceil((n − chunk) / s))``; chunk i
+    covers ``[i·s, min(i·s + chunk, n))``. Token convention matches
+    ``token_stats`` (split on single space, empties kept)."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_doc, out_idx, out_start, out_len = [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            n = len(text.split(" "))
+            n_chunks = 1 + max(0, -(-(n - chunk_tokens) // stride))
+            for i in range(n_chunks):
+                start = i * stride
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_start.append(start)
+                out_len.append(min(start + chunk_tokens, n) - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "chunk_idx": pa.array(out_idx, type=pa.int64()),
+                "start_tok": pa.array(out_start, type=pa.int64()),
+                "n_tok": pa.array(out_len, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

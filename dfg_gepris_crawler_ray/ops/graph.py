@@ -1,0 +1,198 @@
+"""Distributed link-graph operators — crawl-prioritization signals.
+
+A production crawler orders its frontier by link importance; PageRank
+over the reference-edge graph is the classic signal (the reference's
+GEPRIS graph: person/institution ↔ projekt edges, J9 views). The
+implementation is the same bucketed-iteration shape as
+``dedup._cluster_labels_distributed``: per round, TWO key-hash-bucket
+shuffles (ship rank/outdeg along edges by src bucket; reduce
+contributions by dst bucket), all per-bucket work vectorized pandas —
+no driver-resident edge set or rank vector at any point; only the
+scalar dangling mass reduces to the driver each round.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+
+# module-top import: a runtime relative import inside a map_batches UDF
+# body fails on workers even under pickle-by-value registration
+from ..testdata.gen_pages import person_ref
+
+NUM_BUCKETS = 64
+
+
+def _b(s: pd.Series) -> pd.Series:
+    return (s.astype("int64") % NUM_BUCKETS).astype("int32")
+
+
+def pagerank_ds(
+    edges: "ray.data.Dataset",
+    n_iters: int = 10,
+    damping: float = 0.85,
+) -> "ray.data.Dataset":
+    """PageRank over an edge Dataset (``src``, ``dst`` int64 columns),
+    fixed ``n_iters`` power iterations, dangling mass redistributed
+    uniformly. Returns ``(node, rank)`` for every node."""
+    edges = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].astype("int64"), "dst": df["dst"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    # node list + out-degree (one shuffle, computed once)
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
+        out = pd.DataFrame({"node": nodes})
+        deg = df.groupby("src", as_index=False).size()
+        deg.columns = ["node", "outdeg"]
+        out = out.merge(deg, on="node", how="left")
+        out["outdeg"] = out["outdeg"].fillna(0).astype("int64")
+        return out.assign(_nb=_b(out["node"]))
+
+    def merge_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("node", as_index=False)["outdeg"].sum()
+        return m
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(merge_nodes, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "rank": pd.Series(dtype="float64")})
+        )
+
+    ranks = nodes.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"), "rank": 1.0 / n_nodes,
+             "outdeg": df["outdeg"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(n_iters):
+        # dangling mass: tiny per-bucket partials → one driver scalar
+        dangling = float(
+            ranks.map_batches(
+                lambda df: pd.DataFrame(
+                    {"m": [df.loc[df["outdeg"] == 0, "rank"].sum()]}
+                ),
+                batch_format="pandas",
+            ).sum("m")
+            or 0.0
+        )
+
+        # shuffle 1 (by src bucket): rank/outdeg meets its out-edges,
+        # emits one contribution row per edge keyed to the dst bucket
+        def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["node"].astype("int64"), "dst": -1,
+                 "val": df["rank"] / df["outdeg"].clip(lower=1),
+                 "_sb": _b(df["node"]), "_k": "r"}
+            )
+
+        def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["src"].astype("int64"),
+                 "dst": df["dst"].astype("int64"),
+                 "val": 0.0, "_sb": _b(df["src"]), "_k": "e"}
+            )
+
+        def contribs(g: pd.DataFrame) -> pd.DataFrame:
+            r = g[g["_k"] == "r"][["key", "val"]]
+            e = g[g["_k"] == "e"][["key", "dst"]]
+            m = e.merge(r, on="key")
+            return pd.DataFrame(
+                {"node": m["dst"].astype("int64"), "contrib": m["val"],
+                 "_nb": _b(m["dst"])}
+            )
+
+        contrib = (
+            ranks.map_batches(tag_rank, batch_format="pandas")
+            .union(edges.map_batches(tag_edges, batch_format="pandas"))
+            .repartition(NUM_BUCKETS)
+            .groupby("_sb")
+            .map_groups(contribs, batch_format="pandas")
+        )
+
+        # shuffle 2 (by dst bucket): sum contributions per node and
+        # apply the rank update; nodes ride along so zero-in-degree
+        # nodes keep a row
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": df["node"].astype("int64"), "contrib": 0.0,
+                 "outdeg": df["outdeg"].astype("int64"),
+                 "_nb": _b(df["node"]), "_k": "n"}
+            )
+
+        def tag_contrib(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(outdeg=-1, _k="c")[
+                ["node", "contrib", "outdeg", "_nb", "_k"]
+            ]
+
+        def reduce_rank(g: pd.DataFrame) -> pd.DataFrame:
+            nd = g[g["_k"] == "n"][["node", "outdeg"]]
+            # deterministic summation: order by node (groupby sorts keys)
+            cs = g[g["_k"] == "c"].groupby("node")["contrib"].sum()
+            m = nd.merge(cs.rename("s"), left_on="node", right_index=True, how="left")
+            m["s"] = m["s"].fillna(0.0)
+            return pd.DataFrame(
+                {"node": m["node"].astype("int64"),
+                 "rank": base + damping * m["s"],
+                 "outdeg": m["outdeg"].astype("int64")}
+            )
+
+        ranks = (
+            ranks.map_batches(tag_node, batch_format="pandas")
+            .union(contrib.map_batches(tag_contrib, batch_format="pandas"))
+            .repartition(NUM_BUCKETS)
+            .groupby("_nb")
+            .map_groups(reduce_rank, batch_format="pandas")
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"), "rank": df["rank"]}
+        ),
+        batch_format="pandas",
+    )
+
+
+def reference_graph_pagerank(sf_dir: str, n_iters: int = 10) -> "ray.data.Dataset":
+    """PageRank over the synthetic GEPRIS reference graph: directed
+    projekt → person edges (the J5/J9 frontier-expansion edges) — the
+    crawl-priority signal a production frontier would ORDER BY."""
+    import numpy as np
+    import pyarrow as pa
+
+    import pyarrow.parquet as pq
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        rows = {"src": [], "dst": []}
+        for d in ids:
+            for k in (1, 2, 3, 4):
+                rows["src"].append(1000 + d)
+                rows["dst"].append(person_ref(d, k, n_docs))
+        return pd.DataFrame(
+            {"src": pd.Series(rows["src"], dtype="int64"),
+             "dst": pd.Series(rows["dst"], dtype="int64")}
+        )
+
+    edges = docs.map_batches(edge_rows, batch_format="pyarrow")
+    return pagerank_ds(edges, n_iters=n_iters)

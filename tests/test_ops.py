@@ -697,3 +697,74 @@ def test_audio_windows_energy_and_geometry():
         assert r.energy == int(p[r.start_sample : r.start_sample + 32].sum())
     # only wav-format docs appear
     assert set(got["doc_id"] % 3) == {2}
+
+
+def test_text_chunking_grid():
+    """Chunk explode grid: full coverage, stride/overlap, tail chunk
+    length — vs a direct per-doc reference."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.curation import text_chunking
+
+    chunk, overlap = 32, 8
+    stride = chunk - overlap
+    got = (
+        text_chunking(SF, chunk_tokens=chunk, overlap=overlap)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    rows = []
+    for r in docs.itertuples():
+        n = len(r.text.split(" "))
+        n_chunks = 1 + max(0, -(-(n - chunk) // stride))
+        for i in range(n_chunks):
+            rows.append((r.doc_id, i, i * stride, min(i * stride + chunk, n) - i * stride))
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "start_tok", "n_tok"])
+    want = want.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert got.equals(want.astype("int64"))
+    assert (got.groupby("doc_id")["chunk_idx"].count() > 1).any()  # real multi-chunk docs
+
+
+def test_pagerank_matches_numpy_power_iteration():
+    """Bucketed distributed PageRank equals the dense numpy power
+    iteration (same damping, dangling handling, iteration count)."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.graph import reference_graph_pagerank
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    n_iters, d = 4, 0.85
+    got = (
+        reference_graph_pagerank(SF, n_iters=n_iters)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    edges = []
+    for doc in range(n_docs):
+        if doc % 3 == 0:
+            for k in (1, 2, 3, 4):
+                edges.append((1000 + doc, person_ref(doc, k, n_docs)))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = np.zeros(N)
+    for a, _ in edges:
+        outdeg[idx[a]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(n_iters):
+        dangling = r[outdeg == 0].sum()
+        contrib = np.zeros(N)
+        share = np.where(outdeg > 0, r / np.clip(outdeg, 1, None), 0.0)
+        for a, b in edges:
+            contrib[idx[b]] += share[idx[a]]
+        r = (1 - d) / N + d * (contrib + 0.0) + d * dangling / N
+    assert got["node"].tolist() == nodes
+    assert np.allclose(got["rank"].to_numpy(), r, rtol=1e-9, atol=1e-12)
+    # sanity: persons referenced by many projekts outrank projekts
+    assert got["rank"].max() > 1.0 / N
