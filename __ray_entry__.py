@@ -762,6 +762,7 @@ def _q_data_monitor(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from dfg_gepris_crawler_ray.ops import (
         curation,
+        decontaminate,
         dedup,
         multimodal,
         relational,
@@ -856,6 +857,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pagerank": _q_pagerank,
         "rel_stratified_sample": curation.stratified_sample,
         "dedup_clusters_dist": lambda sf: dedup.dedup_clusters(sf, mode="distributed"),
+        # benchmark n-gram decontamination (broadcast default; the
+        # bucketed no-driver-set route is oracle-identical — pinned by
+        # tests AND gated separately below)
+        "text_decontaminate": decontaminate.decontaminate,
+        "text_decontaminate_bucketed": lambda sf: decontaminate.decontaminate(
+            sf, route="bucketed"
+        ),
     }
 
 
@@ -1557,4 +1565,25 @@ def oracle_sql() -> dict[str, str]:
              (VALUES (1), (2), (3), (4)) v(k)
         WHERE doc_id % 3 = 0 AND {_OK}
     """
+    # benchmark decontamination: distinct 4-token shingles of each
+    # training doc (doc_id % 29 != 0) matched against the benchmark
+    # slice's shingle set (doc_id % 29 == 0); integer-exact counts.
+    # NB DuckDB list slicing is INCLUSIVE: t[i:i+3] is 4 tokens.
+    oracles["text_decontaminate"] = """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(generate_series(1, len(t) - 3),
+                                                     i -> array_to_string(t[i:i+3], ' ')))) AS g
+          FROM toks),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0),
+        train AS (SELECT * FROM grams WHERE doc_id % 29 <> 0)
+        SELECT t.doc_id,
+               count(*)::BIGINT AS n_grams,
+               count(b.g)::BIGINT AS n_contaminated,
+               (CASE WHEN count(b.g) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+        FROM train t LEFT JOIN bench b USING (g)
+        GROUP BY t.doc_id
+    """
+    oracles["text_decontaminate_bucketed"] = oracles["text_decontaminate"]
     return oracles

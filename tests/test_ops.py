@@ -768,3 +768,42 @@ def test_pagerank_matches_numpy_power_iteration():
     assert np.allclose(got["rank"].to_numpy(), r, rtol=1e-9, atol=1e-12)
     # sanity: persons referenced by many projekts outrank projekts
     assert got["rank"].max() > 1.0 / N
+
+
+def test_decontaminate_matches_bruteforce_and_routes_agree():
+    """Broadcast and bucketed routes are byte-identical, and both match
+    a brute-force Python n-gram intersection at sf0.001."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.decontaminate import decontaminate
+
+    n, mod = 4, 29
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+    def grams(t):
+        toks = t.split(" ")
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench = set()
+    for t in df.text[df.doc_id % mod == 0]:
+        bench |= grams(t)
+    want = {}
+    for did, t in zip(df.doc_id, df.text):
+        if did % mod == 0:
+            continue
+        g = grams(t)
+        if g:
+            want[int(did)] = (len(g), len(g & bench))
+
+    got_b = decontaminate(SF, n=n, bench_mod=mod).to_pandas()
+    got_k = decontaminate(SF, n=n, bench_mod=mod, route="bucketed").to_pandas()
+    for got in (got_b, got_k):
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        assert set(got.doc_id) == set(want)
+        for _, r in got.iterrows():
+            ng, nc = want[int(r.doc_id)]
+            assert (int(r.n_grams), int(r.n_contaminated)) == (ng, nc)
+            assert int(r.contaminated) == int(nc > 0)
+    a = got_b.sort_values("doc_id").reset_index(drop=True)
+    b = got_k[a.columns].sort_values("doc_id").reset_index(drop=True)
+    assert a.astype("int64").equals(b.astype("int64"))
