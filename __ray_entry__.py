@@ -864,6 +864,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate_bucketed": lambda sf: decontaminate.decontaminate(
             sf, route="bucketed"
         ),
+        # Gopher-style repetition signals (integer-exact — the float
+        # filter ratios reduce to integer comparisons over these)
+        "text_repetition_stats": textstats.repetition_stats,
     }
 
 
@@ -1586,4 +1589,28 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY t.doc_id
     """
     oracles["text_decontaminate_bucketed"] = oracles["text_decontaminate"]
+    # Gopher-style repetition counts; 2-gram aggregates coalesce to 0
+    # for single-token docs (mirrors the Ray side's zero fill)
+    oracles["text_repetition_stats"] = """
+        WITH tc AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY doc_id, tok),
+        t1 AS (SELECT doc_id, sum(c)::BIGINT n_tokens, count(*)::BIGINT n_distinct_tokens,
+                      max(c)::BIGINT top_token_count FROM tc GROUP BY doc_id),
+        gc AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(t) - 1),
+                                             i -> array_to_string(t[i:i+1], ' '))) AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+          GROUP BY doc_id, g),
+        t2 AS (SELECT doc_id, sum(c)::BIGINT n_2grams, count(*)::BIGINT n_distinct_2grams,
+                      max(c)::BIGINT top_2gram_count FROM gc GROUP BY doc_id)
+        SELECT t1.doc_id, n_tokens, n_distinct_tokens, top_token_count,
+               coalesce(n_2grams, 0)::BIGINT AS n_2grams,
+               coalesce(n_distinct_2grams, 0)::BIGINT AS n_distinct_2grams,
+               coalesce(top_2gram_count, 0)::BIGINT AS top_2gram_count
+        FROM t1 LEFT JOIN t2 USING (doc_id)
+    """
     return oracles

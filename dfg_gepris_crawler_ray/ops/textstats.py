@@ -12,9 +12,11 @@ Large-scale training-data pipeline staples, each a vectorised
 from __future__ import annotations
 
 import hashlib
+import itertools
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -610,3 +612,57 @@ def tfidf_top_term(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
         .groupby("_db")
         .map_groups(top1, batch_format="pandas")
     )
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals, integer-exact per doc:
+
+    (doc_id, n_tokens, n_distinct_tokens, top_token_count,
+     n_2grams, n_distinct_2grams, top_2gram_count)
+
+    The classic "most-frequent-token fraction" / "duplicate-2-gram
+    fraction" quality filters (Rae et al., Gopher §A1.1) reduce to
+    integer comparisons over these counts (e.g. keep iff
+    top_token_count * 10 <= n_tokens * 2), so the op stays
+    hash-exact against a SQL oracle — no float ratios.
+
+    Vectorised: one ``np.unique`` over the batch's token stream maps
+    tokens to ids, then pandas C-groupbys produce per-(doc, gram)
+    counts; no per-row Python beyond the initial split.
+    """
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    if flat:
+        _, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    else:
+        inv = np.empty(0, dtype=np.int64)
+    seg = np.repeat(np.arange(len(ids)), lens)
+
+    per = pd.DataFrame({"doc": seg, "tok": inv}).groupby(["doc", "tok"]).size()
+    agg1 = per.groupby(level=0).agg(["sum", "count", "max"])
+
+    # 2-grams: adjacent token-id pairs that do not cross doc boundaries
+    same_doc = seg[1:] == seg[:-1]
+    V = np.int64(inv.max() + 1 if len(inv) else 1)
+    g2 = inv[:-1][same_doc] * V + inv[1:][same_doc]
+    seg2 = seg[:-1][same_doc]
+    per2 = pd.DataFrame({"doc": seg2, "g": g2}).groupby(["doc", "g"]).size()
+    agg2 = per2.groupby(level=0).agg(["sum", "count", "max"])
+
+    out = pd.DataFrame(index=np.arange(len(ids)))
+    out["doc_id"] = ids
+    out["n_tokens"] = agg1["sum"].reindex(out.index, fill_value=0).astype("int64")
+    out["n_distinct_tokens"] = agg1["count"].reindex(out.index, fill_value=0).astype("int64")
+    out["top_token_count"] = agg1["max"].reindex(out.index, fill_value=0).astype("int64")
+    out["n_2grams"] = agg2["sum"].reindex(out.index, fill_value=0).astype("int64")
+    out["n_distinct_2grams"] = agg2["count"].reindex(out.index, fill_value=0).astype("int64")
+    out["top_2gram_count"] = agg2["max"].reindex(out.index, fill_value=0).astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow", zero_copy_batch=True)

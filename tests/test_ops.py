@@ -807,3 +807,32 @@ def test_decontaminate_matches_bruteforce_and_routes_agree():
     a = got_b.sort_values("doc_id").reset_index(drop=True)
     b = got_k[a.columns].sort_values("doc_id").reset_index(drop=True)
     assert a.astype("int64").equals(b.astype("int64"))
+
+
+def test_repetition_stats_match_python_counter():
+    """Integer-exact Gopher repetition signals vs a Counter reference,
+    including a hand-built edge batch (single-token doc, all-same doc)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.textstats import repetition_stats, repetition_stats_batch
+
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    got = repetition_stats(SF).to_pandas().set_index("doc_id")
+    for did, t in zip(df.doc_id, df.text):
+        toks = t.split(" ")
+        c1 = Counter(toks)
+        c2 = Counter(zip(toks, toks[1:]))
+        r = got.loc[did]
+        assert (r.n_tokens, r.n_distinct_tokens, r.top_token_count) == (
+            len(toks), len(c1), max(c1.values()))
+        assert (r.n_2grams, r.n_distinct_2grams) == (len(toks) - 1, len(c2))
+        assert r.top_2gram_count == (max(c2.values()) if c2 else 0)
+
+    edge = pa.table({"doc_id": pa.array([7, 8], type=pa.int64()),
+                     "text": pa.array(["solo", "x x x x"])})
+    out = repetition_stats_batch(edge).to_pandas().set_index("doc_id")
+    assert out.loc[7].tolist() == [1, 1, 1, 0, 0, 0]
+    assert out.loc[8].tolist() == [4, 1, 4, 3, 1, 3]
