@@ -867,6 +867,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style repetition signals (integer-exact — the float
         # filter ratios reduce to integer comparisons over these)
         "text_repetition_stats": textstats.repetition_stats,
+        # exact-substring dedup signal at 5-token window granularity
+        # (Lee et al.-style duplicated-span counting)
+        "dedup_window_exact": dedup.window_dedup,
     }
 
 
@@ -1612,5 +1615,21 @@ def oracle_sql() -> dict[str, str]:
                coalesce(n_distinct_2grams, 0)::BIGINT AS n_distinct_2grams,
                coalesce(top_2gram_count, 0)::BIGINT AS top_2gram_count
         FROM t1 LEFT JOIN t2 USING (doc_id)
+    """
+    # exact-substring (5-token window) dedup: an occurrence is a dup if
+    # the identical window appeared earlier in global (doc_id, pos)
+    # order. t[i:i+4] is 5 tokens (DuckDB list slicing is inclusive).
+    oracles["dedup_window_exact"] = """
+        WITH w AS (
+          SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               unnest(generate_series(1, len(t) - 4)) AS u(i)
+        ), r AS (
+          SELECT doc_id, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+          FROM w
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_windows,
+               sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows
+        FROM r GROUP BY doc_id
     """
     return oracles

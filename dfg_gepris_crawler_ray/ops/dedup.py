@@ -1020,3 +1020,105 @@ def _embedding_neardup_ivf(
         return group.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b", "cosine"]]
 
     return pairs.groupby("pair_bucket").map_groups(dedupe, batch_format="pandas")
+
+
+# --- exact-substring (window) dedup ----------------------------------------
+
+
+def window_dedup(sf_dir: str, w: int = 5, num_buckets: int = 64) -> "ray.data.Dataset":
+    """Exact-substring dedup signal at w-token window granularity
+    (the distributed form of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better": an occurrence is a *duplicate* if
+    the identical w-token span appeared earlier in the global
+    (doc_id, pos) order).
+
+    Per doc: (doc_id, n_windows, n_dup_windows).  Docs shorter than
+    ``w`` tokens have no windows and are excluded (mirrors the SQL
+    oracle's ``unnest``).
+
+    Shape at scale: windows ride as (hash, doc_id, pos) rows — never
+    text — through ONE keyed exchange on window-hash bucket
+    (first-occurrence marking is vectorised per bucket), then per-doc
+    partials are summed by a second, corpus-cardinality-bounded keyed
+    aggregation.  Window hashes are 64-bit position-sensitive
+    polynomial combines of blake2b token hashes (process-stable;
+    collision odds ~n²/2⁶⁵).
+    """
+    from .decontaminate import _P
+    from .textstats import hash_token
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        cache: dict[str, np.uint64] = {}
+        hs, docs, poss = [], [], []
+        for did, t in zip(ids, texts):
+            toks = t.split(" ")
+            if len(toks) < w:
+                continue
+            th = np.empty(len(toks), dtype=np.uint64)
+            for i, tok in enumerate(toks):
+                h = cache.get(tok)
+                if h is None:
+                    h = cache[tok] = np.uint64(hash_token(tok))
+                th[i] = h
+            with np.errstate(over="ignore"):
+                acc = th[: len(toks) - w + 1].copy()
+                for j in range(1, w):
+                    acc = acc * _P + th[j : len(toks) - w + 1 + j]
+            hs.append(acc)
+            docs.append(np.full(len(acc), did, dtype=np.int64))
+            poss.append(np.arange(1, len(acc) + 1, dtype=np.int32))
+        if not hs:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int32()),
+                    "whash": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int32()),
+                }
+            )
+        flat = np.concatenate(hs)
+        return pa.table(
+            {
+                "bucket": pa.array((flat % np.uint64(num_buckets)).astype(np.int32)),
+                "whash": pa.array(flat.view(np.int64)),
+                "doc_id": pa.array(np.concatenate(docs)),
+                "pos": pa.array(np.concatenate(poss)),
+            }
+        )
+
+    def bucket_stats(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["whash", "doc_id", "pos"], kind="mergesort")
+        first = np.ones(len(g), dtype=bool)
+        wv = g["whash"].to_numpy()
+        first[1:] = wv[1:] != wv[:-1]
+        agg = (
+            pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "dup": (~first).astype("int64")})
+            .groupby("doc_id", as_index=False)
+            .agg(n_windows=("dup", "size"), n_dup_windows=("dup", "sum"))
+        )
+        return agg.astype({"doc_id": "int64", "n_windows": "int64", "n_dup_windows": "int64"})
+
+    def sum_doc(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("doc_id", as_index=False)[["n_windows", "n_dup_windows"]].sum()
+
+    partials = (
+        ds.map_batches(window_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_stats, batch_format="pandas")
+    )
+    return (
+        partials.repartition(8)
+        .map_batches(
+            lambda b: b.assign(doc_bucket=(b["doc_id"] % num_buckets).astype("int32")),
+            batch_format="pandas",
+        )
+        .groupby("doc_bucket")
+        .map_groups(sum_doc, batch_format="pandas")
+        .map_batches(
+            lambda b: b[["doc_id", "n_windows", "n_dup_windows"]], batch_format="pandas"
+        )
+    )

@@ -836,3 +836,34 @@ def test_repetition_stats_match_python_counter():
     out = repetition_stats_batch(edge).to_pandas().set_index("doc_id")
     assert out.loc[7].tolist() == [1, 1, 1, 0, 0, 0]
     assert out.loc[8].tolist() == [4, 1, 4, 3, 1, 3]
+
+
+def test_window_dedup_matches_bruteforce():
+    """n_dup_windows matches a Python dict-based first-occurrence scan
+    in global (doc_id, pos) order at sf0.001."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.dedup import window_dedup
+
+    w = 5
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas().sort_values("doc_id")
+    seen = set()
+    want = {}
+    for did, t in zip(df.doc_id, df.text):
+        toks = t.split(" ")
+        nw = max(0, len(toks) - w + 1)
+        if nw == 0:
+            continue
+        dups = 0
+        for i in range(nw):
+            g = tuple(toks[i : i + w])
+            if g in seen:
+                dups += 1
+            else:
+                seen.add(g)
+        want[int(did)] = (nw, dups)
+
+    got = window_dedup(SF, w=w).to_pandas().sort_values("doc_id")
+    assert set(got.doc_id) == set(want)
+    for _, r in got.iterrows():
+        assert (int(r.n_windows), int(r.n_dup_windows)) == want[int(r.doc_id)]
