@@ -870,7 +870,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-substring dedup signal at 5-token window granularity
         # (Lee et al.-style duplicated-span counting)
         "dedup_window_exact": dedup.window_dedup,
+        # SemDeDup semantic dedup (k-means is iterative/float → rows-only
+        # gate; the keep/drop contract is brute-force pinned in test_ops)
+        "dedup_semantic": _q_semantic_dedup,
     }
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup keep/drop decisions (ops/semdedup.py); deterministic
+    given the fixed k-means init, so the rows-only record is stable."""
+    from dfg_gepris_crawler_ray.ops.semdedup import semantic_dedup
+
+    out = semantic_dedup(sf_dir).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def _q_pagerank(sf_dir: str):

@@ -867,3 +867,31 @@ def test_window_dedup_matches_bruteforce():
     assert set(got.doc_id) == set(want)
     for _, r in got.iterrows():
         assert (int(r.n_windows), int(r.n_dup_windows)) == want[int(r.doc_id)]
+
+
+def test_semantic_dedup_invariants():
+    """SemDeDup contract, brute-force checked: kept vectors in a
+    cluster are pairwise < threshold; every dropped vector has a kept
+    same-cluster neighbour >= threshold; exactly one row per vector."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.semdedup import semantic_dedup
+
+    thr = 0.35
+    r = semantic_dedup(SF, threshold=thr).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    assert sorted(r.vec_id) == sorted(t.vec_id)
+    assert r.keep.isin([0, 1]).all() and 0 < r.keep.sum() < len(r)
+
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in t.embedding])
+    mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    id2row = {int(v): i for i, v in enumerate(t.vec_id)}
+    for _, grp in r.groupby("cluster"):
+        kept = [id2row[int(v)] for v in grp[grp.keep == 1].vec_id]
+        dropped = [id2row[int(v)] for v in grp[grp.keep == 0].vec_id]
+        if len(kept) > 1:
+            S = mat[kept] @ mat[kept].T
+            np.fill_diagonal(S, 0.0)
+            assert S.max() < thr
+        for d in dropped:
+            assert len(kept) and (mat[kept] @ mat[d]).max() >= thr
