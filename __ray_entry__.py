@@ -873,6 +873,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup semantic dedup (k-means is iterative/float → rows-only
         # gate; the keep/drop contract is brute-force pinned in test_ops)
         "dedup_semantic": _q_semantic_dedup,
+        # deterministic global training shuffle (native Dataset.sort
+        # all-to-all over the key column) + contiguous rank shards
+        "text_shuffle_shards": curation.shuffle_shards,
     }
 
 
@@ -1643,5 +1646,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*)::BIGINT AS n_windows,
                sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows
         FROM r GROUP BY doc_id
+    """
+    # deterministic global shuffle: md5 permutation + equal rank shards
+    oracles["text_shuffle_shards"] = """
+        WITH r AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                 row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+                   AS global_rank
+          FROM documents
+        )
+        SELECT doc_id, shuffle_key, global_rank,
+               CAST(global_rank * 8 // (SELECT count(*) FROM r) AS BIGINT) AS shard
+        FROM r
     """
     return oracles

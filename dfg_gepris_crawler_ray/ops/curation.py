@@ -245,3 +245,83 @@ def text_chunking(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def shuffle_shards(sf_dir: str, n_shards: int = 8) -> "ray.data.Dataset":
+    """Deterministic global training shuffle + shard packing: order the
+    corpus by ``md5(doc_id)`` (a reproducible pseudo-random permutation
+    — the standard seedable pre-training shuffle) and cut the rank
+    sequence into ``n_shards`` contiguous, equal-size shards:
+    ``shard = global_rank * n_shards // total``.
+
+    Output: (doc_id, shuffle_key, global_rank, shard).
+
+    Distributed shape: the permutation is Ray Data's native all-to-all
+    ``Dataset.sort`` over the key column ONLY (doc_id + 32-byte key per
+    row — text never moves); global ranks then come from the same
+    scan-then-offset two-pass prefix pattern as ``sequence_packing``
+    (per-block partials → tiny driver cumsum keyed by each block's
+    first key → broadcast offsets; both passes run over the ONE
+    materialized sorted index so block boundaries line up).  The
+    materialization is the sorted (doc_id, key) index — blocks in the
+    object store, never the driver.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({"doc_id": batch.column("doc_id"), "shuffle_key": pa.array(keys)})
+
+    s = (
+        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("shuffle_key")
+        .materialize()
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"first_key": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "first_key": pa.array([batch.column("shuffle_key")[0].as_py()]),
+                "n": pa.array([batch.num_rows]),
+            }
+        )
+
+    stats = (
+        s.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("first_key")
+    )
+    total = int(stats["n"].sum())
+    starts = stats["n"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(stats["first_key"], starts.astype(int)))
+    off_ref = ray.put((offsets, total))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "shuffle_key": pa.array([], type=pa.string()),
+                 "global_rank": pa.array([], type=pa.int64()),
+                 "shard": pa.array([], type=pa.int64())}
+            )
+        offs, tot = ray.get(off_ref)
+        start = offs[batch.column("shuffle_key")[0].as_py()]
+        rank = start + np.arange(batch.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shuffle_key": batch.column("shuffle_key"),
+                "global_rank": pa.array(rank),
+                "shard": pa.array(rank * n_shards // total),
+            }
+        )
+
+    return s.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -895,3 +895,24 @@ def test_semantic_dedup_invariants():
             assert S.max() < thr
         for d in dropped:
             assert len(kept) and (mat[kept] @ mat[d]).max() >= thr
+
+
+def test_shuffle_shards_is_md5_permutation():
+    """Global ranks follow md5-key order exactly; shards are contiguous
+    rank ranges of near-equal size."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.curation import shuffle_shards
+
+    got = shuffle_shards(SF, n_shards=4).to_pandas()
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+    want = sorted(df.doc_id, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    by_rank = got.sort_values("global_rank")
+    assert by_rank.doc_id.tolist() == want
+    assert by_rank.global_rank.tolist() == list(range(len(df)))
+    n = len(df)
+    assert by_rank.shard.tolist() == [r * 4 // n for r in range(n)]
+    sizes = got.groupby("shard").size()
+    assert sizes.max() - sizes.min() <= 1
