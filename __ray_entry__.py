@@ -876,6 +876,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic global training shuffle (native Dataset.sort
         # all-to-all over the key column) + contiguous rank shards
         "text_shuffle_shards": curation.shuffle_shards,
+        # domain-level quality gate (pre-aggregate + broadcast semi-join)
+        "text_source_filter": curation.source_quality_filter,
+        # DSIR hashed-bigram importance weights (integer-exact)
+        "text_dsir_importance": curation.dsir_importance,
+        # deterministic per-language epoch mixing (row-local explode)
+        "text_corpus_mixture": curation.corpus_mixture,
     }
 
 
@@ -1658,5 +1664,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, shuffle_key, global_rank,
                CAST(global_rank * 8 // (SELECT count(*) FROM r) AS BIGINT) AS shard
         FROM r
+    """
+    # domain-level quality gate: integer mean doc length per source
+    oracles["text_source_filter"] = """
+        WITH s AS (
+          SELECT source, sum(n_chars) // count(*) AS iavg
+          FROM documents GROUP BY source
+        )
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN s USING (source)
+        WHERE s.iavg >= 290
+    """
+    # DSIR hashed-bigram importance: md5 bucket, +1 smoothing,
+    # integer per-bigram score summed over occurrences
+    oracles["text_dsir_importance"] = """
+        WITH l AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                   FROM documents),
+         z AS (SELECT doc_id, lang, unnest(list_zip(toks, toks[2:])) AS p
+               FROM l),
+         b AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(p[1] || ' ' || p[2]), 1, 8))::BIGINT
+                        % 256 AS bucket
+               FROM z WHERE p[2] IS NOT NULL),
+         c AS (SELECT bucket, count(*) + 1 AS corpus_n,
+                      count(*) FILTER (WHERE lang = 'en') + 1 AS target_n
+               FROM b GROUP BY bucket),
+         s AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                      sum((c.target_n * 1000000) // c.corpus_n) AS importance
+               FROM b JOIN c USING (bucket) GROUP BY b.doc_id)
+        SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+               coalesce(s.importance, 0)::BIGINT AS importance
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """
+    # deterministic epoch mixing: whole copies + md5-coin fractional copy
+    oracles["text_corpus_mixture"] = """
+        WITH w(lang, whole, pct) AS (VALUES
+          ('en', 2, 0), ('de', 1, 50), ('fr', 1, 0), ('es', 0, 50),
+          ('zh', 0, 25)),
+         n AS (SELECT d.doc_id, d.lang,
+                      w.whole + CASE
+                        WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 100 < w.pct THEN 1 ELSE 0 END AS n_copies
+               FROM documents d JOIN w USING (lang))
+        SELECT doc_id, lang, unnest(range(n_copies))::BIGINT AS copy_idx
+        FROM n WHERE n_copies > 0
     """
     return oracles

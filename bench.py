@@ -224,6 +224,8 @@ def main():
     timed("rel_range_join", lambda: relational.purchase_followup_range_join(SF_DIR).materialize())
     timed("text_sequence_packing", lambda: curation.sequence_packing(SF_DIR).materialize())
     timed("text_tfidf_top_term", lambda: textstats.tfidf_top_term(SF_DIR).materialize())
+    timed("text_dsir_importance", lambda: curation.dsir_importance(SF_DIR).materialize())
+    timed("text_source_filter", lambda: curation.source_quality_filter(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

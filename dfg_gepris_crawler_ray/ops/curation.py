@@ -325,3 +325,237 @@ def shuffle_shards(sf_dir: str, n_shards: int = 8) -> "ray.data.Dataset":
         )
 
     return s.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+#: default per-language epoch weights for ``corpus_mixture`` —
+#: upsample the target language, downsample the long tail (the
+#: DoReMi / Pile-style "mixture weights" knob, made deterministic)
+MIXTURE_WEIGHTS: dict[str, tuple[int, int]] = {
+    # lang -> (whole_copies, extra_copy_pct): n_copies = whole +
+    # (1 if md5(doc_id) % 100 < pct else 0)
+    "en": (2, 0),
+    "de": (1, 50),
+    "fr": (1, 0),
+    "es": (0, 50),
+    "zh": (0, 25),
+}
+
+
+def source_quality_filter(sf_dir: str, min_avg_chars: int = 290) -> "ray.data.Dataset":
+    """Domain-level quality filtering (the RefinedWeb / C4 "bad host"
+    pattern): aggregate per-source stats over the whole corpus, block
+    sources whose integer mean document length ``sum(n_chars) //
+    n_docs`` falls below the bar, keep every document of the surviving
+    sources.  Output: (doc_id, source, n_chars).
+
+    Distributed shape — the canonical pre-aggregate + broadcast
+    semi-join (NO doc-level shuffle):
+
+    1. per-batch partial per-source (n_docs, sum_chars) via
+       ``pyarrow.Table.group_by`` (vectorized);
+    2. global groupby("source") over the partials — the exchange
+       carries one row per (batch, source), not per document;
+    3. the per-source verdict table is tiny (hosts ≪ docs; ~10^8 rows
+       at worst for a full web crawl) → broadcast the blocked-source
+       set via ``ray.put`` and filter in a second scan.  If the host
+       table ever outgrows broadcast, swap step 3 for the bucketed
+       semi-join pattern of ``relational.anti_join_bucketed``.
+    """
+    import ray
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate(
+            [("n_chars", "sum"), ("doc_id", "count")]
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "sum_chars": g.column("n_chars_sum").cast(pa.int64()),
+                "n_docs": g.column("doc_id_count").cast(pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .sum(["sum_chars", "n_docs"])
+        .to_pandas()
+    )
+    allowed = {
+        s
+        for s, sc, n in zip(
+            stats["source"], stats["sum(sum_chars)"], stats["sum(n_docs)"]
+        )
+        if int(sc) // int(n) >= min_avg_chars
+    }
+    allowed_ref = ray.put(frozenset(allowed))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = ray.get(allowed_ref)
+        mask = pa.array([s in ok for s in batch.column("source").to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dsir_importance(
+    sf_dir: str,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much its hashed-bigram profile looks like a target
+    subcorpus (here: ``lang == target_lang``) relative to the raw
+    corpus.  Integer-exact so the SQL oracle reproduces it
+    bit-for-bit: bucket ``b = md5(t1 + ' ' + t2)[:8] % n_buckets``,
+    per-bigram score ``(target_n[b] * scale) // corpus_n[b]`` with
+    +1 smoothing on both counts, per-doc importance = sum over its
+    bigram OCCURRENCES.  Output: (doc_id, n_bigrams, importance).
+
+    Distributed shape — two scans, zero doc-level shuffle:
+
+    1. counting scan: each batch emits its nonzero (bucket, corpus_n,
+       target_n) partials (≤ n_buckets rows/batch) → tiny
+       groupby("bucket") sum → the two count vectors are ``n_buckets``
+       int64s, broadcast once via ``ray.put``;
+    2. scoring scan: per batch, all bigrams are hashed in one
+       ``np.fromiter`` pass, scored vectorized, and summed per doc
+       with ``np.add.reduceat`` over the doc boundaries.
+
+    The real-scale note: md5 is the bucket hash ONLY for SQL-oracle
+    reproducibility; swap in a 64-bit multiply-shift hash for
+    production and the shape is unchanged.
+    """
+    import ray
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text", "lang"])
+
+    def _bigram_buckets_and_bounds(batch: pa.Table):
+        """All bigram buckets of the batch (one flat int64 array) plus
+        each doc's bigram count, in row order."""
+        texts = batch.column("text").to_pylist()
+        grams: list[bytes] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks = text.split(" ")
+            counts[i] = max(len(toks) - 1, 0)
+            grams.extend(
+                (a + " " + b).encode() for a, b in zip(toks, toks[1:])
+            )
+        if grams:
+            buckets = np.fromiter(
+                (int(hashlib.md5(g).hexdigest()[:8], 16) for g in grams),
+                dtype=np.int64, count=len(grams),
+            ) % n_buckets
+        else:
+            buckets = np.empty(0, dtype=np.int64)
+        return buckets, counts
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        buckets, counts = _bigram_buckets_and_bounds(batch)
+        corpus = np.bincount(buckets, minlength=n_buckets).astype(np.int64)
+        is_tgt = np.repeat(
+            np.asarray(batch.column("lang")) == target_lang, counts
+        )
+        target = np.bincount(buckets[is_tgt], minlength=n_buckets).astype(np.int64)
+        nz = (corpus > 0) | (target > 0)
+        return pa.table(
+            {
+                "bucket": pa.array(np.flatnonzero(nz), type=pa.int64()),
+                "corpus_n": pa.array(corpus[nz]),
+                "target_n": pa.array(target[nz]),
+            }
+        )
+
+    counts_df = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .sum(["corpus_n", "target_n"])
+        .to_pandas()
+    )
+    corpus_n = np.ones(n_buckets, dtype=np.int64)  # +1 smoothing
+    target_n = np.ones(n_buckets, dtype=np.int64)
+    b = counts_df["bucket"].to_numpy()
+    corpus_n[b] += counts_df["sum(corpus_n)"].to_numpy().astype(np.int64)
+    target_n[b] += counts_df["sum(target_n)"].to_numpy().astype(np.int64)
+    per_bucket_score = (target_n * scale) // corpus_n
+    score_ref = ray.put(per_bucket_score)
+
+    def score(batch: pa.Table) -> pa.Table:
+        buckets, counts = _bigram_buckets_and_bounds(batch)
+        tbl = ray.get(score_ref)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        if len(buckets):
+            sums_at = np.add.reduceat(
+                np.concatenate((tbl[buckets], [0])), np.minimum(starts, len(buckets))
+            )
+            importance = np.where(counts > 0, sums_at, 0)
+        else:
+            importance = np.zeros(len(counts), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(counts),
+                "importance": pa.array(importance.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def corpus_mixture(
+    sf_dir: str, weights: dict[str, tuple[int, int]] | None = None
+) -> "ray.data.Dataset":
+    """Deterministic corpus mixing / epoch upsampling: repeat each
+    document ``whole + (1 if md5(doc_id) % 100 < pct else 0)`` times
+    according to its language's mixture weight (``MIXTURE_WEIGHTS``) —
+    the "see high-value data 2 epochs, downsample the tail" knob of
+    every pre-training data recipe, with the fractional part resolved
+    by the same md5 coin as ``hash_split`` (reproducible, row-local,
+    no RNG state).  Output: one row per (doc_id, lang, copy_idx).
+
+    Row-local explode — embarrassingly parallel, no shuffle; at 100 TB
+    the expansion happens inside the scan so no pre-expansion corpus
+    copy ever exists.
+    """
+    import ray
+
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        coin = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 for i in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        whole = np.fromiter(
+            (weights.get(l, (1, 0))[0] for l in langs), dtype=np.int64, count=len(langs)
+        )
+        pct = np.fromiter(
+            (weights.get(l, (1, 0))[1] for l in langs), dtype=np.int64, count=len(langs)
+        )
+        n_copies = whole + (coin < pct)
+        total = int(n_copies.sum())
+        rep_ids = np.repeat(np.asarray(ids, dtype=np.int64), n_copies)
+        rep_langs = np.repeat(np.asarray(langs, dtype=object), n_copies)
+        starts = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
+        copy_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, n_copies)
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_ids),
+                "lang": pa.array(rep_langs.tolist(), type=pa.string()),
+                "copy_idx": pa.array(copy_idx),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

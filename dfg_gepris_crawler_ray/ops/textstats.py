@@ -531,6 +531,38 @@ def tfidf_top_term(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
     n_docs = int(pq.read_metadata(path).num_rows)
 
     def tf_rows(batch: pa.Table) -> pa.Table:
+        # Vectorized tokenize→count: Rust-side split/explode/group_by
+        # (polars) — the per-doc Python loop only as a fallback.  This
+        # is the hottest stage at corpus scale (touches every byte of
+        # text), so it must not iterate Python rows.
+        try:
+            import polars as pl
+
+            out = (
+                pl.from_arrow(batch)
+                .lazy()
+                .with_columns(pl.col("text").str.split(" ").alias("token"))
+                .explode("token")
+                .group_by("doc_id", "token")
+                .len()
+                .rename({"len": "tf"})
+                .select(
+                    pl.col("doc_id").cast(pl.Int64),
+                    pl.col("token"),
+                    pl.col("tf").cast(pl.Int64),
+                )
+                .collect()
+                .to_arrow()
+            )
+            return pa.table(
+                {
+                    "doc_id": out.column("doc_id"),
+                    "token": out.column("token").cast(pa.string()),
+                    "tf": out.column("tf"),
+                }
+            )
+        except ImportError:  # pragma: no cover - polars is baked in
+            pass
         doc_ids, tokens, tfs = [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()

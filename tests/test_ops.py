@@ -916,3 +916,88 @@ def test_shuffle_shards_is_md5_permutation():
     assert by_rank.shard.tolist() == [r * 4 // n for r in range(n)]
     sizes = got.groupby("shard").size()
     assert sizes.max() - sizes.min() <= 1
+
+
+def test_source_quality_filter_matches_brute():
+    """Blocked set == sources whose integer mean n_chars < bar; kept
+    docs are exactly the docs of surviving sources."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.curation import source_quality_filter
+
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    ).to_pandas()
+    g = df.groupby("source")["n_chars"].agg(["sum", "count"])
+    allowed = set(g.index[(g["sum"] // g["count"]) >= 290])
+    assert 0 < len(allowed) < df["source"].nunique()  # non-trivial bar
+    got = source_quality_filter(SF, min_avg_chars=290).to_pandas()
+    assert set(got["source"]) == allowed
+    want = df[df["source"].isin(allowed)].sort_values("doc_id")
+    assert got.sort_values("doc_id")["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_dsir_importance_matches_brute():
+    """Integer-exact vs a per-doc brute recompute; target-lang docs
+    score higher on average (the whole point of the weighting)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.curation import dsir_importance
+
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pandas()
+    B, SCALE = 256, 1_000_000
+    corpus = np.ones(B, dtype=np.int64)
+    target = np.ones(B, dtype=np.int64)
+    per_doc = {}
+    for _, r in df.iterrows():
+        toks = r.text.split(" ")
+        bs = [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16) % B
+            for a, b in zip(toks, toks[1:])
+        ]
+        per_doc[r.doc_id] = bs
+        for b in bs:
+            corpus[b] += 1
+            if r.lang == "en":
+                target[b] += 1
+    got = dsir_importance(SF).to_pandas().set_index("doc_id")
+    for doc_id, bs in per_doc.items():
+        want = sum(int(target[b] * SCALE) // int(corpus[b]) for b in bs)
+        assert got.loc[doc_id, "importance"] == want
+        assert got.loc[doc_id, "n_bigrams"] == len(bs)
+    m = got.join(df.set_index("doc_id")["lang"])
+    rate = m["importance"] / m["n_bigrams"].clip(lower=1)
+    assert rate[m.lang == "en"].mean() > rate[m.lang != "en"].mean()
+
+
+def test_corpus_mixture_copy_counts():
+    """Every doc appears whole or whole+1 times per its lang weight;
+    copy_idx is a 0..n-1 ramp; fractional-coin rate lands near pct."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.curation import MIXTURE_WEIGHTS, corpus_mixture
+
+    df = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    got = corpus_mixture(SF).to_pandas()
+    n = got.groupby("doc_id").size()
+    for _, r in df.iterrows():
+        whole, pct = MIXTURE_WEIGHTS[r.lang]
+        coin = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 100
+        want = whole + (1 if coin < pct else 0)
+        assert n.get(r.doc_id, 0) == want
+    for doc_id, grp in got.groupby("doc_id"):
+        assert sorted(grp["copy_idx"]) == list(range(len(grp)))
+    # en docs exactly double; zh docs roughly quartered
+    en = df[df.lang == "en"].doc_id
+    assert all(n.get(i, 0) == 2 for i in en)
+    zh = df[df.lang == "zh"].doc_id
+    zh_kept = sum(n.get(i, 0) for i in zh)
+    assert 0 < zh_kept < len(zh)
