@@ -41,14 +41,27 @@ def upsert_from_search_ds(
 
     ``observations``: Dataset of ``(id, item)`` rows (the search run's
     extracted items)."""
+    # Both tag fns emit the SAME column set: a sorted block downstream
+    # of the union can hold rows from only one side (sort partition
+    # boundaries are sampled), and a single-side block carries only
+    # that side's schema — an obs-only column like _obs_item would then
+    # be missing from a state-only group (observed as a flaky KeyError).
+    cols = list(S.STATE_COLUMNS) + ["_obs_item", "bucket", "_kind"]
 
     def tag_state(df: pd.DataFrame) -> pd.DataFrame:
-        return _with_bucket(df).assign(_kind="state")
+        return _with_bucket(df).assign(_kind="state", _obs_item=None)[cols]
 
     def tag_obs(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"id": df["id"].astype("int64"), "_obs_item": df["item"]})
         out["context"] = context
-        return _with_bucket(out).assign(_kind="obs")
+        out = _with_bucket(out).assign(_kind="obs")
+        # object-typed None fillers (NOT reindex's float NaN): a float
+        # filler column would coerce the state side's bool/int columns
+        # on block concat (False -> 0.0)
+        for c in cols:
+            if c not in out.columns:
+                out[c] = pd.Series([None] * len(out), dtype="object")
+        return out[cols]
 
     unioned = state.map_batches(tag_state, batch_format="pandas").union(
         observations.map_batches(tag_obs, batch_format="pandas")
