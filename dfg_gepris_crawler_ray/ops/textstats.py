@@ -501,6 +501,66 @@ def stable_hash64_array_local(tokens: list[str]) -> np.ndarray:
     return out
 
 
+def _tf_rows_polars(batch: pa.Table) -> pa.Table:
+    """Per-doc term counts via polars' Rust-side split/explode/group_by
+    — the hottest TF-IDF stage touches every byte of text, so it must
+    not iterate Python rows."""
+    import polars as pl
+
+    out = (
+        pl.from_arrow(batch)
+        .lazy()
+        .with_columns(pl.col("text").str.split(" ").alias("token"))
+        .explode("token")
+        .group_by("doc_id", "token")
+        .len()
+        .rename({"len": "tf"})
+        .select(
+            pl.col("doc_id").cast(pl.Int64),
+            pl.col("token"),
+            pl.col("tf").cast(pl.Int64),
+        )
+        .collect()
+        .to_arrow()
+    )
+    return pa.table(
+        {
+            "doc_id": out.column("doc_id"),
+            "token": out.column("token").cast(pa.string()),
+            "tf": out.column("tf"),
+        }
+    )
+
+
+def _tf_rows_python(batch: pa.Table) -> pa.Table:
+    """Pure-Python fallback for :func:`_tf_rows_polars` (identical
+    output up to row order; equivalence pinned by test_ops)."""
+    doc_ids, tokens, tfs = [], [], []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        counts: dict[str, int] = {}
+        for t in text.split(" "):
+            counts[t] = counts.get(t, 0) + 1
+        doc_ids.extend([doc_id] * len(counts))
+        tokens.extend(counts.keys())
+        tfs.extend(counts.values())
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "token": pa.array(tokens, type=pa.string()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        }
+    )
+
+
+def _tf_rows(batch: pa.Table) -> pa.Table:
+    try:
+        return _tf_rows_polars(batch)
+    except ImportError:  # pragma: no cover - polars is baked in
+        return _tf_rows_python(batch)
+
+
 def tfidf_top_term(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
     """Per-document top TF-IDF term, integer-exact so the SQL oracle
     reproduces it bit-for-bit: ``score = tf * n_docs // df`` (the
@@ -530,59 +590,10 @@ def tfidf_top_term(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
     path = f"{sf_dir}/documents.parquet"
     n_docs = int(pq.read_metadata(path).num_rows)
 
-    def tf_rows(batch: pa.Table) -> pa.Table:
-        # Vectorized tokenize→count: Rust-side split/explode/group_by
-        # (polars) — the per-doc Python loop only as a fallback.  This
-        # is the hottest stage at corpus scale (touches every byte of
-        # text), so it must not iterate Python rows.
-        try:
-            import polars as pl
-
-            out = (
-                pl.from_arrow(batch)
-                .lazy()
-                .with_columns(pl.col("text").str.split(" ").alias("token"))
-                .explode("token")
-                .group_by("doc_id", "token")
-                .len()
-                .rename({"len": "tf"})
-                .select(
-                    pl.col("doc_id").cast(pl.Int64),
-                    pl.col("token"),
-                    pl.col("tf").cast(pl.Int64),
-                )
-                .collect()
-                .to_arrow()
-            )
-            return pa.table(
-                {
-                    "doc_id": out.column("doc_id"),
-                    "token": out.column("token").cast(pa.string()),
-                    "tf": out.column("tf"),
-                }
-            )
-        except ImportError:  # pragma: no cover - polars is baked in
-            pass
-        doc_ids, tokens, tfs = [], [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            counts: dict[str, int] = {}
-            for t in text.split(" "):
-                counts[t] = counts.get(t, 0) + 1
-            doc_ids.extend([doc_id] * len(counts))
-            tokens.extend(counts.keys())
-            tfs.extend(counts.values())
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "token": pa.array(tokens, type=pa.string()),
-                "tf": pa.array(tfs, type=pa.int64()),
-            }
-        )
-
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
-    tf = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    tf = ds.map_batches(
+        _tf_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     def tag_df_partial(df: pd.DataFrame) -> pd.DataFrame:
         # partial df per batch: one row per token (each (doc, token)

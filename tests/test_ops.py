@@ -1001,3 +1001,24 @@ def test_corpus_mixture_copy_counts():
     zh = df[df.lang == "zh"].doc_id
     zh_kept = sum(n.get(i, 0) for i in zh)
     assert 0 < zh_kept < len(zh)
+
+
+def test_tf_rows_polars_matches_python_fallback():
+    """The Rust-side tokenize→count stage and the pure-Python fallback
+    produce identical (doc_id, token, tf) multisets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.textstats import (
+        _tf_rows_polars,
+        _tf_rows_python,
+    )
+
+    batch = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = _tf_rows_polars(batch).to_pandas()
+    b = _tf_rows_python(batch).to_pandas()
+    key = ["doc_id", "token", "tf"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0
