@@ -22,6 +22,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -384,19 +385,20 @@ def source_quality_filter(sf_dir: str, min_avg_chars: int = 290) -> "ray.data.Da
         .sum(["sum_chars", "n_docs"])
         .to_pandas()
     )
-    allowed = {
+    allowed = sorted(
         s
         for s, sc, n in zip(
             stats["source"], stats["sum(sum_chars)"], stats["sum(n_docs)"]
         )
         if int(sc) // int(n) >= min_avg_chars
-    }
-    allowed_ref = ray.put(frozenset(allowed))
+    )
+    # broadcast the verdict as an Arrow array: zero-copy from the
+    # object store, probed with the vectorized is_in kernel
+    allowed_ref = ray.put(pa.array(allowed, type=pa.string()))
 
     def keep(batch: pa.Table) -> pa.Table:
         ok = ray.get(allowed_ref)
-        mask = pa.array([s in ok for s in batch.column("source").to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch.column("source"), value_set=ok))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
