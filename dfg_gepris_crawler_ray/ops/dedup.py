@@ -24,6 +24,7 @@ import ray
 import ray.data
 
 from ..kernels.hashing import minhash_permutations, splitmix64
+from .similarity import _as_matrix_arrow, _list_column
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -901,14 +902,12 @@ def embedding_neardup_pairs(
 
     def normalize(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
-        )
+        mat = _as_matrix_arrow(batch.column("embedding"))
         mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         return pa.table(
             {
                 "vec_id": pa.array(ids),
-                "normed": pa.array(mat.tolist(), type=pa.list_(pa.float64())),
+                "normed": _list_column(mat),
             }
         )
 
@@ -971,9 +970,7 @@ def _embedding_neardup_ivf(
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in batch.column("embedding").to_pylist()]
-        )
+        mat = _as_matrix_arrow(batch.column("embedding"))
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         top = np.argsort(-(mn @ c.T), axis=1)[:, :n_assign]  # (n, n_assign)
         rep_ids = np.repeat(ids, n_assign)
@@ -983,7 +980,7 @@ def _embedding_neardup_ivf(
             {
                 "centroid": pa.array(rep_cent),
                 "vec_id": pa.array(rep_ids),
-                "normed": pa.array(rep_vecs.tolist(), type=pa.list_(pa.float64())),
+                "normed": _list_column(rep_vecs),
             }
         )
 

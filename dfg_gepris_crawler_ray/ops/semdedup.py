@@ -33,7 +33,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .similarity import _as_matrix, spherical_kmeans
+from .similarity import _as_matrix_arrow, _list_column, spherical_kmeans
 
 
 def semantic_dedup(
@@ -56,7 +56,7 @@ def semantic_dedup(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        mat = _as_matrix(batch.column("embedding").to_pylist())
+        mat = _as_matrix_arrow(batch.column("embedding"))
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         sims = mn @ c.T
         cluster = np.argmax(sims, axis=1)
@@ -65,7 +65,7 @@ def semantic_dedup(
                 "vec_id": batch.column("vec_id"),
                 "cluster": pa.array(cluster.astype(np.int32)),
                 "cent_sim": pa.array(sims[np.arange(len(cluster)), cluster]),
-                "normed": pa.array(mn.tolist(), type=pa.list_(pa.float64())),
+                "normed": _list_column(mn),
             }
         )
 

@@ -23,6 +23,38 @@ def _as_matrix(embs) -> np.ndarray:
     return np.asarray([np.asarray(e, dtype=np.float64) for e in embs])
 
 
+def _as_matrix_arrow(col) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow ``list<float>`` column via
+    one flat child-buffer copy — no per-row Python list objects (the
+    ``to_pylist()`` route boxes n·d floats; on a 10^6-vector batch
+    that is a GC storm vs a memcpy).  Ragged or null-bearing columns
+    fall back to the per-row path."""
+    import pyarrow.compute as _pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if col.null_count == 0:
+        mm = _pc.min_max(_pc.list_value_length(col)).as_py()
+        if mm["min"] == mm["max"] and mm["max"]:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(flat, dtype=np.float64).reshape(n, mm["max"])
+    return _as_matrix(col.to_pylist())
+
+
+def _list_column(mat: np.ndarray) -> pa.Array:
+    """Arrow ``list<float64>`` column from a (n, d) matrix via flat
+    values + arithmetic offsets — the write-side inverse of
+    :func:`_as_matrix_arrow` (``mat.tolist()`` boxes every float)."""
+    n, d = mat.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64), type=pa.int32()),
+        pa.array(np.ascontiguousarray(mat, dtype=np.float64).reshape(-1)),
+    )
+
+
 def _batch_topk_idx(scores: np.ndarray, cand_ids: np.ndarray, k: int) -> np.ndarray:
     """Indices of the per-batch top-k by (cosine desc, neighbor_id asc) —
     the SAME tie-break as the global ``_merge_topk``, so an exact cosine
@@ -119,7 +151,7 @@ def knn_brute(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pa.Table:
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = _as_matrix(batch.column("embedding").to_pylist())
+        mat = _as_matrix_arrow(batch.column("embedding"))
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         sims = qm @ mn.T  # (n_query, n_batch)
         rows = {"query_id": [], "neighbor_id": [], "cosine": []}
@@ -163,7 +195,7 @@ def spherical_kmeans(
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
-            mat = _as_matrix(batch.column("embedding").to_pylist())
+            mat = _as_matrix_arrow(batch.column("embedding"))
             mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
             assign = np.argmax(mn @ c.T, axis=1)
             sums = np.zeros_like(c)
@@ -172,7 +204,7 @@ def spherical_kmeans(
             return pa.table(
                 {
                     "centroid_id": pa.array(np.arange(len(c)), type=pa.int64()),
-                    "vec_sum": pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+                    "vec_sum": _list_column(sums),
                     "count": pa.array(counts, type=pa.int64()),
                 }
             )
@@ -228,7 +260,7 @@ def knn_ivf(
     def partial_topk(batch: pa.Table) -> pa.Table:
         c, qm, probes = ray.get(state_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = _as_matrix(batch.column("embedding").to_pylist())
+        mat = _as_matrix_arrow(batch.column("embedding"))
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         assign = np.argmax(mn @ c.T, axis=1)
         sims = qm @ mn.T  # (n_query, n_batch)
@@ -308,7 +340,7 @@ def knn_lsh(
         their task (the knn_brute partial-top-k pattern)."""
         qm, probes = ray.get(state_ref)
         ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        mat = _as_matrix(batch.column("embedding").to_pylist())
+        mat = _as_matrix_arrow(batch.column("embedding"))
         bk = buckets_of(mat)
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         sims = qm @ mn.T  # (n_query, n_batch)

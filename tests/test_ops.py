@@ -1022,3 +1022,44 @@ def test_tf_rows_polars_matches_python_fallback():
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_as_matrix_arrow_fast_path_and_fallbacks():
+    """The flat-buffer Arrow→numpy matrix path is byte-identical to the
+    per-row boxed path, and ragged / null-bearing columns fall back to
+    it; _list_column round-trips losslessly (single memcpy, no tolist)."""
+    import pyarrow as pa
+
+    from dfg_gepris_crawler_ray.ops.similarity import (
+        _as_matrix,
+        _as_matrix_arrow,
+        _list_column,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(37, 16))
+    col = pa.array(mat.tolist(), type=pa.list_(pa.float64()))
+    fast = _as_matrix_arrow(col)
+    assert fast.dtype == np.float64 and fast.shape == (37, 16)
+    np.testing.assert_array_equal(fast, _as_matrix(col.to_pylist()))
+    # chunked input (post-concat blocks) takes the same path
+    chunked = pa.chunked_array([col.slice(0, 10), col.slice(10)])
+    np.testing.assert_array_equal(_as_matrix_arrow(chunked), fast)
+    # sliced array: offsets no longer start at 0 — must still be exact
+    np.testing.assert_array_equal(_as_matrix_arrow(col.slice(5, 20)), mat[5:25])
+    # float32 storage upcasts to float64
+    col32 = pa.array(mat.astype(np.float32).tolist(), type=pa.list_(pa.float32()))
+    np.testing.assert_array_equal(
+        _as_matrix_arrow(col32), mat.astype(np.float32).astype(np.float64)
+    )
+    # ragged → per-row fallback, which (like _as_matrix always did)
+    # rejects inhomogeneous rows
+    ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
+    with pytest.raises(ValueError):
+        _as_matrix_arrow(ragged)
+    # empty column
+    assert _as_matrix_arrow(col.slice(0, 0)).shape[0] == 0
+    # round-trip through _list_column
+    back = _list_column(fast)
+    assert back.type == pa.list_(pa.float64())
+    np.testing.assert_array_equal(_as_matrix_arrow(back), fast)
