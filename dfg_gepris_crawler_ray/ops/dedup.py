@@ -24,7 +24,7 @@ import ray
 import ray.data
 
 from ..kernels.hashing import minhash_permutations, splitmix64
-from .similarity import _as_matrix_arrow, _list_column
+from .similarity import _as_matrix_arrow, _i64, _list_column
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -248,7 +248,7 @@ def minhash_lsh_dedup(
             """Semi-join the docs scan to candidate ids; emit each kept
             doc's shingle set once per destination pair bucket."""
             uniq, offs, bks = ray.get(route_ref)
-            ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+            ids = _i64(batch.column("doc_id"))
             pos = np.searchsorted(uniq, ids)
             pos_c = np.clip(pos, 0, len(uniq) - 1)
             present = (len(uniq) > 0) & (uniq[pos_c] == ids)
@@ -284,8 +284,8 @@ def minhash_lsh_dedup(
         )
 
         def route_rows(batch: pa.Table) -> pa.Table:
-            da = np.asarray(batch.column("doc_a").to_pylist(), dtype=np.int64)
-            db_ = np.asarray(batch.column("doc_b").to_pylist(), dtype=np.int64)
+            da = _i64(batch.column("doc_a"))
+            db_ = _i64(batch.column("doc_b"))
             pb = ((da * 1_000_003 + db_) % 64).astype(np.int32)
             ids = np.concatenate([da, db_])
             pbs = np.concatenate([pb, pb])
@@ -300,7 +300,7 @@ def minhash_lsh_dedup(
             )
 
         def doc_payload_rows(batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+            ids = _i64(batch.column("doc_id"))
             payloads = [
                 shingle_hashes(t, shingle_k).tobytes()
                 for t in batch.column("text").to_pylist()
@@ -901,7 +901,7 @@ def embedding_neardup_pairs(
     )
 
     def normalize(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = _i64(batch.column("vec_id"))
         mat = _as_matrix_arrow(batch.column("embedding"))
         mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         return pa.table(
@@ -917,10 +917,10 @@ def embedding_neardup_pairs(
     @ray.remote
     def block_pair(ref_a: pa.Table, ref_b: pa.Table, same: bool) -> pa.Table:
         ta, tb = ref_a, ref_b  # Ray resolves the refs to tables
-        ids_a = np.asarray(ta.column("vec_id").to_pylist(), dtype=np.int64)
-        ids_b = np.asarray(tb.column("vec_id").to_pylist(), dtype=np.int64)
-        ma = np.asarray(ta.column("normed").to_pylist())
-        mb = np.asarray(tb.column("normed").to_pylist())
+        ids_a = _i64(ta.column("vec_id"))
+        ids_b = _i64(tb.column("vec_id"))
+        ma = _as_matrix_arrow(ta.column("normed"))
+        mb = _as_matrix_arrow(tb.column("normed"))
         sims = ma @ mb.T
         ia, ib = np.nonzero(sims >= threshold)
         va, vb = ids_a[ia], ids_b[ib]
@@ -969,7 +969,7 @@ def _embedding_neardup_ivf(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = _i64(batch.column("vec_id"))
         mat = _as_matrix_arrow(batch.column("embedding"))
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         top = np.argsort(-(mn @ c.T), axis=1)[:, :n_assign]  # (n, n_assign)

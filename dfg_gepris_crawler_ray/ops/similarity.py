@@ -55,6 +55,12 @@ def _list_column(mat: np.ndarray) -> pa.Array:
     )
 
 
+def _i64(col) -> np.ndarray:
+    """int64 numpy view of a null-free Arrow integer column — buffer
+    copy at worst (``to_pylist`` boxes every id)."""
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
 def _batch_topk_idx(scores: np.ndarray, cand_ids: np.ndarray, k: int) -> np.ndarray:
     """Indices of the per-batch top-k by (cosine desc, neighbor_id asc) —
     the SAME tie-break as the global ``_merge_topk``, so an exact cosine
@@ -150,7 +156,7 @@ def knn_brute(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pa.Table:
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = _i64(batch.column("vec_id"))
         mat = _as_matrix_arrow(batch.column("embedding"))
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         sims = qm @ mn.T  # (n_query, n_batch)
@@ -259,7 +265,7 @@ def knn_ivf(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         c, qm, probes = ray.get(state_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = _i64(batch.column("vec_id"))
         mat = _as_matrix_arrow(batch.column("embedding"))
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
         assign = np.argmax(mn @ c.T, axis=1)
@@ -339,7 +345,7 @@ def knn_lsh(
         emit ≤ k partial rows per query — candidate vectors never leave
         their task (the knn_brute partial-top-k pattern)."""
         qm, probes = ray.get(state_ref)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = _i64(batch.column("vec_id"))
         mat = _as_matrix_arrow(batch.column("embedding"))
         bk = buckets_of(mat)
         mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
