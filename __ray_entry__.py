@@ -882,7 +882,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_dsir_importance": curation.dsir_importance,
         # deterministic per-language epoch mixing (row-local explode)
         "text_corpus_mixture": curation.corpus_mixture,
+        # CCNet-style bigram-LM perplexity score (model-sized shuffle +
+        # broadcast model; searchsorted count lookup)
+        "text_lm_perplexity": _q_lm_perplexity,
     }
+
+
+def _q_lm_perplexity(sf_dir: str):
+    """Per-doc avg negative log-likelihood under the corpus-trained
+    add-one bigram LM (ops/lm.py) — the perplexity-filter signal."""
+    from dfg_gepris_crawler_ray.ops.lm import lm_perplexity
+
+    return lm_perplexity(sf_dir)
 
 
 def _q_semantic_dedup(sf_dir: str):
@@ -1708,5 +1719,26 @@ def oracle_sql() -> dict[str, str]:
                FROM documents d JOIN w USING (lang))
         SELECT doc_id, lang, unnest(range(n_copies))::BIGINT AS copy_idx
         FROM n WHERE n_copies > 0
+    """
+    # add-one bigram LM trained on doc_id % 10 < 8; V = distinct left
+    # contexts; avg -ln p(w2|w1) per doc (docs with ≥1 bigram)
+    oracles["text_lm_perplexity"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         idx AS (SELECT doc_id, arr,
+                        unnest(generate_series(1, len(arr) - 1)) AS i FROM d),
+         bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM idx),
+         train AS (SELECT w1, w2, count(*) AS c FROM bg
+                   WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+         uni AS (SELECT w1, sum(c) AS cu FROM train GROUP BY 1),
+         v AS (SELECT count(*) AS vn FROM uni)
+        SELECT bg.doc_id,
+               count(*) AS n_bigrams,
+               avg(-ln((coalesce(t.c, 0) + 1.0) / (coalesce(u.cu, 0) + v.vn)))
+                 AS avg_nll
+        FROM bg
+        LEFT JOIN train t ON bg.w1 = t.w1 AND bg.w2 = t.w2
+        LEFT JOIN uni u ON bg.w1 = u.w1
+        CROSS JOIN v
+        GROUP BY bg.doc_id
     """
     return oracles

