@@ -885,7 +885,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style bigram-LM perplexity score (model-sized shuffle +
         # broadcast model; searchsorted count lookup)
         "text_lm_perplexity": _q_lm_perplexity,
+        # learned-BPE token counts (iterative merge loop → rows-only
+        # gate; training/inference equivalence + histogram oracle are
+        # pinned in test_ops::test_bpe_train_and_apply)
+        "text_bpe_learned_tokens": _q_bpe_learned_tokens,
     }
+
+
+def _q_bpe_learned_tokens(sf_dir: str):
+    """Token counts under a corpus-trained BPE tokenizer (ops/bpe.py):
+    one distributed word-histogram shuffle, vocab-sized driver merge
+    loop, broadcast ranks, memoized distributed apply."""
+    from dfg_gepris_crawler_ray.ops.bpe import bpe_token_counts
+
+    return bpe_token_counts(sf_dir)
 
 
 def _q_lm_perplexity(sf_dir: str):

@@ -164,7 +164,7 @@ def main():
 
     dfg_gepris_crawler_ray.register_for_ray()
     from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
-    from dfg_gepris_crawler_ray.ops import curation, dedup, lm, relational, similarity, textstats
+    from dfg_gepris_crawler_ray.ops import bpe, curation, dedup, lm, relational, similarity, textstats
     from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
 
     pages_dir = ensure_pages(SF_DIR, replicate=REPLICATE)  # cached generation (untimed)
@@ -227,6 +227,7 @@ def main():
     timed("text_dsir_importance", lambda: curation.dsir_importance(SF_DIR).materialize())
     timed("text_source_filter", lambda: curation.source_quality_filter(SF_DIR).materialize())
     timed("text_lm_perplexity", lambda: lm.lm_perplexity(SF_DIR).materialize())
+    timed("text_bpe_learned_tokens", lambda: bpe.bpe_token_counts(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

@@ -1106,3 +1106,74 @@ def test_lm_perplexity_matches_bruteforce():
     # train docs must score lower on average than a label-shuffled
     # control would — sanity: the model actually fits its train split
     assert got.avg_nll.between(0, 20).all()
+
+
+def test_bpe_train_and_apply():
+    """BPE training: merges replayed in training order equal the
+    rank-based inference encoding; tokens reconstruct the word; the
+    distributed word histogram matches DuckDB; train is deterministic."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.bpe import (
+        EOW,
+        _word_histogram,
+        bpe_token_counts,
+        encode_word,
+        train_bpe,
+    )
+
+    hist = _word_histogram(SF)
+    want = duckdb.sql(
+        f"SELECT w, count(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS w "
+        f"FROM read_parquet('{SF}/documents.parquet')) WHERE w <> '' GROUP BY w"
+    ).df()
+    assert hist == dict(zip(want["w"], want["c"].astype(int)))
+
+    merges = train_bpe(SF, n_merges=24)
+    assert merges == train_bpe(SF, n_merges=24)  # deterministic
+    assert 0 < len(merges) <= 24
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def replay(word):
+        seq = list(word) + [EOW]
+        for a, b in merges:  # training-order replay — independent path
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return seq
+
+    for word in sorted(hist)[:50]:
+        enc = encode_word(word, ranks)
+        assert enc == replay(word)
+        assert "".join(enc) == word + EOW
+        assert 1 <= len(enc) <= len(word) + 1
+
+    counts = bpe_token_counts(SF, n_merges=24).to_pandas().set_index("doc_id")
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in list(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )[:20]:
+        words = [w for w in text.split(" ") if w]
+        expect = sum(len(encode_word(w, ranks)) for w in words)
+        row = counts.loc[doc_id]
+        assert int(row.n_words) == len(words)
+        assert int(row.n_bpe_tokens) == expect
+    # merges actually compress: strictly fewer tokens than the
+    # unmerged char+EOW baseline, and at least one token per word
+    chars = {
+        doc_id: sum(len(w) + 1 for w in text.split(" ") if w)
+        for doc_id, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        )
+    }
+    baseline = counts.index.map(chars)
+    assert (counts.n_bpe_tokens < baseline).all()
+    assert (counts.n_bpe_tokens >= counts.n_words).all()
