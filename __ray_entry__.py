@@ -889,6 +889,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # gate; training/inference equivalence + histogram oracle are
         # pinned in test_ops::test_bpe_train_and_apply)
         "text_bpe_learned_tokens": _q_bpe_learned_tokens,
+        # per-class mean embedding (scatter-add partials → tiny keyed
+        # sum → row-local finish; Dataset end-to-end)
+        "emb_label_centroids": similarity.label_centroids,
     }
 
 
@@ -1753,5 +1756,14 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN uni u ON bg.w1 = u.w1
         CROSS JOIN v
         GROUP BY bg.doc_id
+    """
+    # per-class mean embedding, elementwise over the list column
+    oracles["emb_label_centroids"] = """
+        WITH e AS (SELECT label, embedding AS arr FROM embeddings),
+         idx AS (SELECT label, arr,
+                        unnest(generate_series(1, len(arr))) AS i FROM e)
+        SELECT label::BIGINT AS label, (i - 1)::BIGINT AS dim,
+               avg(arr[i]) AS centroid
+        FROM idx GROUP BY label, i
     """
     return oracles

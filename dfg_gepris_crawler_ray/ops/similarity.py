@@ -377,3 +377,57 @@ def knn_lsh(
         ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096), k
     )
     return _merge_topk(partials, query_ids, k)
+
+
+def label_centroids(sf_dir: str) -> "ray.data.Dataset":
+    """(label, dim, centroid) — per-class mean embedding, the
+    vector-aggregation building block under IVF list stats, per-class
+    prototypes and SemDeDup cluster reporting.
+
+    Distributed shape: each batch reduces to per-label vector sums +
+    counts via one ``np.add.at`` scatter (≤ labels × dims rows per
+    batch, independent of batch row count), the partials flow through
+    a single tiny ``groupby(key).sum`` keyed on ``label·4096 + dim``,
+    and the mean falls out of a final row-local ``map_batches`` —
+    end-to-end a Dataset, nothing driver-resident."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = _i64(batch.column("label"))
+        mat = _as_matrix_arrow(batch.column("embedding"))
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        n_dim = mat.shape[1]
+        return pa.table(
+            {
+                "key": pa.array(
+                    (np.repeat(uniq, n_dim) * 4096 + np.tile(np.arange(n_dim), len(uniq))).astype(np.int64)
+                ),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, n_dim)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .sum(["s", "n"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        s = batch.column("sum(s)").to_numpy(zero_copy_only=False)
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": pa.array((key // 4096).astype(np.int64)),
+                "dim": pa.array((key % 4096).astype(np.int64)),
+                "centroid": pa.array(s / n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1177,3 +1177,33 @@ def test_bpe_train_and_apply():
     baseline = counts.index.map(chars)
     assert (counts.n_bpe_tokens < baseline).all()
     assert (counts.n_bpe_tokens >= counts.n_words).all()
+
+
+def test_label_centroids_match_duckdb():
+    """Distributed per-class centroid equals DuckDB elementwise avg
+    bit-for-bit at this scale (float64 partial sums)."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.similarity import label_centroids
+
+    df = (
+        label_centroids(SF)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH e AS (SELECT label, embedding AS arr
+                   FROM read_parquet('{SF}/embeddings.parquet')),
+         idx AS (SELECT label, arr,
+                        unnest(generate_series(1, len(arr))) AS i FROM e)
+        SELECT label::BIGINT AS label, (i - 1)::BIGINT AS dim,
+               avg(arr[i]) AS centroid
+        FROM idx GROUP BY label, i ORDER BY label, dim
+        """
+    ).df()
+    assert df.label.tolist() == want.label.tolist()
+    assert df.dim.tolist() == want.dim.tolist()
+    assert np.abs(df.centroid - want.centroid).max() < 1e-9
+    assert len(df) > 0
