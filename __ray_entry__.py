@@ -892,7 +892,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-class mean embedding (scatter-add partials → tiny keyed
         # sum → row-local finish; Dataset end-to-end)
         "emb_label_centroids": similarity.label_centroids,
+        # per-host template/boilerplate detect+remove over the pages
+        # corpus (no SQL view of generated pages → rows-only gate;
+        # brute-force ground truth pinned in
+        # test_ops::test_host_boilerplate_matches_bruteforce)
+        "crawl_host_boilerplate": _q_host_boilerplate,
     }
+
+
+def _q_host_boilerplate(sf_dir: str):
+    """Per-page boilerplate-removal tallies (ops/boilerplate.py):
+    two page scans, one model-sized (host × template-segment) keyed
+    exchange, verdict broadcast."""
+    from dfg_gepris_crawler_ray.ops.boilerplate import host_boilerplate
+
+    return host_boilerplate(sf_dir)
 
 
 def _q_bpe_learned_tokens(sf_dir: str):

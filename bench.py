@@ -240,6 +240,8 @@ def main():
     timed("text_lm_perplexity", lambda: lm.lm_perplexity(SF_DIR).materialize())
     timed("text_bpe_learned_tokens", lambda: bpe.bpe_token_counts(SF_DIR).materialize())
     timed("emb_label_centroids", lambda: similarity.label_centroids(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.boilerplate import host_boilerplate
+    timed("crawl_host_boilerplate", lambda: host_boilerplate(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

@@ -1,0 +1,156 @@
+"""Per-host template/boilerplate detection over the pages corpus —
+the "strip the site chrome" stage of a web-text pipeline (jusText /
+trafilatura learn per-site boilerplate from repetition; CCNet and
+RefinedWeb drop lines shared across many pages of a host).
+
+A page's HTML is segmented at tag boundaries (``b"><"`` — the
+line-analogue for single-line crawl HTML); a segment is BOILERPLATE
+for a host when it appears on at least ``min_frac`` of that host's
+pages (templates, navigation, footers), and CONTENT otherwise.
+
+Distributed shape — two scans over pages, one model-sized exchange:
+
+1. **counting scan**: each batch emits per-(host, segment-hash)
+   page-count partials (segments deduped within a page first, so the
+   count is pages-containing, not occurrences) plus one page-count
+   row per host (sentinel ``seg_hash = -1``) → 64-way hash-bucket
+   ``groupby`` with vectorized pandas sums per bucket — the exchange
+   carries distinct (host, segment) rows, i.e. hosts × template
+   size, not the corpus;
+2. **verdict broadcast**: boilerplate segment hashes per host (and
+   per-host page totals) go to the object store once — bounded by
+   hosts × per-host template size, the same budget a jusText
+   stoplist would occupy;
+3. **removal scan**: per page, segments hash-checked against the
+   host's boilerplate set vectorized (``np.isin`` on the sorted hash
+   array); output one row per page with kept/dropped segment and
+   byte tallies.
+
+At 10^8 hosts the broadcast verdict is the size assumption to watch:
+shard it by host-hash and route batches (the politeness-bucket
+pattern in ``frontier/politeness.py``) — the two-scan shape is
+unchanged.  No SQL oracle (pages are generated, not a gate view):
+ground truth is pinned by a brute-force pytest over the sf0.001
+corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..testdata.gen_pages import ensure_pages
+
+
+def _seg_hash64(seg: bytes) -> int:
+    """Stable signed-int64 hash of one HTML segment."""
+    return int.from_bytes(hashlib.md5(seg).digest()[:8], "big", signed=True)
+
+
+def _page_segments(html: bytes) -> list[bytes]:
+    """Tag-boundary segments of one page (single-line crawl HTML's
+    analogue of lines)."""
+    return html.split(b"><")
+
+
+def _host_of(url: str) -> str:
+    return url.split("/", 3)[2]
+
+
+def host_boilerplate(
+    sf_dir: str, min_frac: float = 0.5, replicate: int = 1
+) -> "ray.data.Dataset":
+    """(url, host, n_segments, n_boilerplate, content_bytes) per page:
+    how much of each page survives removing its host's boilerplate
+    segments."""
+    pages_dir = ensure_pages(sf_dir, replicate)
+    ds = ray.data.read_parquet(pages_dir, columns=["url", "html"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        ctr: Counter = Counter()  # (host, seg_hash) -> pages containing
+        pages: Counter = Counter()  # host -> pages
+        for url, html in zip(urls, htmls):
+            host = _host_of(url)
+            pages[host] += 1
+            for h in {_seg_hash64(s) for s in _page_segments(html)}:
+                ctr[(host, h)] += 1
+        rows_host = [h for (h, _), _c in ctr.items()] + list(pages.keys())
+        rows_seg = [s for (_, s), _c in ctr.items()] + [-1] * len(pages)
+        rows_n = list(ctr.values()) + list(pages.values())
+        seg_arr = np.asarray(rows_seg, dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((seg_arr % 64).astype(np.int32)),
+                "host": pa.array(rows_host, type=pa.string()),
+                "seg_hash": pa.array(seg_arr),
+                "n": pa.array(rows_n, type=pa.int64()),
+            }
+        )
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["host", "seg_hash"], as_index=False)["n"].sum()
+
+    agg = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(64)
+        .groupby("bucket")
+        .map_groups(bucket_sum, batch_format="pandas")
+        .to_pandas()
+    )
+    # verdict: model-sized (hosts × template segments)
+    page_totals = (
+        agg[agg.seg_hash == -1].groupby("host")["n"].sum().to_dict()
+    )
+    segs = agg[agg.seg_hash != -1]
+    thresh = segs["host"].map(page_totals) * min_frac
+    boiler = segs[segs["n"] >= thresh]
+    verdict = {
+        host: np.sort(grp["seg_hash"].to_numpy())
+        for host, grp in boiler.groupby("host")
+    }
+    verdict_ref = ray.put(verdict)
+
+    def remove(batch: pa.Table) -> pa.Table:
+        v = ray.get(verdict_ref)
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        hosts, n_segs, n_boiler, content = [], [], [], []
+        for url, html in zip(urls, htmls):
+            host = _host_of(url)
+            segs_ = _page_segments(html)
+            hashes = np.fromiter(
+                (_seg_hash64(s) for s in segs_), dtype=np.int64, count=len(segs_)
+            )
+            bset = v.get(host)
+            if bset is not None and len(bset):
+                pos = np.searchsorted(bset, hashes)
+                pos_c = np.clip(pos, 0, len(bset) - 1)
+                is_b = bset[pos_c] == hashes
+            else:
+                is_b = np.zeros(len(segs_), dtype=bool)
+            hosts.append(host)
+            n_segs.append(len(segs_))
+            n_boiler.append(int(is_b.sum()))
+            content.append(
+                int(sum(len(s) for s, b in zip(segs_, is_b) if not b))
+            )
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "host": pa.array(hosts, type=pa.string()),
+                "n_segments": pa.array(n_segs, type=pa.int64()),
+                "n_boilerplate": pa.array(n_boiler, type=pa.int64()),
+                "content_bytes": pa.array(content, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(remove, batch_format="pyarrow", zero_copy_batch=True)

@@ -1207,3 +1207,69 @@ def test_label_centroids_match_duckdb():
     assert df.dim.tolist() == want.dim.tolist()
     assert np.abs(df.centroid - want.centroid).max() < 1e-9
     assert len(df) > 0
+
+
+def test_host_boilerplate_matches_bruteforce():
+    """Per-host boilerplate detection equals a single-process Counter
+    reference: same boilerplate sets, same per-page segment/byte
+    tallies; boilerplate actually exists (shared templates)."""
+    import glob
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.boilerplate import (
+        _host_of,
+        _page_segments,
+        _seg_hash64,
+        host_boilerplate,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    got = host_boilerplate(SF).to_pandas().set_index("url").sort_index()
+
+    pages_dir = ensure_pages(SF)
+    pages = []
+    for f in glob.glob(pages_dir + "/*.parquet"):
+        t = pq.read_table(f, columns=["url", "html"])
+        pages += list(zip(t.column("url").to_pylist(), t.column("html").to_pylist()))
+    seg_pages: Counter = Counter()
+    totals: Counter = Counter()
+    for url, html in pages:
+        host = _host_of(url)
+        totals[host] += 1
+        for h in {_seg_hash64(s) for s in _page_segments(html)}:
+            seg_pages[(host, h)] += 1
+    boiler = defaultdict(set)
+    for (host, h), n in seg_pages.items():
+        if n >= 0.5 * totals[host]:
+            boiler[host].add(h)
+
+    assert len(got) == len(pages)
+    import pandas as pd
+
+    rows = []
+    for url, html in pages:
+        host = _host_of(url)
+        segs = _page_segments(html)
+        is_b = [_seg_hash64(s) in boiler[host] for s in segs]
+        rows.append(
+            {
+                "url": url,
+                "host": host,
+                "n_segments": len(segs),
+                "n_boilerplate": sum(is_b),
+                "content_bytes": sum(len(s) for s, b in zip(segs, is_b) if not b),
+            }
+        )
+    want = pd.DataFrame(rows)
+    key = ["url", "n_segments", "n_boilerplate", "content_bytes"]
+    got_s = got.reset_index()[["url", "host"] + key[1:]].sort_values(key).reset_index(drop=True)
+    want_s = want[["url", "host"] + key[1:]].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s, want_s, check_dtype=False
+    )
+    # the synthetic corpus shares real templates: most pages carry some
+    # boilerplate, and removal keeps nonzero content on detail pages
+    assert (want.n_boilerplate > 0).sum() > len(pages) // 2
+    assert (got.n_boilerplate < got.n_segments).any()
