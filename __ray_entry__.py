@@ -897,6 +897,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute-force ground truth pinned in
         # test_ops::test_host_boilerplate_matches_bruteforce)
         "crawl_host_boilerplate": _q_host_boilerplate,
+        # snapshot token-frequency drift (data-monitor at corpus scale;
+        # integer-exact ppm, per-bucket top-k prune)
+        "text_token_drift": textstats.token_drift,
     }
 
 
@@ -1779,5 +1782,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT label::BIGINT AS label, (i - 1)::BIGINT AS dim,
                avg(arr[i]) AS centroid
         FROM idx GROUP BY label, i
+    """
+    # snapshot drift: integer floor-division ppm over the doc_id%2
+    # halves; top-k by (drift desc, token asc) — deterministic at the
+    # LIMIT boundary
+    oracles["text_token_drift"] = """
+        WITH tok AS (
+          SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+         tot AS (SELECT greatest(count(*) FILTER (WHERE side = 0), 1) AS ta,
+                        greatest(count(*) FILTER (WHERE side = 1), 1) AS tb
+                 FROM tok),
+         c AS (SELECT token,
+                      count(*) FILTER (WHERE side = 0) AS count_a,
+                      count(*) FILTER (WHERE side = 1) AS count_b
+               FROM tok GROUP BY token)
+        SELECT token, count_a::BIGINT AS count_a, count_b::BIGINT AS count_b,
+               abs(count_a * 1000000 // ta - count_b * 1000000 // tb)::BIGINT
+                 AS drift_ppm
+        FROM c, tot
+        ORDER BY drift_ppm DESC, token ASC LIMIT 50
     """
     return oracles

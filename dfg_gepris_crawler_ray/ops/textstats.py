@@ -709,3 +709,90 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
 def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(repetition_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_drift(sf_dir: str, k: int = 50) -> "pa.Table":
+    """Corpus snapshot drift detector — the reference's data-monitor
+    idea (``extract/data_monitor.py``; reference
+    ``spiders/data_monitor.py`` tracks aggregate counts between runs)
+    lifted to corpus scale: which tokens' relative frequencies moved
+    most between two crawl snapshots?
+
+    Snapshots are the deterministic halves ``doc_id % 2`` (a stand-in
+    for two dump ids); for each token, ``drift_ppm =
+    |count_a*1e6 // total_a − count_b*1e6 // total_b|`` — all-integer
+    floor arithmetic, so the DuckDB oracle matches bit-for-bit. Output
+    is the top-``k`` tokens by (drift_ppm desc, token asc).
+
+    Distributed shape (the `top_tokens` wordcount skeleton):
+
+    1. one scan emits per-batch partial rows
+       ``(token, n_a, n_b, bucket)`` — one row per distinct token per
+       batch, never the token stream;
+    2. partials are materialized once (vocab × blocks rows, bounded);
+       side totals come from a ``Dataset.sum`` over the partials
+       (two scalars to the driver, no extra corpus scan);
+    3. token-hash-bucket ``groupby`` sums counts and computes drift
+       vectorized per bucket, pruning to the bucket-local top-``k``
+       (each bucket can contribute at most ``k`` global winners);
+    4. the driver merge sees ≤ 64·k tiny rows regardless of
+       vocabulary or corpus size.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sides = (batch.column("doc_id").to_numpy(zero_copy_only=False) % 2).astype(
+            np.int64
+        )
+        counts: dict[str, list[int]] = {}
+        for side, t in zip(sides, batch.column("text").to_pylist()):
+            for tok in t.split(" "):
+                c = counts.get(tok)
+                if c is None:
+                    counts[tok] = c = [0, 0]
+                c[side] += 1
+        toks = list(counts)
+        buckets = (stable_hash64_array_local(toks) % np.uint64(64)).astype(np.int32)
+        n_a = np.fromiter((c[0] for c in counts.values()), dtype=np.int64, count=len(toks))
+        n_b = np.fromiter((c[1] for c in counts.values()), dtype=np.int64, count=len(toks))
+        return pa.table(
+            {
+                "token": pa.array(toks, type=pa.string()),
+                "n_a": pa.array(n_a),
+                "n_b": pa.array(n_b),
+                "bucket": pa.array(buckets),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    totals = partials.sum(["n_a", "n_b"])
+    total_a = max(int(totals["sum(n_a)"]), 1)
+    total_b = max(int(totals["sum(n_b)"]), 1)
+
+    def bucket_topk(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.groupby("token", as_index=False)[["n_a", "n_b"]].sum()
+        ca = g["n_a"].to_numpy(dtype=np.int64)
+        cb = g["n_b"].to_numpy(dtype=np.int64)
+        g["drift_ppm"] = np.abs(
+            ca * 1_000_000 // total_a - cb * 1_000_000 // total_b
+        )
+        g = g.rename(columns={"n_a": "count_a", "n_b": "count_b"})
+        g = g.sort_values(
+            ["drift_ppm", "token"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return g[["token", "count_a", "count_b", "drift_ppm"]]
+
+    pruned = (
+        partials.repartition(8)
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+    )
+    allp = pruned.to_pandas()
+    out = allp.sort_values(
+        ["drift_ppm", "token"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)

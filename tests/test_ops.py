@@ -1273,3 +1273,37 @@ def test_host_boilerplate_matches_bruteforce():
     # boilerplate, and removal keeps nonzero content on detail pages
     assert (want.n_boilerplate > 0).sum() > len(pages) // 2
     assert (got.n_boilerplate < got.n_segments).any()
+
+
+def test_token_drift_matches_duckdb():
+    """Distributed drift top-k (partials → bucket sum+prune → tiny
+    driver merge) equals the single-query DuckDB computation."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.textstats import token_drift
+
+    SF = "/root/testdata/sf0.001"
+    got = token_drift(SF, k=10).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH tok AS (
+          SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS token
+          FROM read_parquet('{SF}/documents.parquet')),
+         tot AS (SELECT greatest(count(*) FILTER (WHERE side = 0), 1) AS ta,
+                        greatest(count(*) FILTER (WHERE side = 1), 1) AS tb
+                 FROM tok),
+         c AS (SELECT token,
+                      count(*) FILTER (WHERE side = 0) AS count_a,
+                      count(*) FILTER (WHERE side = 1) AS count_b
+               FROM tok GROUP BY token)
+        SELECT token, count_a::BIGINT AS count_a, count_b::BIGINT AS count_b,
+               abs(count_a * 1000000 // ta - count_b * 1000000 // tb)::BIGINT
+                 AS drift_ppm
+        FROM c, tot ORDER BY drift_ppm DESC, token ASC LIMIT 10
+        """
+    ).df()
+    assert list(got["token"]) == list(want["token"])
+    assert list(got["drift_ppm"]) == list(want["drift_ppm"])
+    assert list(got["count_a"]) == list(want["count_a"])
+    assert list(got["count_b"]) == list(want["count_b"])
