@@ -900,6 +900,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # snapshot token-frequency drift (data-monitor at corpus scale;
         # integer-exact ppm, per-bucket top-k prune)
         "text_token_drift": textstats.token_drift,
+        # int8 scalar quantization of embeddings (two scans, per-dim
+        # min/max partials; float64 tree mirrors the oracle exactly)
+        "emb_scalar_quantize": similarity.scalar_quantize,
     }
 
 
@@ -1802,5 +1805,24 @@ def oracle_sql() -> dict[str, str]:
                  AS drift_ppm
         FROM c, tot
         ORDER BY drift_ppm DESC, token ASC LIMIT 50
+    """
+    # int8 scalar quantization: per-dim global lo/hi, double-precision
+    # code formula identical to the numpy expression tree
+    oracles["emb_scalar_quantize"] = """
+        WITH e AS (SELECT vec_id, embedding AS arr FROM embeddings),
+         idx AS (SELECT vec_id, arr,
+                        unnest(generate_series(1, len(arr))) AS i FROM e),
+         x AS (SELECT vec_id, i, CAST(arr[i] AS DOUBLE) AS v FROM idx),
+         mm AS (SELECT i, min(v) AS lo, max(v) AS hi FROM x GROUP BY i),
+         c AS (SELECT x.vec_id,
+                      CASE WHEN mm.hi = mm.lo THEN 0
+                           ELSE least(floor((x.v - mm.lo) * 255
+                                            / (mm.hi - mm.lo)), 255)
+                      END AS code
+               FROM x JOIN mm USING (i))
+        SELECT vec_id, count(*)::BIGINT AS n_dims,
+               sum(code)::BIGINT AS code_sum,
+               min(code)::BIGINT AS code_min, max(code)::BIGINT AS code_max
+        FROM c GROUP BY vec_id
     """
     return oracles

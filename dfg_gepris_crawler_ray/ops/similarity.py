@@ -431,3 +431,65 @@ def label_centroids(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def scalar_quantize(sf_dir: str) -> "ray.data.Dataset":
+    """int8 scalar quantization of the embedding column — the
+    compression stage an ANN/vector-store pipeline runs before
+    indexing 10^10 vectors (4 bytes/dim → 1 byte/dim).
+
+    Per dimension ``code = min(floor((v − lo) · 255 / (hi − lo)),
+    255)`` with the global per-dimension ``lo``/``hi`` (0 where the
+    dimension is constant).  All arithmetic is float64 with the exact
+    expression tree the DuckDB oracle uses, so codes are bit-identical
+    and the per-vector integer summaries hash-match.
+
+    Distributed shape — two scans, nothing vector-sized on the driver:
+
+    1. **min/max scan**: per-batch per-dimension lo/hi partial rows
+       (one row per block, ``2·d`` floats) reduced driver-side —
+       bounded by blocks × dims, never rows;
+    2. the tiny ``lo``/``hi`` vectors are closure-captured (hundreds
+       of bytes) into a **quantize scan** emitting per-vector integer
+       summaries ``(n_dims, code_sum, code_min, code_max)`` — the
+       full int8 code matrix stays inside the batch and would stream
+       to a sink in a real pipeline.
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix_arrow(batch.column("embedding"))
+        if mat.size == 0:
+            return pa.table({"lo": pa.array([], type=pa.list_(pa.float64())),
+                             "hi": pa.array([], type=pa.list_(pa.float64()))})
+        return pa.table(
+            {
+                "lo": _list_column(mat.min(axis=0)[None, :]),
+                "hi": _list_column(mat.max(axis=0)[None, :]),
+            }
+        )
+
+    partials = ds.map_batches(
+        minmax_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    lo = np.minimum.reduce([np.asarray(r, dtype=np.float64) for r in partials["lo"]])
+    hi = np.maximum.reduce([np.asarray(r, dtype=np.float64) for r in partials["hi"]])
+    span = hi - lo
+    const = span == 0.0
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix_arrow(batch.column("embedding"))
+        codes = np.minimum(np.floor((mat - lo) * 255.0 / np.where(const, 1.0, span)), 255.0)
+        codes = np.where(const, 0.0, codes).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "n_dims": pa.array(np.full(len(mat), mat.shape[1], dtype=np.int64)),
+                "code_sum": pa.array(codes.sum(axis=1)),
+                "code_min": pa.array(codes.min(axis=1)),
+                "code_max": pa.array(codes.max(axis=1)),
+            }
+        )
+
+    return ds.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)

@@ -1307,3 +1307,29 @@ def test_token_drift_matches_duckdb():
     assert list(got["drift_ppm"]) == list(want["drift_ppm"])
     assert list(got["count_a"]) == list(want["count_a"])
     assert list(got["count_b"]) == list(want["count_b"])
+
+
+def test_scalar_quantize_matches_bruteforce():
+    """Two-scan distributed quantization equals the single-process
+    numpy computation (same float64 expression tree), and codes stay
+    in [0, 255]."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import scalar_quantize
+
+    SF = "/root/testdata/sf0.001"
+    got = scalar_quantize(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    lo, hi = mat.min(axis=0), mat.max(axis=0)
+    span = hi - lo
+    codes = np.minimum(np.floor((mat - lo) * 255.0 / np.where(span == 0, 1.0, span)), 255.0)
+    codes = np.where(span == 0, 0.0, codes).astype(np.int64)
+    order = np.argsort(np.asarray(tbl.column("vec_id")))
+    assert (got["code_sum"].to_numpy() == codes.sum(axis=1)[order]).all()
+    assert (got["code_min"].to_numpy() == codes.min(axis=1)[order]).all()
+    assert (got["code_max"].to_numpy() == codes.max(axis=1)[order]).all()
+    assert got["code_max"].max() <= 255 and got["code_min"].min() >= 0
