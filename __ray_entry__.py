@@ -903,6 +903,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int8 scalar quantization of embeddings (two scans, per-dim
         # min/max partials; float64 tree mirrors the oracle exactly)
         "emb_scalar_quantize": similarity.scalar_quantize,
+        # recrawl change detection per URL over multi-snapshot pages
+        # (no SQL view of generated pages → rows-only gate;
+        # brute-force ground truth pinned in
+        # test_ops::test_recrawl_delta_matches_bruteforce)
+        "crawl_recrawl_delta": _q_recrawl_delta,
     }
 
 
@@ -913,6 +918,16 @@ def _q_host_boilerplate(sf_dir: str):
     from dfg_gepris_crawler_ray.ops.boilerplate import host_boilerplate
 
     return host_boilerplate(sf_dir)
+
+
+def _q_recrawl_delta(sf_dir: str):
+    """Per-URL changed/unchanged verdict from content fingerprints of
+    successive snapshots (ops/recrawl.py): one fingerprint scan, one
+    url-bucketed keyed exchange — the refresh-scheduling signal of the
+    reference's change detection (database.py last_updated bumps)."""
+    from dfg_gepris_crawler_ray.ops.recrawl import recrawl_delta
+
+    return recrawl_delta(sf_dir)
 
 
 def _q_bpe_learned_tokens(sf_dir: str):

@@ -1333,3 +1333,41 @@ def test_scalar_quantize_matches_bruteforce():
     assert (got["code_min"].to_numpy() == codes.min(axis=1)[order]).all()
     assert (got["code_max"].to_numpy() == codes.max(axis=1)[order]).all()
     assert got["code_max"].max() <= 255 and got["code_min"].min() >= 0
+
+
+def test_recrawl_delta_matches_bruteforce():
+    """Distributed per-URL change detection (fingerprint scan →
+    url-bucket groupby) equals the single-process pandas computation,
+    and the generator's refresh copies are detected."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from dfg_gepris_crawler_ray.ops.recrawl import _h64, recrawl_delta
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        recrawl_delta(SF)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)[["url", "n_snapshots", "changed", "latest_ts_us"]]
+    )
+    df = pads.dataset(ensure_pages(SF, 1)).to_table(
+        columns=["url", "warc_ts", "html"]
+    ).to_pandas()
+    df["ts_us"] = df["warc_ts"].astype("int64")
+    df["h64"] = [_h64(h) for h in df["html"]]
+    rows = []
+    for url, g in df.groupby("url"):
+        g = g.sort_values("ts_us")
+        changed = bool(len(g) >= 2 and g["h64"].iloc[-1] != g["h64"].iloc[-2])
+        rows.append((url, len(g), changed, g["ts_us"].iloc[-1]))
+    want = (
+        pd.DataFrame(rows, columns=["url", "n_snapshots", "changed", "latest_ts_us"])
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # the generator emits refresh copies; some must register as multi-snapshot
+    assert (got["n_snapshots"] > 1).any()
+    assert got["changed"].any()
