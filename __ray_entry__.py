@@ -765,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         decontaminate,
         dedup,
         multimodal,
+        pii,
         relational,
         similarity,
         textstats,
@@ -908,6 +909,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute-force ground truth pinned in
         # test_ops::test_recrawl_delta_matches_bruteforce)
         "crawl_recrawl_delta": _q_recrawl_delta,
+        # PII / blocklist scrubbing (row-local RE2 kernels; md5 of the
+        # redacted text keeps the gate row tiny)
+        "text_term_scrub": pii.term_scrub,
+        # leakage-safe source-disjoint split (md5(source) — row-local)
+        "text_grouped_split": curation.grouped_split,
+        # kNN majority-vote label propagation (brute top-k + pruned
+        # label lookup; integer-exact vote)
+        "knn_label_vote": lambda sf: similarity.knn_label_vote(sf),
     }
 
 
@@ -1839,5 +1848,56 @@ def oracle_sql() -> dict[str, str]:
                sum(code)::BIGINT AS code_sum,
                min(code)::BIGINT AS code_min, max(code)::BIGINT AS code_max
         FROM c GROUP BY vec_id
+    """
+    # PII scrub: counts on the ORIGINAL text, replacement chained
+    # email → ipv4 → blocklist — both sides run RE2, so the match
+    # selection is bit-identical
+    oracles["text_term_scrub"] = r"""
+        WITH red AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                 len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                 len(regexp_extract_all(text,
+                     '\b(?:customer|supplier|part)\b')) AS n_term,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<SCRUB>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<SCRUB>', 'g'),
+                     '\b(?:customer|supplier|part)\b', '<SCRUB>', 'g') AS r
+          FROM documents)
+        SELECT doc_id, n_email::BIGINT AS n_email, n_ipv4::BIGINT AS n_ipv4,
+               n_term::BIGINT AS n_term, length(r)::BIGINT AS n_chars_scrubbed,
+               md5(r) AS scrub_md5
+        FROM red
+    """
+    # source-disjoint split: same md5 assignment as text_hash_split,
+    # keyed on source instead of doc_id
+    oracles["text_grouped_split"] = """
+        SELECT doc_id, source,
+               ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 AS hash_bucket,
+               CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 < 80
+                      THEN 'train'
+                    WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 < 90
+                      THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+    # kNN majority vote over the brute top-10 neighbor labels
+    oracles["knn_label_vote"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                      list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+               FROM q, embeddings e WHERE e.vec_id != q.query_id),
+         topk AS (SELECT query_id, label,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbor_id) AS rank
+                  FROM s QUALIFY rank <= 10),
+         votes AS (SELECT query_id, label, count(*) AS votes
+                   FROM topk GROUP BY query_id, label)
+        SELECT query_id, label::BIGINT AS pred_label, votes::BIGINT AS votes
+        FROM votes
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, label) = 1
     """
     return oracles

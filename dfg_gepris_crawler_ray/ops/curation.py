@@ -561,3 +561,54 @@ def corpus_mixture(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_split(
+    sf_dir: str, train: int = 80, valid: int = 10
+) -> "ray.data.Dataset":
+    """Leakage-safe train/valid/test split keyed by ``source``: every
+    document of one source lands in the SAME split, so near-duplicate
+    pages from one site can never straddle the train/eval boundary
+    (the standard contamination guard; cf. Lee et al. 2022 §5 on
+    split leakage through duplicated pages).
+
+    Assignment is ``md5(source) % 100`` — row-local, deterministic and
+    ANSI-SQL-reproducible, so the op needs NO shuffle and no state: at
+    100 TB it is one column-pruned scan.  The md5 is computed once per
+    UNIQUE source per batch (sources repeat heavily in a crawl), then
+    scattered back through the dictionary codes.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        src = batch.column("source")
+        enc = pc.dictionary_encode(src.combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq_buckets = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 100 for s in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        buckets = uniq_buckets[codes]
+        split = np.where(
+            buckets < train,
+            "train",
+            np.where(buckets < train + valid, "valid", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": src,
+                "hash_bucket": pa.array(buckets),
+                "split": pa.array(split.tolist(), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -14,6 +14,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -493,3 +494,57 @@ def scalar_quantize(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_label_vote(
+    sf_dir: str, query_ids=(0, 1, 2, 3, 4, 5, 6, 7), k: int = 10
+) -> pa.Table:
+    """(query_id, pred_label, votes) — kNN majority-vote label
+    prediction, the standard embedding-space classifier used to
+    propagate sparse labels over a corpus (quality tiers, topic tags).
+
+    Composition, not a new kernel: the exact brute-force top-k from
+    :func:`knn_brute` (distributed partial top-k per batch, bounded
+    driver merge) feeds a label lookup that is a COLUMN-PRUNED scan of
+    the embeddings table filtered to the Q*k neighbor ids — at scale
+    the lookup ships only (vec_id, label) for the candidate set, never
+    the vectors.  Vote ties break (votes desc, label asc) to match the
+    SQL oracle's window order.
+    """
+    query_ids = list(query_ids)
+    topk = knn_brute(sf_dir, query_ids=query_ids, k=k)
+    need = pa.array(sorted(set(topk.column("neighbor_id").to_pylist())), type=pa.int64())
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("vec_id"), value_set=need)
+        sub = batch.filter(mask)
+        return pa.table(
+            {
+                "vec_id": pc.cast(sub.column("vec_id"), pa.int64()),
+                "label": pc.cast(sub.column("label"), pa.int64()),
+            }
+        )
+
+    labels = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    df = topk.to_pandas().merge(labels, left_on="neighbor_id", right_on="vec_id")
+    votes = (
+        df.groupby(["query_id", "label"], as_index=False)
+        .size()
+        .rename(columns={"size": "votes"})
+        .sort_values(["query_id", "votes", "label"], ascending=[True, False, True],
+                     kind="mergesort")
+        .groupby("query_id", as_index=False)
+        .first()
+        .rename(columns={"label": "pred_label"})
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(votes["query_id"].to_numpy(np.int64)),
+            "pred_label": pa.array(votes["pred_label"].to_numpy(np.int64)),
+            "votes": pa.array(votes["votes"].to_numpy(np.int64)),
+        }
+    )

@@ -1371,3 +1371,86 @@ def test_recrawl_delta_matches_bruteforce():
     # the generator emits refresh copies; some must register as multi-snapshot
     assert (got["n_snapshots"] > 1).any()
     assert got["changed"].any()
+
+
+def test_term_scrub_matches_duckdb():
+    """Vectorized RE2 scrub counts/redaction equal DuckDB's regexp
+    kernels (same engine underneath) — counts on the original text,
+    replacement chained email → ipv4 → blocklist."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.pii import EMAIL_RE, IPV4_RE, TERM_RE, term_scrub
+
+    got = term_scrub(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        WITH red AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email,
+                 len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ipv4,
+                 len(regexp_extract_all(text, '{TERM_RE}')) AS n_term,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                     '{EMAIL_RE}', '<SCRUB>', 'g'),
+                     '{IPV4_RE}', '<SCRUB>', 'g'),
+                     '{TERM_RE}', '<SCRUB>', 'g') AS r
+          FROM read_parquet('{SF}/documents.parquet'))
+        SELECT doc_id, n_email, n_ipv4, n_term,
+               length(r) AS n_chars_scrubbed, md5(r) AS scrub_md5
+        FROM red ORDER BY doc_id
+        """
+    ).df()
+    assert got["scrub_md5"].tolist() == want["scrub_md5"].tolist()
+    assert got["n_email"].tolist() == want["n_email"].astype(int).tolist()
+    assert got["n_ipv4"].tolist() == want["n_ipv4"].astype(int).tolist()
+    assert got["n_term"].tolist() == want["n_term"].astype(int).tolist()
+    assert got["n_chars_scrubbed"].tolist() == want["n_chars_scrubbed"].astype(int).tolist()
+    # the scrub fires on this corpus (non-trivial hash equality)
+    assert got["n_term"].sum() > 0
+
+
+def test_grouped_split_is_source_disjoint():
+    """Every source maps to exactly one split, assignments match the
+    direct md5 computation, and rates are near the 80/10/10 targets."""
+    import hashlib
+
+    from dfg_gepris_crawler_ray.ops.curation import grouped_split
+
+    got = grouped_split(SF).to_pandas()
+    per_source = got.groupby("source")["split"].nunique()
+    assert (per_source == 1).all()
+    for src, grp in got.groupby("source"):
+        b = int(hashlib.md5(str(src).encode()).hexdigest()[:8], 16) % 100
+        expect = "train" if b < 80 else ("valid" if b < 90 else "test")
+        assert (grp["split"] == expect).all()
+        assert (grp["hash_bucket"] == b).all()
+
+
+def test_knn_label_vote_matches_bruteforce():
+    """Distributed kNN vote equals the single-process numpy vote with
+    the same (votes desc, label asc) tie-break."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import knn_label_vote
+
+    got = knn_label_vote(SF).to_pandas().sort_values("query_id").reset_index(drop=True)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(tbl.column("vec_id"))
+    mat = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    labels = np.asarray(tbl.column("label"))
+    nm = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    for qid in range(8):
+        qrow = nm[ids == qid][0]
+        sims = nm @ qrow
+        mask = ids != qid
+        cand_ids, cand_sims = ids[mask], sims[mask]
+        order = np.lexsort((cand_ids, -cand_sims))[:10]
+        top_labels = labels[mask][order]
+        counts = collections.Counter(int(x) for x in top_labels)
+        pred = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        row = got[got["query_id"] == qid].iloc[0]
+        assert int(row["pred_label"]) == pred[0]
+        assert int(row["votes"]) == pred[1]
