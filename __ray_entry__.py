@@ -917,6 +917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kNN majority-vote label propagation (brute top-k + pruned
         # label lookup; integer-exact vote)
         "knn_label_vote": lambda sf: similarity.knn_label_vote(sf),
+        # token-budget corpus selection (quantized-quality histogram
+        # threshold — two scans, no global sort)
+        "text_budget_select": curation.budget_select,
     }
 
 
@@ -1899,5 +1902,15 @@ def oracle_sql() -> dict[str, str]:
         FROM votes
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY votes DESC, label) = 1
+    """
+    # token-budget prefix: the SQL window is the spec; the engine
+    # reproduces it with a histogram threshold, no global sort
+    oracles["text_budget_select"] = f"""
+        WITH qual AS ({_quality_oracle_sql()}),
+         c AS (SELECT doc_id, n_tokens, quality_score,
+                      sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id ASC
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+               FROM qual)
+        SELECT doc_id, n_tokens, quality_score FROM c WHERE cum <= 12000
     """
     return oracles

@@ -612,3 +612,108 @@ def grouped_split(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def budget_select(sf_dir: str, budget: int = 12000) -> "ray.data.Dataset":
+    """Token-budget corpus selection: keep the highest-quality prefix
+    of the corpus (ordered quality_score DESC, doc_id ASC) whose
+    cumulative token count fits ``budget`` — the "select the best N
+    billion tokens" step of a training-data build.
+
+    NOT a global sort.  The quality score is 6-decimal-quantized, so
+    its value domain is ≤ 1e6 + 1 bins; the op runs as
+
+    1. one scan emitting per-batch PARTIAL histograms
+       (q6 → (tokens, docs)) — ≤ bins rows per batch, never per doc;
+    2. a tiny keyed sum + driver threshold walk over the ≤ 1e6-row
+       histogram (16 MB at any corpus size — the whole point of
+       quantizing the key);
+    3. one filter scan: every doc strictly above the threshold bin is
+       kept outright; the BOUNDARY BIN ONLY is resolved exactly by a
+       doc_id-ordered prefix walk over its (doc_id, n_tokens) rows —
+       bounded by one bin's occupancy (corpus/1e6 docs expected),
+       logged, and the only driver-resident per-doc data.
+
+    Equivalent to the SQL window ``sum(n_tokens) OVER (ORDER BY
+    quality_score DESC, doc_id) <= budget`` — oracle-checked.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def histo(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        q6 = np.floor(q.column("quality_score").to_numpy() * 1e6 + 0.5).astype(np.int64)
+        toks = q.column("n_tokens").to_numpy()
+        order = np.argsort(q6, kind="stable")
+        uq, start = np.unique(q6[order], return_index=True)
+        tok_sums = np.add.reduceat(toks[order], start)
+        doc_counts = np.diff(np.append(start, len(q6)))
+        return pa.table(
+            {
+                "q6": pa.array(uq),
+                "tokens": pa.array(tok_sums.astype(np.int64)),
+                "docs": pa.array(doc_counts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(histo, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("q6")
+        .aggregate(ray.data.aggregate.Sum("tokens", alias_name="tokens"),
+                   ray.data.aggregate.Sum("docs", alias_name="docs"))
+        .to_pandas()
+        .sort_values("q6", ascending=False)
+    )
+    cum = hist["tokens"].cumsum()
+    over = cum[cum > budget]
+    if over.empty:
+        # whole corpus fits: no boundary bin
+        thr_q6, head_budget = -1, 0
+    else:
+        i = over.index[0]
+        thr_q6 = int(hist.loc[i, "q6"])
+        prev = int(cum.loc[i] - hist.loc[i, "tokens"])
+        head_budget = budget - prev  # token budget left inside the boundary bin
+
+    thr_ref = ray.put((thr_q6, head_budget))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        q6 = np.floor(q.column("quality_score").to_numpy() * 1e6 + 0.5).astype(np.int64)
+        return q.append_column("q6", pa.array(q6))
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_above(batch: pa.Table) -> pa.Table:
+        thr, _ = ray.get(thr_ref)
+        out = batch.filter(pc.greater(batch.column("q6"), thr))
+        return out.select(["doc_id", "n_tokens", "quality_score"])
+
+    kept = scored.map_batches(keep_above, batch_format="pyarrow", zero_copy_batch=True)
+
+    if thr_q6 >= 0 and head_budget > 0:
+        boundary = (
+            scored.map_batches(
+                lambda b: b.filter(pc.equal(b.column("q6"), thr_q6)).select(
+                    ["doc_id", "n_tokens", "quality_score"]
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()
+            .sort_values("doc_id", kind="mergesort")
+        )
+        import logging
+
+        logging.getLogger(__name__).info(
+            "budget_select boundary bin q6=%d holds %d docs (driver-resident)",
+            thr_q6, len(boundary),
+        )
+        pick = boundary[boundary["n_tokens"].cumsum() <= head_budget]
+        if len(pick):
+            kept = kept.union(ray.data.from_arrow(pa.Table.from_pandas(
+                pick, preserve_index=False)))
+    return kept

@@ -1454,3 +1454,52 @@ def test_knn_label_vote_matches_bruteforce():
         row = got[got["query_id"] == qid].iloc[0]
         assert int(row["pred_label"]) == pred[0]
         assert int(row["votes"]) == pred[1]
+
+
+def test_budget_select_matches_sql_window():
+    """Histogram-threshold selection equals the SQL window prefix at
+    several budgets, including all-fits and boundary-bin-split cases."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.curation import budget_select
+    from dfg_gepris_crawler_ray.ops.textstats import _STOPWORDS
+
+    stops = sorted(set().union(*_STOPWORDS.values()))
+    stop_list = "[" + ", ".join("'" + w + "'" for w in stops) + "]"
+    for budget in (500, 12000, 10**9):
+        got = (
+            budget_select(SF, budget=budget)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS toks
+              FROM read_parquet('{SF}/documents.parquet')),
+            r AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE len(list_filter(toks, w -> list_contains({stop_list}, w)))::DOUBLE
+                               / len(toks) END AS ratio
+              FROM t),
+            q AS (
+              SELECT doc_id, n_tokens,
+                     round(0.7 * least(n_tokens / 100.0, 1.0)
+                           + 0.3 * (1 - abs(ratio - 0.4)), 6) AS quality_score
+              FROM r),
+            c AS (SELECT *, sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id ASC
+                                                ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM q)
+            SELECT doc_id, n_tokens, quality_score FROM c
+            WHERE cum <= {budget} ORDER BY doc_id
+            """
+        ).df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), f"budget={budget}"
+        assert got["n_tokens"].tolist() == want["n_tokens"].astype(int).tolist()
+        if budget == 10**9:
+            assert len(got) == 500  # whole corpus fits
+        else:
+            assert got["n_tokens"].sum() <= budget
