@@ -567,16 +567,18 @@ def tfidf_top_term(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
     idf ratio kept as an integer quotient), ties broken by token
     ascending.
 
-    Distributed shape — the classic two-shuffle TF-IDF without any
-    driver-resident vocabulary:
+    Distributed shape — two keyed exchanges, no driver-resident
+    vocabulary and no extra df pass:
 
     1. per-doc term counting inside ``map_batches`` (one (doc, token,
        tf) row per distinct term per doc);
-    2. document frequency: per-batch partial df counts → token-hash
-       bucket groupby (the vocabulary stays distributed);
-    3. tf ⋈ df by token-hash bucket (union-tag co-group — neither side
-       broadcasts);
-    4. per-doc top-1 by doc-hash bucket groupby, vectorized
+    2. token-hash bucket groupby: EVERY tf row of a token lands in its
+       token's bucket, so the bucket group computes the global
+       document frequency locally (each (doc, token) appears once —
+       df = group size) and scores in the same task.  This replaces
+       the earlier union-tag co-group: same exchange volume, one
+       fewer scan and no ``materialize()``;
+    3. per-doc top-1 by doc-hash bucket groupby, vectorized
        sort + head inside each bucket.
 
     Token convention matches ``token_stats``: ``text.split(' ')``,
@@ -591,47 +593,26 @@ def tfidf_top_term(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
     n_docs = int(pq.read_metadata(path).num_rows)
 
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
-    tf = ds.map_batches(
-        _tf_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    def tag_df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        # partial df per batch: one row per token (each (doc, token)
-        # appears once in tf, so counting rows counts documents)
-        g = df.groupby("token", as_index=False).size().rename(columns={"size": "df"})
-        g["doc_id"] = -1
-        g["tf"] = -1
-        b = stable_hash64_array_local(list(g["token"])) % num_buckets
-        return g.assign(_b=b.astype(np.int32), _side="d")[
-            ["doc_id", "token", "tf", "df", "_b", "_side"]
-        ]
+    tf = ds.map_batches(_tf_rows, batch_format="pyarrow", zero_copy_batch=True)
 
     def tag_tf(df: pd.DataFrame) -> pd.DataFrame:
         b = stable_hash64_array_local(list(df["token"])) % num_buckets
-        return df.assign(df=-1, _b=b.astype(np.int32), _side="t")[
-            ["doc_id", "token", "tf", "df", "_b", "_side"]
-        ]
+        return df.assign(_b=b.astype(np.int32))
 
-    unioned = tf.map_batches(tag_df_partial, batch_format="pandas").union(
-        tf.map_batches(tag_tf, batch_format="pandas")
-    )
-
-    def join_score(group: pd.DataFrame) -> pd.DataFrame:
-        dfs = (
-            group[group["_side"] == "d"]
-            .groupby("token", as_index=False)["df"]
-            .sum()
-        )
-        tfs = group[group["_side"] == "t"][["doc_id", "token", "tf"]]
-        m = tfs.merge(dfs, on="token")
-        m["score"] = (m["tf"].astype("int64") * n_docs) // m["df"].astype("int64")
+    def score_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        m = group[["doc_id", "token", "tf"]].copy()
+        # each (doc, token) appears exactly once, so per-token group
+        # size IS the document frequency — computed bucket-locally
+        m["df"] = m.groupby("token")["token"].transform("size").astype("int64")
+        m["score"] = (m["tf"].astype("int64") * n_docs) // m["df"]
         m["_db"] = (m["doc_id"].astype("int64") % num_buckets).astype("int32")
         return m[["doc_id", "token", "tf", "df", "score", "_db"]]
 
     scored = (
-        unioned.repartition(num_buckets)
+        tf.map_batches(tag_tf, batch_format="pandas")
+        .repartition(num_buckets)
         .groupby("_b")
-        .map_groups(join_score, batch_format="pandas")
+        .map_groups(score_bucket, batch_format="pandas")
     )
 
     def top1(group: pd.DataFrame) -> pd.DataFrame:
