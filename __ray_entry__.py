@@ -920,6 +920,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-budget corpus selection (quantized-quality histogram
         # threshold — two scans, no global sort)
         "text_budget_select": curation.budget_select,
+        # distributed PCA projection (moment partials + driver eigh →
+        # broadcast loadings; floats from an eigendecomposition →
+        # rows-only gate, numpy parity pinned in test_ops)
+        "emb_pca": lambda sf: similarity.pca_project(sf),
+        # Misra–Gries heavy-hitters sketch (batch-boundary-dependent
+        # estimates → rows-only gate; sandwich + recovery guarantees
+        # pinned in test_ops)
+        "text_heavy_hitters": lambda sf: textstats.heavy_hitters(sf),
     }
 
 

@@ -548,3 +548,81 @@ def knn_label_vote(
             "votes": pa.array(votes["votes"].to_numpy(np.int64)),
         }
     )
+
+
+def pca_project(sf_dir: str, n_components: int = 4):
+    """Distributed PCA over the embedding column, projected onto the
+    top ``n_components`` principal axes → (vec_id, pc0..pc{n-1}).
+
+    Classic two-scan shape — the 100-TB-honest way to run PCA when
+    the dimensionality D is small and the row count is huge:
+
+    1. one scan of per-batch MOMENT PARTIALS: (Σx, XᵀX, n) — D + D²
+       floats per batch regardless of batch size (for D=64 that is
+       ~33 KB), reduced on the driver;
+    2. driver: covariance = (XᵀX − n·μμᵀ)/(n−1), ``np.linalg.eigh``
+       on the D×D matrix (trivial at any corpus size), deterministic
+       sign fix (largest-|loading| coordinate made positive);
+    3. one projection scan with the D×k loading matrix shipped via
+       ``ray.put`` — row-local matmul, zero shuffle.
+
+    Floats from an eigendecomposition → rows-only gate; exactness vs
+    single-process numpy PCA is pinned in
+    test_ops::test_pca_matches_numpy.
+    """
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = _as_matrix_arrow(batch.column("embedding")).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], type=pa.int64()),
+                "sum": pa.array([x.sum(axis=0).tolist()]),
+                "xtx": pa.array([(x.T @ x).ravel().tolist()]),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([sum(batch.column("n").to_pylist())], type=pa.int64()),
+                "sum": pa.array(
+                    [np.sum([np.asarray(v) for v in batch.column("sum").to_pylist()], axis=0).tolist()]
+                ),
+                "xtx": pa.array(
+                    [np.sum([np.asarray(v) for v in batch.column("xtx").to_pylist()], axis=0).tolist()]
+                ),
+            }
+        )
+
+    parts = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .map_batches(combine, batch_format="pyarrow")
+        .take_all()
+    )  # ≤ 8 partial rows on the driver regardless of block count
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["sum"]) for p in parts], axis=0)
+    xtx = np.sum([np.asarray(p["xtx"]) for p in parts], axis=0)
+    d = len(s)
+    mu = s / n
+    cov = (xtx.reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    load = evecs[:, order]  # D x k
+    # deterministic sign: the largest-|loading| entry of each axis > 0
+    flip = np.sign(load[np.abs(load).argmax(axis=0), np.arange(load.shape[1])])
+    load = load * np.where(flip == 0, 1.0, flip)
+    state = ray.put((mu, load))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu_, w = ray.get(state)
+        x = _as_matrix_arrow(batch.column("embedding")).astype(np.float64)
+        p = (x - mu_) @ w
+        cols = {"vec_id": pc.cast(batch.column("vec_id"), pa.int64())}
+        for j in range(p.shape[1]):
+            cols[f"pc{j}"] = pa.array(p[:, j])
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

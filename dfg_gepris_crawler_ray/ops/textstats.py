@@ -777,3 +777,105 @@ def token_drift(sf_dir: str, k: int = 50) -> "pa.Table":
         ["drift_ppm", "token"], ascending=[False, True], kind="stable"
     ).head(k)
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def heavy_hitters(sf_dir: str, k: int = 32, sketch_size: int = 256) -> pa.Table:
+    """(token, est_count, err_bound) — Misra–Gries heavy-hitters
+    sketch over the corpus token stream: the bounded-memory scale path
+    next to the exact :func:`top_tokens` (which shuffles the full
+    vocabulary).  Returns the top ``k`` survivors by estimated count.
+
+    Shape (mergeable-sketch pattern, like the HLL / t-digest ops):
+
+    1. per-batch exact counts compressed to a ≤ ``sketch_size``-entry
+       MG summary — the compression subtracts the (m+1)-th largest
+       count ``d`` from every counter and drops the non-positive ones
+       (Misra & Gries 1982); each batch also emits its ``d`` so the
+       global error bound is exact, not worst-case;
+    2. keyed sum of summary rows by token-hash bucket (summing MG
+       summaries is the standard mergeable-sketch union; per-token
+       error bounds add);
+    3. driver top-k over the ≤ ``sketch_size``·n_blocks surviving
+       rows, pre-reduced per bucket to ≤ k — driver input ≤ 64·k rows.
+
+    Guarantees (pinned in test_ops): for every reported token,
+    ``est_count ≤ true_count ≤ est_count + err_bound``; and any token
+    whose true count exceeds ``err_bound`` is guaranteed to survive
+    the sketch (so the heavy tail is never silently lost).
+    """
+    import pandas as pd
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(t.split(" "))
+        arr = np.asarray(toks, dtype=object)
+        uniq, counts = np.unique(arr, return_counts=True)
+        if len(uniq) > sketch_size:
+            order = np.argsort(counts)[::-1]
+            d = int(counts[order[sketch_size]])
+            keep = counts > d
+            uniq, counts = uniq[keep], counts[keep] - d
+        else:
+            d = 0
+        b = stable_hash64_array_local(list(uniq)) % np.uint64(64)
+        t = pa.table(
+            {
+                "token": pa.array(uniq.tolist(), type=pa.string()),
+                "est": pa.array(counts.astype(np.int64)),
+                "deduct": pa.array(np.full(len(uniq), 0, dtype=np.int64)),
+                "_b": pa.array(b.astype(np.int64)),
+            }
+        )
+        # one sentinel row per batch carries the batch's deduction so
+        # the global err bound is the exact sum of per-batch deducts
+        sent = pa.table(
+            {
+                "token": pa.array([""], type=pa.string()),
+                "est": pa.array([0], type=pa.int64()),
+                "deduct": pa.array([d], type=pa.int64()),
+                "_b": pa.array([-1], type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([t, sent])
+
+    def bucket_reduce(group: pd.DataFrame) -> pd.DataFrame:
+        if (group["_b"] == -1).any():
+            return pd.DataFrame(
+                {
+                    "token": [""],
+                    "est": [0],
+                    "deduct": [int(group["deduct"].sum())],
+                    "_b": [-1],
+                }
+            )
+        g = group.groupby("token", as_index=False)["est"].sum()
+        g = g.sort_values(["est", "token"], ascending=[False, True], kind="mergesort").head(k)
+        g["deduct"] = 0
+        g["_b"] = int(group["_b"].iloc[0])
+        return g[["token", "est", "deduct", "_b"]]
+
+    rows = (
+        ds.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(64)
+        .groupby("_b")
+        .map_groups(bucket_reduce, batch_format="pandas")
+        .to_pandas()
+    )
+    err = int(rows.loc[rows["_b"] == -1, "deduct"].sum())
+    top = (
+        rows[rows["_b"] != -1]
+        .sort_values(["est", "token"], ascending=[False, True], kind="mergesort")
+        .head(k)
+    )
+    return pa.table(
+        {
+            "token": pa.array(top["token"].tolist(), type=pa.string()),
+            "est_count": pa.array(top["est"].to_numpy(np.int64)),
+            "err_bound": pa.array(np.full(len(top), err, dtype=np.int64)),
+        }
+    )

@@ -1503,3 +1503,57 @@ def test_budget_select_matches_sql_window():
             assert len(got) == 500  # whole corpus fits
         else:
             assert got["n_tokens"].sum() <= budget
+
+
+def test_pca_matches_numpy():
+    """Two-scan distributed PCA equals single-process numpy PCA (same
+    covariance, eigh, deterministic sign fix)."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import pca_project
+
+    got = pca_project(SF, n_components=4).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(tbl.column("vec_id"))
+    x = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / (len(x) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    load = evecs[:, order]
+    flip = np.sign(load[np.abs(load).argmax(axis=0), np.arange(4)])
+    load = load * np.where(flip == 0, 1.0, flip)
+    want = (x - mu) @ load
+    want = want[np.argsort(ids)]
+    for j in range(4):
+        np.testing.assert_allclose(got[f"pc{j}"].to_numpy(), want[:, j], atol=1e-8)
+    # variance sanity: pc0 dominates
+    assert got["pc0"].var() >= got["pc3"].var()
+
+
+def test_heavy_hitters_sandwich_and_recovery():
+    """MG sketch guarantees: est <= true <= est + err for every
+    reported token, and tokens with a clear margin over the boundary
+    are always recovered."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.textstats import heavy_hitters
+
+    got = heavy_hitters(SF, k=32).to_pandas()
+    err = int(got["err_bound"].iloc[0])
+    true = collections.Counter()
+    for t in pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column("text").to_pylist():
+        true.update(t.split(" "))
+    for _, row in got.iterrows():
+        tc = true[row["token"]]
+        assert row["est_count"] <= tc <= row["est_count"] + err, row["token"]
+    # recovery: every token whose true count clears the 32nd-largest
+    # true count by more than err must be reported
+    ranked = sorted(true.values(), reverse=True)
+    bar = ranked[32] if len(ranked) > 32 else 0
+    must = {w for w, c in true.items() if c > bar + err}
+    assert must <= set(got["token"]), must - set(got["token"])
