@@ -928,6 +928,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # estimates → rows-only gate; sandwich + recovery guarantees
         # pinned in test_ops)
         "text_heavy_hitters": lambda sf: textstats.heavy_hitters(sf),
+        # inverted-index build (one token-bucket exchange; postings as
+        # a byte-comparable comma string)
+        "text_inverted_index": textstats.inverted_index,
     }
 
 
@@ -1910,6 +1913,17 @@ def oracle_sql() -> dict[str, str]:
         FROM votes
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY votes DESC, label) = 1
+    """
+    # inverted index: doc_id-ordered posting strings compare exactly
+    oracles["text_inverted_index"] = """
+        WITH tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY doc_id, token)
+        SELECT token, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+        FROM tf GROUP BY token
     """
     # token-budget prefix: the SQL window is the spec; the engine
     # reproduces it with a histogram threshold, no global sort

@@ -242,6 +242,11 @@ def main():
     timed("emb_label_centroids", lambda: similarity.label_centroids(SF_DIR).materialize())
     from dfg_gepris_crawler_ray.ops.boilerplate import host_boilerplate
     timed("crawl_host_boilerplate", lambda: host_boilerplate(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops import pii
+    timed("text_term_scrub", lambda: pii.term_scrub(SF_DIR).materialize())
+    timed("text_budget_select", lambda: curation.budget_select(SF_DIR).materialize())
+    timed("text_heavy_hitters", lambda: textstats.heavy_hitters(SF_DIR))
+    timed("emb_pca", lambda: similarity.pca_project(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

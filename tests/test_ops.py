@@ -1557,3 +1557,41 @@ def test_heavy_hitters_sandwich_and_recovery():
     bar = ranked[32] if len(ranked) > 32 else 0
     must = {w for w, c in true.items() if c > bar + err}
     assert must <= set(got["token"]), must - set(got["token"])
+
+
+def test_inverted_index_matches_duckdb_and_sinks_partitioned():
+    """Posting lists match the SQL oracle byte-for-byte, and the index
+    writes as bucket-partitioned parquet (the resumable sink layout)."""
+    import glob
+    import os
+    import shutil
+
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.textstats import inverted_index
+
+    ds = inverted_index(SF)
+    got = ds.to_pandas().sort_values("token").reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        WITH tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM read_parquet('{SF}/documents.parquet'))
+          GROUP BY doc_id, token)
+        SELECT token, count(*) AS df, sum(tf) AS total_tf,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+        FROM tf GROUP BY token ORDER BY token
+        """
+    ).df()
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["postings"].tolist() == want["postings"].tolist()
+    assert got["df"].tolist() == want["df"].astype(int).tolist()
+    assert got["total_tf"].tolist() == want["total_tf"].astype(int).tolist()
+
+    out = "/tmp/test_inverted_index_out"
+    shutil.rmtree(out, ignore_errors=True)
+    inverted_index(SF, keep_bucket=True).write_parquet(out, partition_cols=["_b"])
+    parts = glob.glob(os.path.join(out, "_b=*"))
+    assert len(parts) > 1  # one directory per token-hash bucket
+    shutil.rmtree(out, ignore_errors=True)
