@@ -810,11 +810,22 @@ def heavy_hitters(sf_dir: str, k: int = 32, sketch_size: int = 256) -> pa.Table:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def mg_partial(batch: pa.Table) -> pa.Table:
-        toks = []
-        for t in batch.column("text").to_pylist():
-            toks.extend(t.split(" "))
-        arr = np.asarray(toks, dtype=object)
-        uniq, counts = np.unique(arr, return_counts=True)
+        try:  # Rust-side split/explode/value_counts — no Python row loop
+            import polars as pl
+
+            vc = (
+                pl.from_arrow(batch.column("text"))
+                .str.split(" ")
+                .explode()
+                .value_counts()
+            )
+            uniq = vc[:, 0].to_numpy().astype(object)
+            counts = vc[:, 1].to_numpy().astype(np.int64)
+        except ImportError:  # pragma: no cover - polars is baked in
+            toks = []
+            for t in batch.column("text").to_pylist():
+                toks.extend(t.split(" "))
+            uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
         if len(uniq) > sketch_size:
             order = np.argsort(counts)[::-1]
             d = int(counts[order[sketch_size]])
