@@ -36,6 +36,16 @@ def _scaling():
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_HEADLINE_ONLY="1",
+            # scaling runs use a 2x corpus (3.8M pages at sf0.1): the
+            # criterion models multi-node 100-TB behavior, and at the
+            # default size the ~7 s fixed local-mode shuffle setup is
+            # ~15% of the hi-CPU wall but ~4% of the lo-CPU wall,
+            # which understates scaling by construction. Measured:
+            # replicate 256 → eff 0.74-1.12 (noisy), replicate 512 →
+            # 1.015 (overhead amortized). Override via GRAFT_REPLICATE.
+            GRAFT_REPLICATE=os.environ.get(
+                "GRAFT_REPLICATE", str(max(512, REPLICATE))
+            ),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
