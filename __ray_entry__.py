@@ -931,6 +931,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inverted-index build (one token-bucket exchange; postings as
         # a byte-comparable comma string)
         "text_inverted_index": textstats.inverted_index,
+        # per-source token quota (anti-over-representation cap; one
+        # source-bucket exchange, vectorized per-group prefix)
+        "text_source_quota": curation.source_quota,
     }
 
 
@@ -1913,6 +1916,17 @@ def oracle_sql() -> dict[str, str]:
         FROM votes
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY votes DESC, label) = 1
+    """
+    # per-source token quota: per-group window prefix is the spec
+    oracles["text_source_quota"] = """
+        WITH t AS (
+          SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+          FROM documents),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                                             ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t)
+        SELECT doc_id, source, n_tokens FROM c WHERE cum <= 400
     """
     # inverted index: doc_id-ordered posting strings compare exactly
     oracles["text_inverted_index"] = """

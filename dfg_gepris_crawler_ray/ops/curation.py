@@ -717,3 +717,55 @@ def budget_select(sf_dir: str, budget: int = 12000) -> "ray.data.Dataset":
             kept = kept.union(ray.data.from_arrow(pa.Table.from_pandas(
                 pick, preserve_index=False)))
     return kept
+
+
+def source_quota(sf_dir: str, cap_tokens: int = 400) -> "ray.data.Dataset":
+    """Cap each source's contribution to the corpus at ``cap_tokens``
+    tokens: within a source, docs are admitted doc_id-ascending while
+    the source's cumulative token count stays ≤ cap — the standard
+    guard against a single domain dominating a training mix (the
+    per-group form of :func:`budget_select`).
+
+    ONE keyed exchange: rows carry only (doc_id, source, n_tokens) to
+    a source-hash bucket groupby; each bucket holds its sources
+    entirely, so the per-source prefix is a vectorized pandas
+    groupby-cumsum — no global sort, no driver state.  Equivalent to
+    the SQL window ``sum(n_tokens) OVER (PARTITION BY source ORDER BY
+    doc_id) <= cap`` — oracle-checked.
+    """
+    import ray
+
+    from ..kernels.hashing import stable_hash64_array
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        # token convention matches token_stats: split(' '), empties kept
+        n = pc.add(
+            pc.count_substring(batch.column("text"), " "), 1
+        )
+        src = batch.column("source")
+        b = stable_hash64_array([str(s) for s in src.to_pylist()]) % np.uint64(64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": src,
+                "n_tokens": pc.cast(n, pa.int64()),
+                "_b": pa.array(b.astype(np.int64)),
+            }
+        )
+
+    def quota(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["source", "doc_id"], kind="mergesort")
+        cum = g.groupby("source", sort=False)["n_tokens"].cumsum()
+        out = g[cum <= cap_tokens]
+        return out[["doc_id", "source", "n_tokens"]]
+
+    return (
+        ds.map_batches(count_tokens, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(64)
+        .groupby("_b")
+        .map_groups(quota, batch_format="pandas")
+    )

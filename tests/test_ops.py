@@ -1595,3 +1595,35 @@ def test_inverted_index_matches_duckdb_and_sinks_partitioned():
     parts = glob.glob(os.path.join(out, "_b=*"))
     assert len(parts) > 1  # one directory per token-hash bucket
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_source_quota_matches_sql_window():
+    """Bucketed per-source prefix equals the SQL window, and no source
+    exceeds the cap."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.curation import source_quota
+
+    for cap in (100, 400):
+        got = (
+            source_quota(SF, cap_tokens=cap)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"""
+            WITH t AS (
+              SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+              FROM read_parquet('{SF}/documents.parquet')),
+             c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                                                 ORDER BY doc_id
+                                                 ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM t)
+            SELECT doc_id, source, n_tokens FROM c WHERE cum <= {cap}
+            ORDER BY doc_id
+            """
+        ).df()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), f"cap={cap}"
+        per_src = got.groupby("source")["n_tokens"].sum()
+        assert (per_src <= cap).all()
