@@ -934,6 +934,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source token quota (anti-over-representation cap; one
         # source-bucket exchange, vectorized per-group prefix)
         "text_source_quota": curation.source_quota,
+        # hashed-trigram text embedder (model-free; actor-pool state,
+        # floats → rows-only gate; batch-size invariance + brute
+        # parity pinned in test_ops)
+        "text_hash_embed": lambda sf: __import__(
+            "dfg_gepris_crawler_ray.ops.embedder", fromlist=["hash_embed"]
+        ).hash_embed(sf),
     }
 
 

@@ -1627,3 +1627,42 @@ def test_source_quota_matches_sql_window():
         assert got["doc_id"].tolist() == want["doc_id"].tolist(), f"cap={cap}"
         per_src = got.groupby("source")["n_tokens"].sum()
         assert (per_src <= cap).all()
+
+
+def test_hash_embed_deterministic_and_matches_brute():
+    """Hashed-trigram embeddings are independent of batching, equal
+    the brute per-doc computation, and are unit-norm."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.embedder import (
+        _projection,
+        embed_texts,
+        hash_embed,
+    )
+
+    got = hash_embed(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    order = np.argsort(np.asarray(tbl.column("doc_id")))
+    texts = [tbl.column("text").to_pylist()[i] for i in order]
+
+    # brute: per-doc python trigram counting through the same projection
+    proj = _projection()
+    want = np.zeros((len(texts), proj.shape[1]), dtype=np.float32)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        counts = np.zeros(proj.shape[0], dtype=np.float32)
+        for j in range(len(b) - 2):
+            h = (b[j] * 31 * 31 + b[j + 1] * 31 + b[j + 2]) % proj.shape[0]
+            counts[h] += 1.0
+        v = counts @ proj
+        want[i] = v / max(np.linalg.norm(v), 1e-12)
+    mat = np.asarray([np.asarray(v) for v in got["embedding"]])
+    np.testing.assert_allclose(mat, want, atol=1e-5)
+
+    # batch-size invariance of the shared kernel (up to float32 BLAS
+    # accumulation-order jitter, ~1e-7)
+    a = embed_texts(texts, proj)
+    b = np.vstack([embed_texts(texts[:7], proj), embed_texts(texts[7:], proj)])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # unit norm (non-degenerate docs)
+    np.testing.assert_allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
