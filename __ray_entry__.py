@@ -764,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         decontaminate,
         dedup,
+        embedder,
         multimodal,
         pii,
         relational,
@@ -937,9 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hashed-trigram text embedder (model-free; actor-pool state,
         # floats → rows-only gate; batch-size invariance + brute
         # parity pinned in test_ops)
-        "text_hash_embed": lambda sf: __import__(
-            "dfg_gepris_crawler_ray.ops.embedder", fromlist=["hash_embed"]
-        ).hash_embed(sf),
+        "text_hash_embed": embedder.hash_embed,
     }
 
 
