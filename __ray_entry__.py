@@ -939,7 +939,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # floats → rows-only gate; batch-size invariance + brute
         # parity pinned in test_ops)
         "text_hash_embed": embedder.hash_embed,
+        # crawl→training-corpus bridge: extracted projekt descriptions
+        # → dedup keep-min-id → length filter → train split, one keyed
+        # exchange carrying feature rows only; end-to-end SQL oracle
+        "crawl_corpus_funnel": _q_corpus_funnel,
     }
+
+
+def _q_corpus_funnel(sf_dir: str):
+    from dfg_gepris_crawler_ray.ops.curation import extracted_corpus_funnel
+    from dfg_gepris_crawler_ray.pipelines.derive import projekt_core
+
+    return extracted_corpus_funnel(projekt_core(_crawl_items(sf_dir)))
 
 
 def _q_host_boilerplate(sf_dir: str):
@@ -1921,6 +1932,23 @@ def oracle_sql() -> dict[str, str]:
         FROM votes
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY votes DESC, label) = 1
+    """
+    # crawl→corpus funnel over the generator's closed-form page text
+    oracles["crawl_corpus_funnel"] = f"""
+        WITH ext AS (
+          SELECT 1000 + doc_id AS id, trim(substr(text, 1, 120)) AS t
+          FROM documents WHERE doc_id % 3 = 0 AND {_OK}),
+         feat AS (SELECT id, len(string_split(t, ' ')) AS n_tokens,
+                         md5(t) AS content_md5
+                  FROM ext),
+         keepmin AS (SELECT content_md5, min(id) AS id FROM feat
+                     GROUP BY content_md5)
+        SELECT f.id, f.n_tokens, f.content_md5
+        FROM feat f JOIN keepmin k
+          ON f.id = k.id AND f.content_md5 = k.content_md5
+        WHERE f.n_tokens >= 12
+          AND ('0x' || substr(md5(CAST(f.id AS VARCHAR)), 1, 8))::BIGINT
+              % 100 < 80
     """
     # per-source token quota: per-group window prefix is the spec
     oracles["text_source_quota"] = """

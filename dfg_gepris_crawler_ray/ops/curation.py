@@ -769,3 +769,80 @@ def source_quota(sf_dir: str, cap_tokens: int = 400) -> "ray.data.Dataset":
         .groupby("_b")
         .map_groups(quota, batch_format="pandas")
     )
+
+
+def extracted_corpus_funnel(
+    items: "ray.data.Dataset",
+    min_tokens: int = 12,
+    train_pct: int = 80,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Crawl→training-corpus bridge: extracted item rows (the details
+    pipeline's output) → dedup'd, length-filtered, split-assigned
+    text corpus — the composition a real 100-TB build runs directly on
+    the crawler's output instead of a pre-existing documents table.
+
+    (id, n_tokens, content_md5) for projekt descriptions that survive
+
+    1. row-local featurize (token count + content md5) fused into one
+       scan of the item rows;
+    2. exact dedup keep-min-id — the ONE keyed exchange, bucketed by
+       md5 prefix, carrying only (id, n_tokens, md5) feature rows
+       (never the text);
+    3. row-local length filter + md5 train-split gate.
+
+    Every step is ANSI-SQL over the generator's closed-form page
+    formulas, so the whole funnel is oracle-checked end-to-end.
+    """
+    import ray
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        texts = batch.column("beschreibung_de").to_pylist()
+        ids = batch.column("id").to_pylist()
+        keep_ids, toks, md5s, buckets = [], [], [], []
+        for i, t in zip(ids, texts):
+            if t is None:
+                continue
+            keep_ids.append(i)
+            toks.append(len(t.split(" ")))
+            m = hashlib.md5(t.encode()).hexdigest()
+            md5s.append(m)
+            buckets.append(int(m[:8], 16) % num_buckets)
+        return pa.table(
+            {
+                "id": pa.array(keep_ids, type=pa.int64()),
+                "n_tokens": pa.array(toks, type=pa.int64()),
+                "content_md5": pa.array(md5s, type=pa.string()),
+                "_b": pa.array(buckets, type=pa.int64()),
+            }
+        )
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["content_md5", "id"], kind="mergesort")
+        return g.groupby("content_md5", as_index=False, sort=False).first()[
+            ["id", "n_tokens", "content_md5"]
+        ]
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        split_ok = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+                < train_pct
+                for i in ids
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        len_ok = pc.greater_equal(batch.column("n_tokens"), min_tokens).to_numpy(
+            zero_copy_only=False
+        )
+        return batch.filter(pa.array(split_ok & len_ok))
+
+    feats = items.map_batches(featurize, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = (
+        feats.repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+    return deduped.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

@@ -1666,3 +1666,40 @@ def test_hash_embed_deterministic_and_matches_brute():
     np.testing.assert_allclose(a, b, atol=1e-6)
     # unit norm (non-degenerate docs)
     np.testing.assert_allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
+
+
+def test_corpus_funnel_over_extracted_items():
+    """The crawl→corpus bridge dedups, filters and splits the details
+    pipeline's own projekt descriptions — checked against a direct
+    single-process computation over the same extracted rows."""
+    import hashlib
+
+    from dfg_gepris_crawler_ray.ops.curation import extracted_corpus_funnel
+    from dfg_gepris_crawler_ray.pipelines.derive import projekt_core
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    items = run_details_extraction(ensure_pages(SF), num_buckets=8)
+    core = projekt_core(items).to_pandas()
+    got = (
+        extracted_corpus_funnel(projekt_core(items))
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    feats = {}
+    for _, r in core.iterrows():
+        t = r["beschreibung_de"]
+        if t is None:
+            continue
+        m = hashlib.md5(t.encode()).hexdigest()
+        feats.setdefault(m, []).append((int(r["id"]), len(t.split(" "))))
+    want = []
+    for m, lst in feats.items():
+        i, n = min(lst)
+        if n >= 12 and int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 80:
+            want.append((i, n, m))
+    want.sort()
+    assert list(zip(got["id"], got["n_tokens"], got["content_md5"])) == want
+    assert len(got) > 0
