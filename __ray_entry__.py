@@ -943,7 +943,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # → dedup keep-min-id → length filter → train split, one keyed
         # exchange carrying feature rows only; end-to-end SQL oracle
         "crawl_corpus_funnel": _q_corpus_funnel,
+        # text → hashed embeddings → SemDeDup composition (floats /
+        # k-means → rows-only gate; invariants pinned in test_ops)
+        "text_embed_semdedup": _q_embed_semdedup,
     }
+
+
+def _q_embed_semdedup(sf_dir: str):
+    """Text → hashed-trigram embeddings → SemDeDup, end-to-end: the
+    embedder's output is staged as a (vec_id, embedding) parquet dir
+    under /tmp (the layout every embedding op consumes), then semantic
+    dedup runs over it unchanged — no model, no pre-existing
+    embeddings table."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from dfg_gepris_crawler_ray.ops.embedder import hash_embed
+    from dfg_gepris_crawler_ray.ops.semdedup import semantic_dedup
+
+    out = tempfile.mkdtemp(prefix="gepris_embed_semdedup_")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["vec_id", "embedding"])
+
+    hash_embed(sf_dir).map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(os.path.join(out, "embeddings.parquet"))
+    return semantic_dedup(out, n_clusters=8)
 
 
 def _q_corpus_funnel(sf_dir: str):

@@ -1703,3 +1703,20 @@ def test_corpus_funnel_over_extracted_items():
     want.sort()
     assert list(zip(got["id"], got["n_tokens"], got["content_md5"])) == want
     assert len(got) > 0
+
+
+def test_embed_semdedup_composition():
+    """Text → hashed embeddings → SemDeDup runs end-to-end: every doc
+    labeled, exactly one kept representative per non-empty cluster at
+    minimum, and duplicates only ever dropped in favor of a kept row
+    in the SAME cluster."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __ray_entry__ import _q_embed_semdedup
+
+    got = _q_embed_semdedup(SF).to_pandas()
+    assert len(got) == 500
+    assert set(got["keep"].unique()) <= {0, 1}
+    per_cluster = got.groupby("cluster")["keep"].sum()
+    assert (per_cluster >= 1).all()  # a kept representative per cluster
