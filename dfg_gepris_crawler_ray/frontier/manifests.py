@@ -165,6 +165,32 @@ class CrawlStore:
         self._write_pointer(name, "ds", base, seq)
         self._gc_stale(name, keep=base)
 
+    def compact_table_ds(self, name: str, target_blocks: int = 64) -> int:
+        """Small-file compaction for a partitioned state table — the
+        standing maintenance job of a long-lived 100-TB store, where
+        every incremental ``save_table_ds`` can leave one file per
+        upsert bucket and read amplification grows run over run.
+
+        Streams the live directory through ``repartition(target_blocks)``
+        and republished via the SAME versioned-artifact + pointer-swap
+        protocol as ``save_table_ds`` — crash-safe at any point, readers
+        never see a partial artifact.  No-op (returns 0) when the live
+        artifact is a single file or already ≤ 2×``target_blocks``
+        files.  Returns the pre-compaction file count otherwise."""
+        import ray.data
+
+        live = self._resolve_live(name)
+        if live is None or not os.path.isdir(live):
+            return 0
+        n_files = sum(
+            1 for f in os.listdir(live) if f.endswith(".parquet")
+        )
+        if n_files <= 2 * target_blocks:
+            return 0
+        ds = ray.data.read_parquet(live).repartition(target_blocks)
+        self.save_table_ds(name, ds)
+        return n_files
+
     # --- run artifacts -----------------------------------------------------
     def run_dir(self, run_id: int) -> str:
         d = os.path.join(self.root, "runs", f"run={run_id}")

@@ -98,3 +98,42 @@ def test_manifest_lineage_fields(pages_dir, tmp_path):
     assert m["buckets"] == [0, 4, 8, 12]
     assert m["rows"] == sum(m["status_counts"].values())
     assert len(m["content_hash"]) == 64
+
+
+def test_compact_table_ds_preserves_contents(tmp_path):
+    """Compaction rewrites a many-file state table into few files via
+    the versioned-artifact + pointer-swap publish: identical rows,
+    fewer files, bumped pointer seq; small tables are left alone."""
+    import json
+
+    import pandas as pd
+    import ray.data
+
+    from dfg_gepris_crawler_ray.frontier.manifests import CrawlStore
+
+    store = CrawlStore(str(tmp_path))
+    df = pd.DataFrame({"id": range(1000), "v": [f"x{i}" for i in range(1000)]})
+    store.save_table_ds("state", ray.data.from_pandas(df).repartition(40))
+    live = store._resolve_live("state")
+    n_before = sum(1 for f in os.listdir(live) if f.endswith(".parquet"))
+    assert n_before > 8
+    seq_before = store._read_pointer("state")["seq"]
+
+    compacted = store.compact_table_ds("state", target_blocks=4)
+    assert compacted == n_before
+    live2 = store._resolve_live("state")
+    assert live2 != live  # new versioned artifact
+    n_after = sum(1 for f in os.listdir(live2) if f.endswith(".parquet"))
+    assert n_after <= 8
+    assert store._read_pointer("state")["seq"] == seq_before + 1
+    out = (
+        store.load_table_ds("state", df.iloc[:0])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, df)
+    assert not os.path.exists(live)  # stale version GC'd
+
+    # second compaction is a no-op (already compact)
+    assert store.compact_table_ds("state", target_blocks=4) == 0
