@@ -117,4 +117,13 @@ def run_daily_cycle(
                 store, pages_dir, context,
                 ids_spec=f"db:all:{budget}", host_lookup=host_lookup,
             )
+
+    if backend == "ds":
+        # standing store maintenance: every incremental ds save can
+        # leave one file per upsert bucket; compact (crash-atomic
+        # pointer-swap republish, no-op while the table is small) so
+        # read amplification doesn't grow with cron days
+        out["compacted_files"] = {
+            t: store.compact_table_ds(t) for t in ("state", "history")
+        }
     return out
