@@ -1961,6 +1961,36 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY votes DESC, label) = 1
     """
+    # language id: the stopword-profile argmax is deterministic
+    # (earliest-lang wins ties, all-zero → unknown), so the heuristic
+    # is fully SQL-expressible — graduated from rows-only
+    def _lang_hits(lang: str) -> str:
+        from dfg_gepris_crawler_ray.ops.textstats import _STOPWORDS
+
+        words = sorted(_STOPWORDS[lang])
+        lst = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
+        return (
+            "len(list_filter(list_distinct(list_filter("
+            "regexp_split_to_array(text, '\\s+'), w -> w != '')), "
+            f"w -> list_contains({lst}, w)))"
+        )
+
+    _langs = ["en", "de", "fr", "es", "zh"]
+    _win = []
+    for i, L in enumerate(_langs):
+        conds = [f"h_{L} >= 1"]
+        conds += [f"h_{L} > h_{M}" for M in _langs[:i]]
+        conds += [f"h_{L} >= h_{M}" for M in _langs[i + 1:]]
+        _win.append(f"WHEN {' AND '.join(conds)} THEN '{L}'")
+    oracles["text_lang_id"] = f"""
+        WITH h AS (
+          SELECT doc_id,
+                 {', '.join(f'{_lang_hits(L)} AS h_{L}' for L in _langs)}
+          FROM documents)
+        SELECT doc_id,
+               CASE {' '.join(_win)} ELSE 'unknown' END AS lang_pred
+        FROM h
+    """
     # crawl→corpus funnel over the generator's closed-form page text
     oracles["crawl_corpus_funnel"] = f"""
         WITH ext AS (
