@@ -1961,6 +1961,18 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY votes DESC, label) = 1
     """
+    # heavy hitters: whenever the corpus vocabulary fits the sketch
+    # (here vocab ≈ 40 ≪ sketch_size 256, at any batching), MG never
+    # compresses — est = exact counts, err_bound = 0, top-k fully
+    # deterministic. The oracle checks that exactness contract; the
+    # approximate regime is covered by the sandwich/recovery pytest.
+    oracles["text_heavy_hitters"] = """
+        WITH c AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        SELECT token, count(*)::BIGINT AS est_count, 0::BIGINT AS err_bound
+        FROM c GROUP BY token
+        ORDER BY est_count DESC, token ASC LIMIT 32
+    """
     # language id: the stopword-profile argmax is deterministic
     # (earliest-lang wins ties, all-zero → unknown), so the heuristic
     # is fully SQL-expressible — graduated from rows-only
