@@ -68,6 +68,9 @@ def _build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("daily", help="one scheduler day (cron cadence)")
     common(sp)
     sp.add_argument("--day", type=int, default=None, help="day of month for re-index")
+    sp.add_argument("--backend", default="pandas", choices=("pandas", "ds"),
+                    help="ds = Dataset-resident state forms (the 10^10-key "
+                         "scale path) incl. end-of-day store compaction")
 
     return p
 
@@ -142,10 +145,12 @@ def main(argv=None) -> int:
         elif args.command == "daily":
             from dfg_gepris_crawler_ray.pipelines.schedule import run_daily_cycle
 
-            out = run_daily_cycle(store, args.pages, day_of_month=args.day)
+            out = run_daily_cycle(store, args.pages, day_of_month=args.day,
+                                  backend=args.backend)
             print(json.dumps(dict(
                 notifications=[s for _, s in out["notifications"]],
                 reindex=out.get("reindex_plan"),
+                compacted_files=out.get("compacted_files"),
             )))
     finally:
         import ray
