@@ -893,7 +893,10 @@ def heavy_hitters(sf_dir: str, k: int = 32, sketch_size: int = 256) -> pa.Table:
 
 
 def inverted_index(
-    sf_dir: str, num_buckets: int = 64, keep_bucket: bool = False
+    sf_dir: str,
+    num_buckets: int = 64,
+    keep_bucket: bool = False,
+    postings_cap: int | None = None,
 ) -> "ray.data.Dataset":
     """(token, df, total_tf, postings) — build the corpus inverted
     index: per token, the document frequency, total term count, and
@@ -908,6 +911,13 @@ def inverted_index(
     At 100 TB the output is written as bucket-partitioned Parquet
     (resumable, one directory per token-hash range) — the return here
     is the same Dataset pre-sink.
+
+    Hub tokens: a stopword's posting list is O(corpus) — one unbounded
+    string row. ``postings_cap`` keeps only the ``cap`` lowest doc_ids
+    in the string (df/total_tf stay exact); a full-fidelity index at
+    scale instead shards each hub token's postings across rows, which
+    the bucket layout already supports (emit (token, shard_no,
+    postings) rows from ``build``).
     """
     import pandas as pd
 
@@ -922,10 +932,16 @@ def inverted_index(
 
     def build(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["token", "doc_id"], kind="mergesort")
+        cap = postings_cap
+
+        def join_ids(s: pd.Series) -> str:
+            ids = s if cap is None else s.iloc[:cap]
+            return ",".join(map(str, ids))
+
         agg = g.groupby("token", sort=False).agg(
             df=("doc_id", "size"),
             total_tf=("tf", "sum"),
-            postings=("doc_id", lambda s: ",".join(map(str, s))),
+            postings=("doc_id", join_ids),
         )
         out = agg.reset_index()[["token", "df", "total_tf", "postings"]]
         if keep_bucket:

@@ -1721,3 +1721,17 @@ def test_embed_semdedup_composition():
     assert set(got["keep"].unique()) <= {0, 1}
     per_cluster = got.groupby("cluster")["keep"].sum()
     assert (per_cluster >= 1).all()  # a kept representative per cluster
+
+
+def test_inverted_index_postings_cap():
+    """With a cap, each posting string holds only the cap lowest
+    doc_ids while df/total_tf stay exact."""
+    from dfg_gepris_crawler_ray.ops.textstats import inverted_index
+
+    full = inverted_index(SF).to_pandas().set_index("token")
+    capped = inverted_index(SF, postings_cap=3).to_pandas().set_index("token")
+    assert (capped["df"] == full["df"].loc[capped.index]).all()
+    assert (capped["total_tf"] == full["total_tf"].loc[capped.index]).all()
+    for tok, row in capped.iterrows():
+        want = ",".join(full.loc[tok, "postings"].split(",")[:3])
+        assert row["postings"] == want
