@@ -747,7 +747,12 @@ def source_quota(sf_dir: str, cap_tokens: int = 400) -> "ray.data.Dataset":
             pc.count_substring(batch.column("text"), " "), 1
         )
         src = batch.column("source")
-        b = stable_hash64_array([str(s) for s in src.to_pylist()]) % np.uint64(64)
+        enc = pc.dictionary_encode(src.combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        # hash once per UNIQUE source, scatter through the codes
+        uniq_h = stable_hash64_array(enc.dictionary.to_pylist()) % np.uint64(64)
+        b = uniq_h[enc.indices.to_numpy(zero_copy_only=False)]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
