@@ -946,6 +946,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text → hashed embeddings → SemDeDup composition (floats /
         # k-means → rows-only gate; invariants pinned in test_ops)
         "text_embed_semdedup": _q_embed_semdedup,
+        # weighted sample without replacement (Efraimidis–Spirakis
+        # one-pass keys, pre-reduced distributed top-k)
+        "text_weighted_sample": curation.weighted_sample,
     }
 
 
@@ -1960,6 +1963,15 @@ def oracle_sql() -> dict[str, str]:
         FROM votes
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY votes DESC, label) = 1
+    """
+    # weighted sample: identical float64 E–S key expression both sides
+    oracles["text_weighted_sample"] = """
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     + 1) / 4294967296.0) / greatest(n_chars, 1) AS key
+          FROM documents)
+        SELECT doc_id, n_chars FROM t ORDER BY key DESC, doc_id LIMIT 50
     """
     # heavy hitters: whenever the corpus vocabulary fits the sketch
     # (here vocab ≈ 40 ≪ sketch_size 256, at any batching), MG never

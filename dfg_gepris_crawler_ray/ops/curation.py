@@ -851,3 +851,69 @@ def extracted_corpus_funnel(
         .map_groups(keep_min, batch_format="pandas")
     )
     return deduped.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(sf_dir: str, k: int = 50) -> pa.Table:
+    """(doc_id, n_chars) — deterministic weighted sample WITHOUT
+    replacement, weight = n_chars (longer docs proportionally more
+    likely): the Efraimidis–Spirakis one-pass scheme, key =
+    ln(u)/w with u an md5-derived uniform, top-k by key — the standard
+    way to draw a quality/length-weighted subset of a corpus in one
+    scan.
+
+    Distributed shape: the key is row-local (md5 → uniform → ln(u)/w,
+    float64), each batch keeps its top-k (np.lexsort, doc_id
+    tie-break), the driver merges ≤ k rows per block partial — a
+    pre-reduced top-k, never the corpus.  The SQL oracle is the same
+    float64 expression tree ordered by (key DESC, doc_id), so the
+    selection is bit-identical.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        w = np.asarray(batch.column("n_chars").to_pylist(), dtype=np.float64)
+        u = np.fromiter(
+            (
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 1)
+                / 4294967296.0
+                for i in ids
+            ),
+            dtype=np.float64,
+            count=len(ids),
+        )
+        key = np.log(u) / np.maximum(w, 1.0)
+        idx = np.lexsort((np.asarray(ids, dtype=np.int64), -key))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)[idx]),
+                "n_chars": pa.array(
+                    np.asarray(batch.column("n_chars").to_pylist(), dtype=np.int64)[idx]
+                ),
+                "_key": pa.array(key[idx]),
+            }
+        )
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["_key", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
+    )  # driver reads ≤ 8·k rows regardless of block count
+    top = parts.sort_values(["_key", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return pa.table(
+        {
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+            "n_chars": pa.array(top["n_chars"].to_numpy(np.int64)),
+        }
+    )

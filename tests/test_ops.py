@@ -1735,3 +1735,24 @@ def test_inverted_index_postings_cap():
     for tok, row in capped.iterrows():
         want = ",".join(full.loc[tok, "postings"].split(",")[:3])
         assert row["postings"] == want
+
+
+def test_weighted_sample_bias_and_determinism():
+    """The E-S sample is deterministic, and longer docs are sampled at
+    a higher rate than shorter ones over the weight extremes."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.curation import weighted_sample
+
+    a = weighted_sample(SF, k=50).to_pandas()
+    b = weighted_sample(SF, k=50).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert len(a) == 50
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    med = tbl["n_chars"].median()
+    n_long = (tbl["n_chars"] > med).sum()
+    n_short = len(tbl) - n_long
+    picked_long = (a["n_chars"] > med).sum()
+    # weighted by length: the long half must be over-represented
+    assert picked_long / 50 > (n_long / len(tbl)) * 1.1, (picked_long, n_long, n_short)
