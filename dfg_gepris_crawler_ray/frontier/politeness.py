@@ -56,8 +56,14 @@ def apply_host_budget(
 class PolitenessShard:
     """Token buckets + robots cache for one shard of hosts."""
 
-    def __init__(self, min_delay_ms: float = 0.0, robots: dict[str, str] | None = None):
+    def __init__(
+        self,
+        min_delay_ms: float = 0.0,
+        robots: dict[str, str] | None = None,
+        throttle: "AdaptiveThrottle | None" = None,
+    ):
         self.min_delay_s = min_delay_ms / 1000.0
+        self.throttle = throttle  # optional autothrottle-adaptive delays
         self.next_free: dict[str, float] = defaultdict(float)
         self.fetch_counts: dict[str, int] = defaultdict(int)
         self.robots: dict[str, urllib.robotparser.RobotFileParser] = {}
@@ -66,18 +72,36 @@ class PolitenessShard:
             rp.parse(txt.splitlines())
             self.robots[host] = rp
 
+    def _host_delay(self, host: str) -> float:
+        if self.throttle is not None:
+            return max(self.throttle.delay(host), self.min_delay_s)
+        return self.min_delay_s
+
     def acquire(self, host_counts: dict[str, int]) -> float:
         """Account fetches; returns seconds the caller must wait to
-        respect the per-host rate (0 when min_delay is 0)."""
+        respect the per-host rate (0 when min_delay is 0 and no
+        throttle is configured)."""
         now = time.monotonic()
         wait = 0.0
         for host, n in host_counts.items():
             self.fetch_counts[host] += n
-            if self.min_delay_s > 0:
+            d = self._host_delay(host)
+            if d > 0:
                 start = max(self.next_free[host], now)
-                self.next_free[host] = start + n * self.min_delay_s
+                self.next_free[host] = start + n * d
                 wait = max(wait, start - now)
         return wait
+
+    def observe(self, host_latencies: dict[str, tuple[float, int, bool]]) -> dict[str, float]:
+        """Feed observed (mean latency, n responses, all-OK) per host
+        into the adaptive throttle; returns the new per-host delays.
+        No-op ({}) when the shard runs fixed-rate."""
+        if self.throttle is None:
+            return {}
+        return {
+            h: self.throttle.observe(h, lat, n=n, ok=ok)
+            for h, (lat, n, ok) in host_latencies.items()
+        }
 
     def allowed(self, host: str, paths: list[str]) -> list[bool]:
         """robots.txt check (ROBOTSTXT_OBEY=True, settings.py:66)."""
@@ -131,3 +155,53 @@ class PolitenessGate:
             for h, n in c.items():
                 total[h] += n
         return dict(total)
+
+
+class AdaptiveThrottle:
+    """Scrapy-AutoThrottle-faithful adaptive per-host delay (the
+    reference's run-time throttle: start 2 s, max 30 s, target
+    concurrency 1.0/host — settings.py:119-126; algorithm from
+    scrapy/extensions/throttle.py):
+
+    per response: ``target = latency / target_concurrency``;
+    ``delay ← (delay + target) / 2``, never decreased by a non-OK
+    response, clamped to [min_delay, max_delay].
+
+    Batch engines observe n responses of one host at once; applying
+    the per-response recurrence n times with the batch's mean latency
+    has the closed form ``target + (delay - target) * 0.5**n``, so a
+    million-response batch costs the same as one — no loop, no drift
+    from the reference's semantics.
+
+    Pure host-local state — lives inside ``PolitenessShard`` next to
+    the token buckets (a host's throttle state exists on exactly one
+    actor), or standalone in tests.
+    """
+
+    def __init__(
+        self,
+        start_delay: float = 2.0,
+        max_delay: float = 30.0,
+        min_delay: float = 0.0,
+        target_concurrency: float = 1.0,
+    ):
+        self.start_delay = start_delay
+        self.max_delay = max_delay
+        self.min_delay = min_delay
+        self.target_concurrency = target_concurrency
+        self._delay: dict[str, float] = {}
+
+    def delay(self, host: str) -> float:
+        return self._delay.get(host, self.start_delay)
+
+    def observe(self, host: str, latency: float, n: int = 1, ok: bool = True) -> float:
+        """Fold ``n`` responses of mean ``latency`` into the host's
+        delay; returns the new delay."""
+        cur = self.delay(host)
+        target = latency / self.target_concurrency
+        new = target + (cur - target) * 0.5**n
+        if not ok and new < cur:
+            new = cur  # non-OK responses never speed a host up
+        new = min(max(new, self.min_delay), self.max_delay)
+        self._delay[host] = new
+        return new

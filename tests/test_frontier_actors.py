@@ -218,3 +218,55 @@ def test_unique_entities_cuckoo_matches_exact(ray_session):
     b = unique_entities_by_context(pages, num_shards=4, mode="cuckoo").to_pandas()
     key = lambda df: sorted(map(tuple, df.astype(str).to_numpy().tolist()))
     assert key(a) == key(b)
+
+
+def test_adaptive_throttle_matches_scrapy_recurrence():
+    """Closed-form batch update equals applying Scrapy's per-response
+    recurrence n times; non-OK never decreases; clamps hold."""
+    from dfg_gepris_crawler_ray.frontier.politeness import AdaptiveThrottle
+
+    t = AdaptiveThrottle(start_delay=2.0, max_delay=30.0, target_concurrency=1.0)
+    # reference recurrence, one response at a time
+    d = 2.0
+    lat = 0.4
+    for _ in range(5):
+        d = (d + lat / 1.0) / 2.0
+    got = AdaptiveThrottle(start_delay=2.0, max_delay=30.0).observe("h", lat, n=5)
+    assert abs(got - d) < 1e-12
+
+    # fast host converges toward latency/target; slow host rises
+    t2 = AdaptiveThrottle(start_delay=2.0, max_delay=30.0)
+    for _ in range(20):
+        t2.observe("fast", 0.1)
+    assert abs(t2.delay("fast") - 0.1) < 1e-3
+    t2.observe("slow", 120.0)
+    assert t2.delay("slow") == 30.0  # max clamp
+
+    # non-OK responses never speed a host up
+    t3 = AdaptiveThrottle(start_delay=5.0)
+    before = t3.delay("h")
+    after = t3.observe("h", 0.01, ok=False)
+    assert after == before
+    # ...but can still slow it down
+    assert t3.observe("h", 40.0, ok=False) > before
+
+
+def test_politeness_shard_adaptive_accounting(ray_session):
+    """A shard with a throttle schedules next_free by the adaptive
+    per-host delay and reports updated delays from observe()."""
+    import ray
+
+    from dfg_gepris_crawler_ray.frontier.politeness import (
+        AdaptiveThrottle,
+        PolitenessShard,
+    )
+
+    shard = PolitenessShard.remote(
+        throttle=AdaptiveThrottle(start_delay=0.001, max_delay=0.002)
+    )
+    w1 = ray.get(shard.acquire.remote({"h": 3}))
+    assert w1 >= 0.0
+    delays = ray.get(shard.observe.remote({"h": (0.004, 10, True)}))
+    assert delays["h"] == 0.002  # clamped to max
+    counts = ray.get(shard.counts.remote())
+    assert counts["h"] == 3
