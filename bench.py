@@ -257,6 +257,9 @@ def main():
     timed("text_budget_select", lambda: curation.budget_select(SF_DIR).materialize())
     timed("text_heavy_hitters", lambda: textstats.heavy_hitters(SF_DIR))
     timed("emb_pca", lambda: similarity.pca_project(SF_DIR).materialize())
+    timed("text_source_quota", lambda: curation.source_quota(SF_DIR).materialize())
+    timed("text_weighted_sample", lambda: curation.weighted_sample(SF_DIR))
+    timed("text_inverted_index", lambda: textstats.inverted_index(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big
