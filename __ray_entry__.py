@@ -949,6 +949,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weighted sample without replacement (Efraimidis–Spirakis
         # one-pass keys, pre-reduced distributed top-k)
         "text_weighted_sample": curation.weighted_sample,
+        # one-scan corpus profiler (integer-exact micro-quality sum;
+        # exact distinct via md5-bucket partials)
+        "text_corpus_profile": textstats.corpus_profile,
     }
 
 
@@ -1963,6 +1966,18 @@ def oracle_sql() -> dict[str, str]:
         FROM votes
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY votes DESC, label) = 1
+    """
+    # corpus profile: every field integer-exact (quality summed in
+    # 1e-6 units of the 6-dec-rounded score)
+    oracles["text_corpus_profile"] = f"""
+        WITH q AS ({_quality_oracle_sql()})
+        SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+               (SELECT sum(n_tokens) FROM q)::BIGINT AS total_tokens,
+               (SELECT sum(length(text)) FROM documents)::BIGINT AS total_chars,
+               (SELECT sum(CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT))
+                FROM q)::BIGINT AS quality_sum_micro,
+               (SELECT count(DISTINCT md5(text)) FROM documents)::BIGINT
+                 AS distinct_docs
     """
     # weighted sample: identical float64 E–S key expression both sides
     oracles["text_weighted_sample"] = """

@@ -955,3 +955,86 @@ def inverted_index(
         .groupby("_b")
         .map_groups(build, batch_format="pandas")
     )
+
+
+def corpus_profile(sf_dir: str) -> pa.Table:
+    """One-row corpus health report — (n_docs, total_tokens,
+    total_chars, quality_sum_micro, distinct_docs) — the "profile the
+    crawl before training" dashboard, in ONE scan plus one tiny
+    exchange:
+
+    - counts/tokens/chars/quality fold into per-batch partials (a few
+      ints per batch; quality is summed in 1e-6 units of the rounded
+      score, so the sum is INTEGER-exact under any batching/order —
+      no float accumulation drift vs the SQL oracle);
+    - exact distinct-document count without shuffling rows: each batch
+      emits its distinct content-md5s, keyed by an md5-prefix bucket;
+      buckets partition the hash space, so per-bucket nunique sums to
+      the exact global distinct count (the disjointness trick the
+      dedup ops use).
+    """
+    import pandas as pd
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        q6 = np.floor(q.column("quality_score").to_numpy() * 1e6 + 0.5).astype(np.int64)
+        texts = batch.column("text")
+        md5s = sorted({hashlib.md5(t.encode()).hexdigest() for t in texts.to_pylist()})
+        stats = pa.table(
+            {
+                "md5": pa.array([""], type=pa.string()),
+                "_b": pa.array([-1], type=pa.int64()),
+                "n_docs": pa.array([batch.num_rows], type=pa.int64()),
+                "tokens": pa.array([int(q.column("n_tokens").to_numpy().sum())]),
+                "chars": pa.array([int(pc.sum(pc.utf8_length(texts)).as_py() or 0)]),
+                "q6_sum": pa.array([int(q6.sum())]),
+            }
+        )
+        uniq = pa.table(
+            {
+                "md5": pa.array(md5s, type=pa.string()),
+                "_b": pa.array([int(m[:2], 16) % 64 for m in md5s], type=pa.int64()),
+                "n_docs": pa.array([0] * len(md5s), type=pa.int64()),
+                "tokens": pa.array([0] * len(md5s), type=pa.int64()),
+                "chars": pa.array([0] * len(md5s), type=pa.int64()),
+                "q6_sum": pa.array([0] * len(md5s), type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([stats, uniq])
+
+    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if (group["_b"] == -1).any():
+            return pd.DataFrame(
+                {
+                    "n_docs": [int(group["n_docs"].sum())],
+                    "tokens": [int(group["tokens"].sum())],
+                    "chars": [int(group["chars"].sum())],
+                    "q6_sum": [int(group["q6_sum"].sum())],
+                    "distinct": [0],
+                }
+            )
+        return pd.DataFrame(
+            {"n_docs": [0], "tokens": [0], "chars": [0], "q6_sum": [0],
+             "distinct": [int(group["md5"].nunique())]}
+        )
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(16)
+        .groupby("_b")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )  # ≤ 65 tiny rows on the driver
+    return pa.table(
+        {
+            "n_docs": pa.array([int(rows["n_docs"].sum())]),
+            "total_tokens": pa.array([int(rows["tokens"].sum())]),
+            "total_chars": pa.array([int(rows["chars"].sum())]),
+            "quality_sum_micro": pa.array([int(rows["q6_sum"].sum())]),
+            "distinct_docs": pa.array([int(rows["distinct"].sum())]),
+        }
+    )

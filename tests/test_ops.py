@@ -1756,3 +1756,39 @@ def test_weighted_sample_bias_and_determinism():
     picked_long = (a["n_chars"] > med).sum()
     # weighted by length: the long half must be over-represented
     assert picked_long / 50 > (n_long / len(tbl)) * 1.1, (picked_long, n_long, n_short)
+
+
+def test_corpus_profile_matches_duckdb():
+    """Single-pass profiler equals the direct SQL computation field by
+    field (all integer-exact, incl. the micro-quality sum and the
+    bucket-partial distinct count)."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.textstats import _STOPWORDS, corpus_profile
+
+    stops = sorted(set().union(*_STOPWORDS.values()))
+    stop_list = "[" + ", ".join("'" + w + "'" for w in stops) + "]"
+    got = corpus_profile(SF).to_pandas().iloc[0]
+    want = duckdb.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') AS toks
+          FROM read_parquet('{SF}/documents.parquet')),
+        r AS (
+          SELECT doc_id, text, len(toks) AS n_tokens,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE len(list_filter(toks, w -> list_contains({stop_list}, w)))::DOUBLE
+                           / len(toks) END AS ratio
+          FROM t),
+        q AS (SELECT *, round(0.7 * least(n_tokens / 100.0, 1.0)
+                              + 0.3 * (1 - abs(ratio - 0.4)), 6) AS score FROM r)
+        SELECT count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+               sum(length(text)) AS total_chars,
+               sum(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) AS quality_sum_micro,
+               count(DISTINCT md5(text)) AS distinct_docs
+        FROM q
+        """
+    ).df().iloc[0]
+    for col in ("n_docs", "total_tokens", "total_chars", "quality_sum_micro", "distinct_docs"):
+        assert int(got[col]) == int(want[col]), col
