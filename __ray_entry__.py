@@ -952,6 +952,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-scan corpus profiler (integer-exact micro-quality sum;
         # exact distinct via md5-bucket partials)
         "text_corpus_profile": textstats.corpus_profile,
+        # event-log pivot to wide per-user counts (partial crosstabs →
+        # one keyed Sum; integer-exact)
+        "rel_event_pivot": relational.event_type_pivot,
     }
 
 
@@ -1966,6 +1969,16 @@ def oracle_sql() -> dict[str, str]:
         FROM votes
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY votes DESC, label) = 1
+    """
+    # event pivot: conditional-aggregation wide counts per user
+    oracles["rel_event_pivot"] = """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+               count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+               count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+               count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error
+        FROM events GROUP BY user_id
     """
     # corpus profile: every field integer-exact (quality summed in
     # 1e-6 units of the 6-dec-rounded score)

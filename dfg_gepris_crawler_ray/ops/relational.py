@@ -856,3 +856,48 @@ def purchase_followup_range_join(
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def event_type_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot the event log into one row per user with per-type counts
+    (n_click … n_error) — the wide-table feature layout a per-user
+    model consumes.
+
+    Conditional aggregation, NOT a per-type scan: one ``map_batches``
+    pass builds per-batch partial pivots (vectorized pandas crosstab —
+    one row per user per batch, already wide), then a single keyed
+    ``groupby(user_id).Sum`` over the partials. The exchange carries
+    |users per batch| wide rows, never the raw events. Integer-exact.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+                "event_type": batch.column("event_type").to_pylist(),
+            }
+        )
+        wide = pd.crosstab(df["user_id"], df["event_type"])
+        for t in EVENT_TYPES:
+            if t not in wide.columns:
+                wide[t] = 0
+        wide = wide[list(EVENT_TYPES)].rename(
+            columns={t: f"n_{t}" for t in EVENT_TYPES}
+        )
+        out = wide.reset_index()
+        out["user_id"] = out["user_id"].astype("int64")
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = out[f"n_{t}"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
+    )

@@ -1792,3 +1792,26 @@ def test_corpus_profile_matches_duckdb():
     ).df().iloc[0]
     for col in ("n_docs", "total_tokens", "total_chars", "quality_sum_micro", "distinct_docs"):
         assert int(got[col]) == int(want[col]), col
+
+
+def test_event_pivot_matches_duckdb():
+    """Partial-crosstab pivot equals the conditional-aggregation SQL."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import event_type_pivot
+
+    got = event_type_pivot(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS n_click,
+               count(*) FILTER (WHERE event_type = 'view') AS n_view,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               count(*) FILTER (WHERE event_type = 'error') AS n_error
+        FROM read_parquet('{SF}/events.parquet')
+        GROUP BY user_id ORDER BY user_id
+        """
+    ).df()
+    for c in ("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error"):
+        assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
