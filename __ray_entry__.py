@@ -955,6 +955,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-log pivot to wide per-user counts (partial crosstabs →
         # one keyed Sum; integer-exact)
         "rel_event_pivot": relational.event_type_pivot,
+        # ROLLUP report from one exchange (coarser levels derived from
+        # the finest aggregate)
+        "rel_order_rollup": relational.order_rollup,
     }
 
 
@@ -1969,6 +1972,15 @@ def oracle_sql() -> dict[str, str]:
         FROM votes
         QUALIFY row_number() OVER (PARTITION BY query_id
                                    ORDER BY votes DESC, label) = 1
+    """
+    # rollup: explicit 'ALL' sentinel instead of the NULL marker
+    oracles["rel_order_rollup"] = """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*)::BIGINT AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """
     # event pivot: conditional-aggregation wide counts per user
     oracles["rel_event_pivot"] = """

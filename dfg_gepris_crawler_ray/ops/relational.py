@@ -901,3 +901,59 @@ def event_type_pivot(sf_dir: str) -> "ray.data.Dataset":
         .groupby("user_id")
         .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
     )
+
+
+def order_rollup(sf_dir: str) -> pa.Table:
+    """GROUPING SETS / ROLLUP over orders: (status, priority) →
+    (status, ALL) → (ALL, ALL), each with n_orders + revenue — the
+    multi-level report query, from ONE exchange.
+
+    The coarser levels are derived from the finest aggregate (sums
+    roll up exactly), so the corpus is scanned once, the shuffle
+    carries per-batch partials of the ≤ |status|·|priority| finest
+    cells, and the rollup math runs over that tiny table. 'ALL' is an
+    explicit sentinel (both sides) instead of the SQL NULL marker so
+    the gate's string canon compares cleanly.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "status": batch.column("o_orderstatus").to_pylist(),
+                "priority": batch.column("o_orderpriority").to_pylist(),
+                "price": batch.column("o_totalprice").to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["status", "priority"], as_index=False).agg(
+            n_orders=("price", "size"), revenue=("price", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["status", "priority"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )  # ≤ |status|·|priority| rows — the rollup input, not the orders
+    by_status = fine.groupby("status", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum")
+    )
+    by_status["priority"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "status": ["ALL"], "priority": ["ALL"],
+            "n_orders": [fine["n_orders"].sum()],
+            "revenue": [fine["revenue"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_status, total], ignore_index=True)[
+        ["status", "priority", "n_orders", "revenue"]
+    ]
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1815,3 +1815,31 @@ def test_event_pivot_matches_duckdb():
     ).df()
     for c in ("user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error"):
         assert got[c].astype(int).tolist() == want[c].astype(int).tolist(), c
+
+
+def test_order_rollup_levels_consistent():
+    """Rollup levels derived from the finest aggregate equal DuckDB's
+    ROLLUP, and each coarser level sums its finer level exactly."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import order_rollup
+
+    got = order_rollup(SF).to_pandas()
+    want = duckdb.sql(
+        f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM read_parquet('{SF}/orders.parquet')
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+        """
+    ).df()
+    g = got.sort_values(["status", "priority"]).reset_index(drop=True)
+    assert g["status"].tolist() == want["status"].tolist()
+    assert g["priority"].tolist() == want["priority"].tolist()
+    assert g["n_orders"].tolist() == want["n_orders"].astype(int).tolist()
+    np.testing.assert_allclose(g["revenue"], want["revenue"], rtol=1e-9)
+    fine = got[(got["status"] != "ALL") & (got["priority"] != "ALL")]
+    total = got[(got["status"] == "ALL")]["n_orders"].iloc[0]
+    assert fine["n_orders"].sum() == total
