@@ -779,6 +779,22 @@ def token_drift(sf_dir: str, k: int = 50) -> "pa.Table":
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def mg_compress(
+    uniq: np.ndarray, counts: np.ndarray, m: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Misra–Gries compression of exact (token, count) pairs to ≤ m
+    survivors: subtract the (m+1)-th largest count ``d`` from every
+    counter, drop the non-positive ones. Every surviving estimate
+    undercounts its true count by at most ``d``, and any token with
+    count > d survives. Pure kernel — property-tested directly."""
+    if len(uniq) > m:
+        order = np.argsort(counts)[::-1]
+        d = int(counts[order[m]])
+        keep = counts > d
+        return uniq[keep], counts[keep] - d, d
+    return uniq, counts, 0
+
+
 def heavy_hitters(sf_dir: str, k: int = 32, sketch_size: int = 256) -> pa.Table:
     """(token, est_count, err_bound) — Misra–Gries heavy-hitters
     sketch over the corpus token stream: the bounded-memory scale path
@@ -826,13 +842,7 @@ def heavy_hitters(sf_dir: str, k: int = 32, sketch_size: int = 256) -> pa.Table:
             for t in batch.column("text").to_pylist():
                 toks.extend(t.split(" "))
             uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        if len(uniq) > sketch_size:
-            order = np.argsort(counts)[::-1]
-            d = int(counts[order[sketch_size]])
-            keep = counts > d
-            uniq, counts = uniq[keep], counts[keep] - d
-        else:
-            d = 0
+        uniq, counts, d = mg_compress(uniq, counts, sketch_size)
         b = stable_hash64_array_local(list(uniq)) % np.uint64(64)
         t = pa.table(
             {

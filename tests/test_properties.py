@@ -146,3 +146,42 @@ def test_host_budget_invariants(rows):
     assert list(out["id"]) == sorted(out["id"])
     # fetch_seq is dense 0..n-1
     assert list(out["fetch_seq"]) == list(range(len(out)))
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_compress_sandwich_bound(batches, m):
+    """Misra-Gries per-batch compress + exact merge keeps every
+    reported token within [est, est + sum(deducts)] of its true count,
+    and never loses a token whose true count exceeds the total
+    deduction — on arbitrary random streams, any batching."""
+    import numpy as np
+
+    from dfg_gepris_crawler_ray.ops.textstats import mg_compress
+
+    true: dict[str, int] = {}
+    est: dict[str, int] = {}
+    total_d = 0
+    for batch in batches:
+        toks = [f"t{v}" for v in batch]
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        for t, c in zip(uniq, counts):
+            true[t] = true.get(t, 0) + int(c)
+        u2, c2, d = mg_compress(uniq, counts, m)
+        total_d += d
+        assert len(u2) <= m
+        for t, c in zip(u2, c2):
+            assert c > 0
+            est[t] = est.get(t, 0) + int(c)
+    for t, e in est.items():
+        assert e <= true[t] <= e + total_d, (t, e, true[t], total_d)
+    for t, c in true.items():
+        if c > total_d:
+            assert t in est, (t, c, total_d)
