@@ -1041,8 +1041,10 @@ def _q_semantic_dedup(sf_dir: str):
 def _q_pagerank(sf_dir: str):
     """PageRank over the projekt→person reference graph (4 power
     iterations — enough to differentiate ranks; the op takes any
-    count; bucketed shuffles — ops/graph.py). Ranks rounded to 9 dp
-    for a stable rows-only record."""
+    count; bucketed shuffles — ops/graph.py). Ranks rounded to 9 dp;
+    fully oracle-checked against an unrolled-CTE DuckDB PageRank
+    (``_pagerank_oracle_sql``) — each power iteration is one CTE
+    layer, so the fixed-point-free 4-step recurrence is plain SQL."""
     from dfg_gepris_crawler_ray.ops.graph import reference_graph_pagerank
 
     out = reference_graph_pagerank(sf_dir, n_iters=4).to_pandas()
@@ -1158,6 +1160,49 @@ def _curation_oracle_sql(
         )
         SELECT doc_id, n_tokens, quality_score FROM f
         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+    """
+
+
+def _pagerank_oracle_sql(n_iters: int = 4, damping: float = 0.85) -> str:
+    """DuckDB PageRank over the generator's projekt→person edge set
+    (``testdata.gen_pages.person_ref``), the fixed iteration count
+    unrolled as chained CTEs: per step, dangling mass ``d{i}`` (one
+    scalar), in-edge contributions ``c{i}`` (one join+groupby), rank
+    update ``r{i}`` — exactly ops/graph.py::pagerank_ds's recurrence
+    rank' = (1-d)/N + d·dangling/N + d·Σ rank(src)/outdeg(src).
+    Scale-independent: n_docs comes from ``count(*)`` in SQL."""
+    base = round(1.0 - damping, 10)
+    steps = ",".join(
+        f"""
+        d{i} AS (SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0) AS m
+                 FROM r{i - 1}),
+        c{i} AS (SELECT e.dst AS node, sum(r.rank / r.outdeg) AS s
+                 FROM edges e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst),
+        r{i} AS (SELECT n.node, n.outdeg,
+                        {base}/nn.n + {damping}*d{i}.m/nn.n
+                          + {damping}*coalesce(c{i}.s, 0) AS rank
+                 FROM r{i - 1} n CROSS JOIN nn CROSS JOIN d{i}
+                 LEFT JOIN c{i} ON n.node = c{i}.node)"""
+        for i in range(1, n_iters + 1)
+    )
+    return f"""
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        edges AS (
+          SELECT CAST(1000 + d.doc_id AS BIGINT) AS src,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS dst
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+        allnodes AS (SELECT DISTINCT src AS node FROM edges
+                     UNION SELECT DISTINCT dst FROM edges),
+        nodes AS (SELECT a.node, coalesce(deg.outdeg, 0) AS outdeg
+                  FROM allnodes a LEFT JOIN deg ON a.node = deg.node),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, outdeg, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn),
+        {steps}
+        SELECT node, round(rank, 9) AS rank FROM r{n_iters} ORDER BY node
     """
 
 
@@ -1621,6 +1666,10 @@ def oracle_sql() -> dict[str, str]:
     # hash-shuffle Q3 must equal the broadcast Q3
     oracles["dedup_clusters_dist"] = oracles["dedup_clusters"]
     oracles["rel_q3_topk_shuffle"] = oracles["rel_q3_topk_revenue"]
+    # PageRank: iterative but with a FIXED iteration count, so the
+    # recurrence unrolls into plain chained CTEs — graduated from
+    # rows-only to a full value oracle
+    oracles["crawl_pagerank"] = _pagerank_oracle_sql(n_iters=4)
     # RAG chunking: sliding 32-token windows, 8-token overlap
     # (stride 24 — sized to the synthetic docs' 10-99 token range);
     # chunk grid integer-exact
