@@ -958,6 +958,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ROLLUP report from one exchange (coarser levels derived from
         # the finest aggregate)
         "rel_order_rollup": relational.order_rollup,
+        # BM25 ranked retrieval (stats pass = mergeable partials →
+        # broadcast; score pass = per-batch top-k prune → tiny sort)
+        "text_bm25_topk": _q_bm25_topk,
     }
 
 
@@ -1055,6 +1058,15 @@ def _q_pagerank(sf_dir: str):
             "rank": pa.array((out["rank"] * 1e9).round() / 1e9, type=pa.float64()),
         }
     )
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Top-20 documents by BM25 for the default query terms
+    (ops/search.py) — the expression tree matches the SQL oracle's
+    exactly, so the floats agree bit-for-bit up to libm's ln."""
+    from dfg_gepris_crawler_ray.ops.search import bm25_topk
+
+    return bm25_topk(sf_dir)
 
 
 def _q_lang_hist(sf_dir: str):
@@ -1670,6 +1682,11 @@ def oracle_sql() -> dict[str, str]:
     # recurrence unrolls into plain chained CTEs — graduated from
     # rows-only to a full value oracle
     oracles["crawl_pagerank"] = _pagerank_oracle_sql(n_iters=4)
+    # BM25 retrieval: the oracle mirrors the op's expression tree
+    # term-by-term (explicit left-to-right sum, same literals)
+    from dfg_gepris_crawler_ray.ops.search import bm25_oracle_sql
+
+    oracles["text_bm25_topk"] = bm25_oracle_sql()
     # RAG chunking: sliding 32-token windows, 8-token overlap
     # (stride 24 — sized to the synthetic docs' 10-99 token range);
     # chunk grid integer-exact

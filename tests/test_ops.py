@@ -1843,3 +1843,50 @@ def test_order_rollup_levels_consistent():
     fine = got[(got["status"] != "ALL") & (got["priority"] != "ALL")]
     total = got[(got["status"] == "ALL")]["n_orders"].iloc[0]
     assert fine["n_orders"].sum() == total
+
+
+def test_bm25_topk_matches_bruteforce_and_oracle():
+    """BM25 top-k: brute-force python BM25 over the whole sf0.001 corpus
+    must produce the same ranking, and the DuckDB oracle the same table
+    (bit-for-bit after 6-dp rounding)."""
+    import math
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.search import DEFAULT_TERMS, bm25_oracle_sql, bm25_topk
+
+    k, k1, b = 20, 1.2, 0.75
+    out = bm25_topk(SF, k=k).to_pandas()
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    toks = [t.split(" ") for t in docs["text"]]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+    rows = []
+    for doc_id, tk in zip(docs["doc_id"], toks):
+        dl = float(len(tk))
+        score, matched = 0.0, False
+        for term in DEFAULT_TERMS:
+            df = sum(1 for t2 in toks if term in t2)
+            tf = float(tk.count(term))
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            score = score + idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            matched = matched or tf > 0
+        if matched:
+            rows.append((int(doc_id), round(score, 6)))
+    brute = (
+        pd.DataFrame(rows, columns=["doc_id", "score"])
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == brute["doc_id"].tolist()
+    assert np.allclose(out["score"], brute["score"], atol=1e-9)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    odf = con.execute(bm25_oracle_sql(k=k)).fetchdf()
+    assert out["doc_id"].tolist() == odf["doc_id"].tolist()
+    assert np.allclose(out["score"], odf["score"], atol=1e-12)
