@@ -961,6 +961,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BM25 ranked retrieval (stats pass = mergeable partials →
         # broadcast; score pass = per-batch top-k prune → tiny sort)
         "text_bm25_topk": _q_bm25_topk,
+        # incremental (cross-snapshot) exact dedup: bucketed anti-join
+        # form, plus the bloom-prefilter fast path (definitely-new docs
+        # bypass the exchange; FPs exactly verified → identical output)
+        "dedup_incremental": lambda sf: dedup.incremental_dedup(sf, route="bucketed"),
+        "dedup_incremental_bloom": lambda sf: dedup.incremental_dedup(sf, route="bloom"),
     }
 
 
@@ -1687,6 +1692,20 @@ def oracle_sql() -> dict[str, str]:
     from dfg_gepris_crawler_ray.ops.search import bm25_oracle_sql
 
     oracles["text_bm25_topk"] = bm25_oracle_sql()
+    # incremental dedup: established snapshot = doc_id % 3 != 2,
+    # re-crawl batch = even doc_ids; survivors = genuinely-new content
+    # (keep-min within the batch). Both routes share the oracle — the
+    # bloom route's false positives are exactly verified, so its
+    # output is deterministic, not approximate.
+    oracles["dedup_incremental"] = """
+        WITH old AS (SELECT DISTINCT md5(text) AS h FROM documents
+                     WHERE doc_id % 3 != 2),
+        nw AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents
+               WHERE doc_id % 2 = 0 GROUP BY 1)
+        SELECT h AS content_md5, doc_id FROM nw
+        WHERE h NOT IN (SELECT h FROM old)
+    """
+    oracles["dedup_incremental_bloom"] = oracles["dedup_incremental"]
     # RAG chunking: sliding 32-token windows, 8-token overlap
     # (stride 24 — sized to the synthetic docs' 10-99 token range);
     # chunk grid integer-exact

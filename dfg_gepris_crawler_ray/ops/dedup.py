@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..kernels.hashing import minhash_permutations, splitmix64
+from ..kernels.hashing import minhash_permutations, splitmix64, stable_hash64_array
 from .similarity import _as_matrix_arrow, _i64, _list_column
 
 
@@ -1118,4 +1118,157 @@ def window_dedup(sf_dir: str, w: int = 5, num_buckets: int = 64) -> "ray.data.Da
         .map_batches(
             lambda b: b[["doc_id", "n_windows", "n_dup_windows"]], batch_format="pandas"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-snapshot) exact dedup
+# ---------------------------------------------------------------------------
+
+def _md5_rows(batch: pa.Table, mod: int, want: int, negate: bool = False) -> pa.Table:
+    """(doc_id, h) for rows where ``doc_id % mod == want`` (or ``!=``
+    with ``negate``) — snapshot predicate fused into the hash scan so
+    the raw text never leaves the task and filtered rows are never
+    hashed."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    r = (ids % mod) == want
+    batch = batch.filter(pa.array(~r if negate else r))
+    texts = batch.column("text").to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "h": pa.array([hashlib.md5(t.encode()).hexdigest() for t in texts],
+                          type=pa.string()),
+        }
+    )
+
+
+def _bloom_partial(hashes64: np.ndarray, m_bits: int, k: int = 4) -> np.ndarray:
+    """OR-mergeable bloom bitmap (uint64 words) over 64-bit key hashes;
+    probe positions derived by repeated splitmix64 remixing — the
+    same derivation `incremental_dedup` uses on the lookup side."""
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    z = hashes64.astype(np.uint64)
+    for _ in range(k):
+        z = splitmix64(z)
+        pos = z % np.uint64(m_bits)
+        np.bitwise_or.at(words, (pos // np.uint64(64)).astype(np.int64),
+                         np.uint64(1) << (pos % np.uint64(64)))
+    return words
+
+
+def _bloom_contains(words: np.ndarray, hashes64: np.ndarray,
+                    m_bits: int, k: int = 4) -> np.ndarray:
+    present = np.ones(len(hashes64), dtype=bool)
+    z = hashes64.astype(np.uint64)
+    for _ in range(k):
+        z = splitmix64(z)
+        pos = z % np.uint64(m_bits)
+        present &= (words[(pos // np.uint64(64)).astype(np.int64)]
+                    >> (pos % np.uint64(64))) & np.uint64(1) == 1
+    return present
+
+
+def incremental_dedup(
+    sf_dir: str,
+    route: str = "bucketed",
+    num_buckets: int = 64,
+    bloom_bits: int = 1 << 20,
+) -> "ray.data.Dataset":
+    """Cross-snapshot exact dedup — the arrival-time form of
+    ``exact_dedup``: an established corpus snapshot (docs with
+    ``doc_id % 3 != 2``) already exists; a re-crawl batch (docs with
+    ``doc_id % 2 == 0``) arrives; emit ``(content_md5, doc_id)`` for
+    the genuinely NEW content only (within-batch dups keep the lowest
+    doc_id). Re-fetched unchanged pages hash-match the corpus and are
+    dropped before any downstream work — the reference's
+    change-detection idea (database.py upsert diffing) at corpus scale.
+
+    Routes (identical output, pinned by pytest + shared gate oracle):
+
+    - ``"bucketed"``: within-batch keep-min (one md5-bucket exchange
+      over the NEW batch only) → corpus anti-join via the union-tag
+      bucket pattern (``relational.anti_join_bucketed``). At 100 TB
+      the old side would be a PRE-BUILT hash index, bucket-partitioned
+      on disk (the ``inverted_index`` sink layout), so only the new
+      batch moves; here both sides derive from one table so the old
+      hashes shuffle once.
+    - ``"bloom"``: per-batch OR-mergeable bloom partials over the old
+      corpus reduce to one driver-held bitmap (``bloom_bits`` bits —
+      bounded and small, NOT corpus-sized), broadcast via ``ray.put``;
+      definitely-new docs bypass the anti-join exchange entirely and
+      only bloom-positive (maybe-dup) docs enter the exact verify —
+      false positives cannot drop a new doc. This is the incremental-
+      crawl fast path: when most content is new, almost nothing
+      shuffles.
+    """
+    import pyarrow.parquet as pq
+
+    from .relational import anti_join_bucketed
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    old_h = docs.map_batches(
+        lambda b: _md5_rows(b, 3, 2, negate=True),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    new_h = docs.map_batches(
+        lambda b: _md5_rows(b, 2, 0),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    # within-batch keep-min first (commutes with the cross-snapshot
+    # filter: members of an md5 group are all dropped or all kept)
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        b = stable_hash64_array(list(df["h"])) % np.uint64(num_buckets)
+        return df.assign(_b=b.astype(np.int32))
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("h", as_index=False)["doc_id"].min()[["doc_id", "h"]]
+        )
+
+    new_min = (
+        new_h.map_batches(tag, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+    if route == "bucketed":
+        survivors = anti_join_bucketed(new_min, old_h.select_columns(["h"]),
+                                       on="h", num_buckets=num_buckets)
+    elif route == "bloom":
+        def bloom_rows(df: pd.DataFrame) -> pd.DataFrame:
+            h64 = stable_hash64_array(list(df["h"]))
+            return pd.DataFrame({"w": [_bloom_partial(h64, bloom_bits).tobytes()]})
+
+        merged = np.zeros(bloom_bits // 64, dtype=np.uint64)
+        for b in old_h.map_batches(bloom_rows, batch_format="pandas").iter_batches(
+            batch_format="pandas"
+        ):
+            for buf in b["w"]:
+                merged |= np.frombuffer(buf, dtype=np.uint64)
+        bloom_ref = ray.put(merged)
+
+        def split_maybe(df: pd.DataFrame) -> pd.DataFrame:
+            words = ray.get(bloom_ref)
+            h64 = stable_hash64_array(list(df["h"]))
+            maybe = _bloom_contains(words, h64, bloom_bits)
+            return df.assign(_maybe=maybe)
+
+        tagged = new_min.map_batches(split_maybe, batch_format="pandas").materialize()
+        fresh = tagged.filter(expr="_maybe == False").select_columns(["doc_id", "h"])
+        maybe = tagged.filter(expr="_maybe == True").select_columns(["doc_id", "h"])
+        verified = anti_join_bucketed(maybe, old_h.select_columns(["h"]),
+                                      on="h", num_buckets=num_buckets)
+        survivors = fresh.union(verified)
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown route {route!r}")
+
+    return survivors.map_batches(
+        lambda df: pd.DataFrame(
+            {"content_md5": df["h"], "doc_id": df["doc_id"].astype("int64")}
+        ),
+        batch_format="pandas",
     )

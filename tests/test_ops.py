@@ -1890,3 +1890,47 @@ def test_bm25_topk_matches_bruteforce_and_oracle():
     odf = con.execute(bm25_oracle_sql(k=k)).fetchdf()
     assert out["doc_id"].tolist() == odf["doc_id"].tolist()
     assert np.allclose(out["score"], odf["score"], atol=1e-12)
+
+
+def test_incremental_dedup_routes_identical_and_fp_safe():
+    """Bucketed and bloom routes must emit identical survivor sets, and
+    a deliberately tiny bloom (high FP rate) must STILL be exact —
+    false positives only route docs through the exact verify, never
+    drop them."""
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.ops.dedup import incremental_dedup
+
+    def run(**kw):
+        return (
+            incremental_dedup(SF, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["content_md5", "doc_id"]]
+            .astype({"doc_id": "int64"})
+        )
+
+    bucketed = run(route="bucketed")
+    bloom = run(route="bloom")
+    tiny_bloom = run(route="bloom", bloom_bits=1 << 8)  # ~all maybe-dup
+    pd.testing.assert_frame_equal(bucketed, bloom)
+    pd.testing.assert_frame_equal(bucketed, tiny_bloom)
+    assert len(bucketed) > 0
+    # ground truth: brute force over the corpus
+    import hashlib as hl
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    old = {hl.md5(t.encode()).hexdigest() for i, t in zip(docs["doc_id"], docs["text"]) if i % 3 != 2}
+    new = docs[docs["doc_id"] % 2 == 0].assign(
+        h=[hl.md5(t.encode()).hexdigest() for t in docs[docs["doc_id"] % 2 == 0]["text"]]
+    )
+    want = (
+        new.groupby("h", as_index=False)["doc_id"].min()
+        .loc[lambda d: ~d["h"].isin(old)]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert bucketed["doc_id"].tolist() == want["doc_id"].tolist()
+    assert bucketed["content_md5"].tolist() == want["h"].tolist()
