@@ -966,6 +966,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bypass the exchange; FPs exactly verified → identical output)
         "dedup_incremental": lambda sf: dedup.incremental_dedup(sf, route="bucketed"),
         "dedup_incremental_bloom": lambda sf: dedup.incremental_dedup(sf, route="bloom"),
+        # Gopher-style rule gate (integer-exact keep; zero-shuffle scan)
+        "text_gopher_rules": curation.gopher_rules,
     }
 
 
@@ -1706,6 +1708,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE h NOT IN (SELECT h FROM old)
     """
     oracles["dedup_incremental_bloom"] = oracles["dedup_incremental"]
+    # Gopher rule gate (integer-exact keep decision)
+    from dfg_gepris_crawler_ray.ops.curation import gopher_rules_oracle_sql
+
+    oracles["text_gopher_rules"] = gopher_rules_oracle_sql()
     # RAG chunking: sliding 32-token windows, 8-token overlap
     # (stride 24 — sized to the synthetic docs' 10-99 token range);
     # chunk grid integer-exact

@@ -917,3 +917,102 @@ def weighted_sample(sf_dir: str, k: int = 50) -> pa.Table:
             "n_chars": pa.array(top["n_chars"].to_numpy(np.int64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules
+# ---------------------------------------------------------------------------
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "a", "to", "of", "and")
+
+
+def gopher_rules(
+    sf_dir: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_len_lo: int = 3,
+    mean_len_hi: int = 10,
+    min_stop_distinct: int = 2,
+) -> "ray.data.Dataset":
+    """(doc_id, n_words, mean_word_len, stop_distinct, keep) — the
+    Gopher corpus-filter rule family (Rae et al. 2021, table A1)
+    restricted to the rules this corpus exercises: word-count bounds,
+    mean-word-length band, and ≥N distinct required stopwords.
+
+    Every KEEP decision is integer-exact: the mean-word-length band is
+    evaluated as ``lo·n ≤ chars−(n−1) ≤ hi·n`` (no float compare), so
+    the SQL oracle reproduces the boolean bit-for-bit; the rounded
+    float mean is emitted for reporting only.
+
+    Shape: one pruned streaming scan, polars split + list kernels per
+    batch, zero shuffles — the cheapest possible corpus pass, which is
+    exactly what a first-stage 100-TB gate must be.
+    """
+    import polars as pl
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    stops = list(GOPHER_REQUIRED_STOPWORDS)
+
+    def rules(batch: pa.Table) -> pa.Table:
+        t = pl.from_arrow(batch).with_columns(
+            pl.col("text").str.split(" ").alias("tok")
+        )
+        n = t.select(pl.col("tok").list.len()).to_series().to_numpy().astype(np.int64)
+        chars = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        letters = chars - (n - 1)  # total word chars (single-space separated)
+        stop_distinct = np.zeros(len(n), dtype=np.int64)
+        for w in stops:
+            stop_distinct += (
+                t.select(pl.col("tok").list.contains(w)).to_series().to_numpy().astype(np.int64)
+            )
+        keep = (
+            (n >= min_words)
+            & (n <= max_words)
+            & (letters >= mean_len_lo * n)
+            & (letters <= mean_len_hi * n)
+            & (stop_distinct >= min_stop_distinct)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n),
+                "mean_word_len": pa.array(np.round(letters / n, 6), type=pa.float64()),
+                "stop_distinct": pa.array(stop_distinct),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(rules, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gopher_rules_oracle_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mean_len_lo: int = 3,
+    mean_len_hi: int = 10,
+    min_stop_distinct: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`gopher_rules` (integer-exact keep)."""
+    stop_sum = " + ".join(
+        f"CAST(list_contains(toks, '{w}') AS BIGINT)"
+        for w in GOPHER_REQUIRED_STOPWORDS
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n,
+                 length(text) - (len(string_split(text, ' ')) - 1) AS letters
+          FROM documents
+        )
+        SELECT doc_id, n AS n_words,
+               round(letters / CAST(n AS DOUBLE), 6) AS mean_word_len,
+               {stop_sum} AS stop_distinct,
+               (n >= {min_words} AND n <= {max_words}
+                AND letters >= {mean_len_lo} * n
+                AND letters <= {mean_len_hi} * n
+                AND {stop_sum} >= {min_stop_distinct}) AS keep
+        FROM t
+    """

@@ -1934,3 +1934,29 @@ def test_incremental_dedup_routes_identical_and_fp_safe():
     )
     assert bucketed["doc_id"].tolist() == want["doc_id"].tolist()
     assert bucketed["content_md5"].tolist() == want["h"].tolist()
+
+
+def test_gopher_rules_matches_bruteforce():
+    """Integer-exact Gopher keep decision vs a per-doc python check."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.curation import GOPHER_REQUIRED_STOPWORDS, gopher_rules
+
+    out = gopher_rules(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == docs["doc_id"].tolist()
+    kept_any = dropped_any = False
+    for row, text in zip(out.itertuples(), docs["text"]):
+        toks = text.split(" ")
+        n = len(toks)
+        letters = sum(len(t) for t in toks)
+        sd = sum(1 for w in GOPHER_REQUIRED_STOPWORDS if w in toks)
+        keep = 50 <= n <= 100_000 and 3 * n <= letters <= 10 * n and sd >= 2
+        assert row.n_words == n
+        assert row.stop_distinct == sd
+        assert bool(row.keep) == keep, (row.doc_id, keep)
+        assert abs(row.mean_word_len - round(letters / n, 6)) < 1e-12
+        kept_any |= keep
+        dropped_any |= not keep
+    assert kept_any and dropped_any  # both sides of the gate exercised
