@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..kernels.partitioning import adaptive_buckets
+
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "on", "for", "with"},
     "de": {"der", "die", "das", "und", "zu", "in", "ist", "auf", "für", "mit"},
@@ -591,6 +593,9 @@ def tfidf_top_term(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
 
     path = f"{sf_dir}/documents.parquet"
     n_docs = int(pq.read_metadata(path).num_rows)
+    # bucket-count is a pure perf knob here (df is token-local, top-1
+    # is doc-local for ANY count) — shrink the fanout at small inputs
+    num_buckets = adaptive_buckets(n_docs, requested=num_buckets)
 
     ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
     tf = ds.map_batches(_tf_rows, batch_format="pyarrow", zero_copy_batch=True)
@@ -933,6 +938,13 @@ def inverted_index(
 
     import ray
 
+    import pyarrow.parquet as pq
+
+    if not keep_bucket:
+        # pure perf knob when _b is not part of the output contract
+        # (posting lists are token-local for any bucket count)
+        n_docs = int(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+        num_buckets = adaptive_buckets(n_docs, requested=num_buckets)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     tf = ds.map_batches(_tf_rows, batch_format="pyarrow", zero_copy_batch=True)
 
