@@ -213,14 +213,16 @@ def main():
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # headline: the full fetch+extract crawl pipeline. Measured TWICE,
-    # min reported (both samples recorded): this box is a firecracker
-    # VM with bursty hypervisor steal — identical runs vary up to 2.5x
-    # (documented in BASELINE.md), and the min is the best estimator of
-    # the engine's actual cost under contention-free conditions.
+    # headline: the full fetch+extract crawl pipeline. Measured THREE
+    # times, min reported (all samples recorded): this box is a
+    # firecracker VM with bursty hypervisor steal — identical runs vary
+    # up to 2.5x (documented in BASELINE.md), and the min is the best
+    # estimator of the engine's actual cost under contention-free
+    # conditions (a steal burst can outlast two back-to-back samples;
+    # three rejects it far more reliably).
     num_buckets = max(32, NUM_CPUS * 2)
     samples = []
-    for _ in range(2):
+    for _ in range(3 if os.environ.get("GRAFT_HEADLINE_ONLY") != "1" else 2):
         t0 = time.perf_counter()
         items = run_details_extraction(pages_dir, num_buckets=num_buckets).materialize()
         samples.append(round(time.perf_counter() - t0, 3))
