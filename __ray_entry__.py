@@ -1016,7 +1016,9 @@ def _q_recrawl_delta(sf_dir: str):
     """Per-URL changed/unchanged verdict from content fingerprints of
     successive snapshots (ops/recrawl.py): one fingerprint scan, one
     url-bucketed keyed exchange — the refresh-scheduling signal of the
-    reference's change detection (database.py last_updated bumps)."""
+    reference's change detection (database.py last_updated bumps).
+    Fully oracle-checked: the page inventory is re-derived in SQL from
+    the generator's doc-id formulas."""
     from dfg_gepris_crawler_ray.ops.recrawl import recrawl_delta
 
     return recrawl_delta(sf_dir)
@@ -1712,6 +1714,55 @@ def oracle_sql() -> dict[str, str]:
     from dfg_gepris_crawler_ray.ops.curation import gopher_rules_oracle_sql
 
     oracles["text_gopher_rules"] = gopher_rules_oracle_sql()
+    # recrawl change detection — graduated from rows-only: the page
+    # inventory (URL strings, snapshot counts, refresh timestamps,
+    # changed verdicts) is fully derivable from the generator's doc-id
+    # formulas (testdata/gen_pages.py::pages_for_doc/search_pages), so
+    # the oracle re-derives it in SQL exactly like the crawl_* oracles
+    oracles["crawl_recrawl_delta"] = """
+        WITH d AS (
+          SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'projekt' WHEN 1 THEN 'person'
+                 ELSE 'institution' END AS ctx,
+            CASE WHEN doc_id % 10 < 7 THEN 'gepris.example.org'
+                 ELSE 'host' || CAST(doc_id % 16 AS VARCHAR) || '.example.net'
+                 END AS host,
+            CAST(1000 + doc_id AS VARCHAR) AS eid,
+            CASE WHEN doc_id % 101 = 5 THEN 'moved'
+                 WHEN doc_id % 103 = 7 THEN 'error'
+                 WHEN doc_id % 97 = 3 THEN 'langretry' ELSE 'ok' END AS kind,
+            1704067200 + doc_id AS ts_s
+          FROM documents),
+        allpages AS (
+          SELECT 'https://' || host || '/gepris/' || ctx || '/' || eid
+                   || '?language=de' AS url,
+                 CASE WHEN kind IN ('error','langretry') THEN 2 ELSE 1
+                 END AS n_snapshots,
+                 kind = 'langretry' AS changed,
+                 (ts_s + CASE WHEN kind IN ('error','langretry') THEN 3600
+                         ELSE 0 END) * 1000000 AS latest_ts_us
+          FROM d
+          UNION ALL
+          SELECT 'https://' || host || '/gepris/projekt/' || eid
+                   || '?language=en', 1, FALSE, ts_s * 1000000
+          FROM d WHERE ctx = 'projekt'
+          UNION ALL
+          SELECT 'https://' || host || '/gepris/projekt/' || eid
+                   || '/ergebnisse?language=' || l.lang,
+                 1, FALSE, ts_s * 1000000
+          FROM d, (SELECT unnest(['de','en']) AS lang) l
+          WHERE ctx = 'projekt' AND doc_id % 5 = 0
+          UNION ALL
+          SELECT 'https://gepris.example.org/gepris/OCTOPUS?context=' || ctx
+                   || '&task=doSearchExtended&hitsPerPage=200&index='
+                   || CAST(unnest(generate_series(0, total - 1, 200)) AS VARCHAR),
+                 1, FALSE, 1704067200000000
+          FROM (SELECT ctx, CAST(count(*) AS BIGINT) AS total FROM d GROUP BY ctx)
+          UNION ALL
+          SELECT 'https://gepris.example.org/gepris/OCTOPUS?task=showMonitor',
+                 1, FALSE, 1704067200000000)
+        SELECT url, n_snapshots, changed, latest_ts_us FROM allpages
+    """
     # RAG chunking: sliding 32-token windows, 8-token overlap
     # (stride 24 — sized to the synthetic docs' 10-99 token range);
     # chunk grid integer-exact
