@@ -968,6 +968,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_bloom": lambda sf: dedup.incremental_dedup(sf, route="bloom"),
         # Gopher-style rule gate (integer-exact keep; zero-shuffle scan)
         "text_gopher_rules": curation.gopher_rules,
+        # change-rate-driven refresh plan (recrawl_delta → one
+        # host-bucket exchange; stats + policy inside the group task)
+        "crawl_recrawl_schedule": _q_recrawl_schedule,
     }
 
 
@@ -1022,6 +1025,15 @@ def _q_recrawl_delta(sf_dir: str):
     from dfg_gepris_crawler_ray.ops.recrawl import recrawl_delta
 
     return recrawl_delta(sf_dir)
+
+
+def _q_recrawl_schedule(sf_dir: str):
+    """Adaptive refresh plan from observed change rates
+    (ops/recrawl.py::recrawl_schedule) — integer-exact policy, fully
+    oracle-checked against the derived page inventory."""
+    from dfg_gepris_crawler_ray.ops.recrawl import recrawl_schedule
+
+    return recrawl_schedule(sf_dir)
 
 
 def _q_bpe_learned_tokens(sf_dir: str):
@@ -1719,8 +1731,8 @@ def oracle_sql() -> dict[str, str]:
     # changed verdicts) is fully derivable from the generator's doc-id
     # formulas (testdata/gen_pages.py::pages_for_doc/search_pages), so
     # the oracle re-derives it in SQL exactly like the crawl_* oracles
-    oracles["crawl_recrawl_delta"] = """
-        WITH d AS (
+    _inventory_ctes = """
+        d AS (
           SELECT doc_id,
             CASE doc_id % 3 WHEN 0 THEN 'projekt' WHEN 1 THEN 'person'
                  ELSE 'institution' END AS ctx,
@@ -1761,8 +1773,32 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'https://gepris.example.org/gepris/OCTOPUS?task=showMonitor',
                  1, FALSE, 1704067200000000)
-        SELECT url, n_snapshots, changed, latest_ts_us FROM allpages
     """
+    oracles["crawl_recrawl_delta"] = (
+        "WITH " + _inventory_ctes
+        + " SELECT url, n_snapshots, changed, latest_ts_us FROM allpages"
+    )
+    # adaptive refresh plan: same inventory + the integer-exact policy
+    # (interval = base/2 if changed else base*2, halved again on a hot
+    # host; hot = ≥100000 ppm of the host's URLs changed)
+    oracles["crawl_recrawl_schedule"] = (
+        "WITH " + _inventory_ctes + """,
+        hosted AS (SELECT url, changed, latest_ts_us,
+                          split_part(url, '/', 3) AS host
+                   FROM allpages),
+        stats AS (SELECT host,
+                         sum(CASE WHEN changed THEN 1 ELSE 0 END)
+                           * 1000000 // count(*) AS ppm
+                  FROM hosted GROUP BY host)
+        SELECT h.url, h.host, h.changed,
+               s.ppm AS host_change_ppm,
+               h.latest_ts_us
+                 + (CASE WHEN h.changed THEN 43200 ELSE 172800 END
+                    // CASE WHEN s.ppm >= 100000 THEN 2 ELSE 1 END)
+                   * CAST(1000000 AS BIGINT) AS next_fetch_ts_us
+        FROM hosted h JOIN stats s ON h.host = s.host
+    """
+    )
     # RAG chunking: sliding 32-token windows, 8-token overlap
     # (stride 24 — sized to the synthetic docs' 10-99 token range);
     # chunk grid integer-exact

@@ -98,3 +98,69 @@ def recrawl_delta(sf_dir: str, replicate: int = 1) -> "ray.data.Dataset":
         .groupby("bucket")
         .map_groups(per_url, batch_format="pandas")
     )
+
+
+def recrawl_schedule(
+    sf_dir: str,
+    base_interval_s: int = 86_400,
+    hot_host_ppm: int = 100_000,
+) -> "ray.data.Dataset":
+    """(url, host, changed, host_change_ppm, next_fetch_ts_us) — the
+    refresh plan a production frontier feeds back into its priority
+    queue: URLs that changed on the last fetch are revisited sooner,
+    unchanged ones back off, and every URL on a "hot" host (≥
+    ``hot_host_ppm`` parts-per-million of its URLs changed) gets its
+    interval halved again. This is the reference's scheduler cadence
+    (data monitor daily, search weekly — scheduler_cronfile) derived
+    from observed change rates instead of a fixed crontab.
+
+    Policy (integer-exact so the SQL oracle matches bit-for-bit):
+
+    - interval = base/2 if changed else base*2
+    - interval //= 2 again if the URL's host is hot
+    - next_fetch_ts_us = latest_ts_us + interval * 1_000_000
+
+    Shape: :func:`recrawl_delta` (one scan + one url-bucket exchange)
+    → host tagged row-locally → ONE host-bucket keyed exchange where
+    each group computes its hosts' change rates AND applies the policy
+    in the same task — host stats never leave the bucket, nothing is
+    broadcast, no driver state. At 10^8 hosts the exchange carries one
+    row per URL-verdict (24 B class) keyed by host hash — the same
+    skew profile as the politeness buckets (hash-partitioning on host,
+    BASELINE.json north_rule) and far below the fetch exchange.
+    """
+    delta = recrawl_delta(sf_dir)
+
+    def tag_host(df: pd.DataFrame) -> pd.DataFrame:
+        hosts = df["url"].str.split("/", n=3).str[2]
+        hb = np.fromiter(
+            (_h64(h.encode()) % 64 for h in hosts),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return df.assign(host=hosts, _hb=hb.astype(np.int32))
+
+    def schedule_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        stats = g.groupby("host")["changed"].agg(["sum", "size"])
+        ppm = (stats["sum"] * 1_000_000 // stats["size"]).astype("int64")
+        host_ppm = g["host"].map(ppm).astype("int64")
+        interval = np.where(
+            g["changed"].to_numpy(), base_interval_s // 2, base_interval_s * 2
+        ).astype(np.int64)
+        interval = np.where(host_ppm.to_numpy() >= hot_host_ppm, interval // 2, interval)
+        return pd.DataFrame(
+            {
+                "url": g["url"],
+                "host": g["host"],
+                "changed": g["changed"].astype(bool),
+                "host_change_ppm": host_ppm,
+                "next_fetch_ts_us": g["latest_ts_us"].astype("int64")
+                + interval * 1_000_000,
+            }
+        )
+
+    return (
+        delta.map_batches(tag_host, batch_format="pandas")
+        .groupby("_hb")
+        .map_groups(schedule_bucket, batch_format="pandas")
+    )

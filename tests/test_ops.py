@@ -1960,3 +1960,32 @@ def test_gopher_rules_matches_bruteforce():
         kept_any |= keep
         dropped_any |= not keep
     assert kept_any and dropped_any  # both sides of the gate exercised
+
+
+def test_recrawl_schedule_policy_bruteforce():
+    """The adaptive refresh policy, re-derived per URL from the
+    recrawl_delta verdicts in plain python."""
+    from dfg_gepris_crawler_ray.ops.recrawl import recrawl_delta, recrawl_schedule
+
+    delta = recrawl_delta(SF).to_pandas()
+    plan = recrawl_schedule(SF).to_pandas().sort_values("url").reset_index(drop=True)
+
+    delta["host"] = delta["url"].str.split("/", n=3).str[2]
+    stats = delta.groupby("host")["changed"].agg(["sum", "size"])
+    ppm = (stats["sum"] * 1_000_000 // stats["size"]).astype("int64").to_dict()
+
+    want = delta.sort_values("url").reset_index(drop=True)
+    assert plan["url"].tolist() == want["url"].tolist()
+    hot_seen = cold_seen = False
+    for p, w in zip(plan.itertuples(), want.itertuples()):
+        host_ppm = ppm[w.host]
+        interval = 43_200 if w.changed else 172_800
+        if host_ppm >= 100_000:
+            interval //= 2
+            hot_seen = True
+        else:
+            cold_seen = True
+        assert p.host == w.host
+        assert p.host_change_ppm == host_ppm
+        assert p.next_fetch_ts_us == w.latest_ts_us + interval * 1_000_000
+    assert cold_seen  # hot hosts need not exist at tiny scale, cold must
