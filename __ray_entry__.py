@@ -971,6 +971,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # change-rate-driven refresh plan (recrawl_delta → one
         # host-bucket exchange; stats + policy inside the group task)
         "crawl_recrawl_schedule": _q_recrawl_schedule,
+        # exact distinct users per window (dedup-then-count exchange —
+        # the aggregate that does not pre-reduce with plain partials)
+        "rel_window_distinct_users": relational.window_distinct_users,
     }
 
 
@@ -1781,6 +1784,11 @@ def oracle_sql() -> dict[str, str]:
     # adaptive refresh plan: same inventory + the integer-exact policy
     # (interval = base/2 if changed else base*2, halved again on a hot
     # host; hot = ≥100000 ppm of the host's URLs changed)
+    oracles["rel_window_distinct_users"] = """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(DISTINCT user_id) AS distinct_users
+        FROM events GROUP BY 1, 2
+    """
     oracles["crawl_recrawl_schedule"] = (
         "WITH " + _inventory_ctes + """,
         hosted AS (SELECT url, changed, latest_ts_us,
