@@ -262,6 +262,16 @@ def main():
     timed("text_source_quota", lambda: curation.source_quota(SF_DIR).materialize())
     timed("text_weighted_sample", lambda: curation.weighted_sample(SF_DIR))
     timed("text_inverted_index", lambda: textstats.inverted_index(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.search import bm25_topk
+    timed("text_bm25_topk", lambda: bm25_topk(SF_DIR))
+    timed("dedup_incremental", lambda: dedup.incremental_dedup(SF_DIR).materialize())
+    timed("dedup_incremental_bloom",
+          lambda: dedup.incremental_dedup(SF_DIR, route="bloom").materialize())
+    timed("text_gopher_rules", lambda: curation.gopher_rules(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.recrawl import recrawl_schedule
+    timed("crawl_recrawl_schedule", lambda: recrawl_schedule(SF_DIR).materialize())
+    timed("rel_window_distinct_users",
+          lambda: relational.window_distinct_users(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big
