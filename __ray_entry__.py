@@ -974,6 +974,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distinct users per window (dedup-then-count exchange —
         # the aggregate that does not pre-reduce with plain partials)
         "rel_window_distinct_users": relational.window_distinct_users,
+        # Count-Min sketch point frequencies (128 KB mergeable grid,
+        # NO keyed exchange; exact regime at default width → full
+        # oracle, ε-bound pinned separately at adversarial width)
+        "text_cms_counts": textstats.cms_token_counts,
     }
 
 
@@ -1784,6 +1788,14 @@ def oracle_sql() -> dict[str, str]:
     # adaptive refresh plan: same inventory + the integer-exact policy
     # (interval = base/2 if changed else base*2, halved again on a hot
     # host; hot = ≥100000 ppm of the host's URLs changed)
+    # CMS in the exact regime (probe set collision-free at width 4096,
+    # deterministic seeds — the same exact-regime pattern as
+    # text_heavy_hitters' oracle)
+    oracles["text_cms_counts"] = """
+        SELECT tok AS token, count(*) AS est_count
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+    """
     oracles["rel_window_distinct_users"] = """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(DISTINCT user_id) AS distinct_users

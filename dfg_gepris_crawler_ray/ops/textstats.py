@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..kernels.hashing import splitmix64
 from ..kernels.partitioning import adaptive_buckets
 
 _STOPWORDS = {
@@ -1058,5 +1059,94 @@ def corpus_profile(sf_dir: str) -> pa.Table:
             "total_chars": pa.array([int(rows["chars"].sum())]),
             "quality_sum_micro": pa.array([int(rows["q6_sum"].sum())]),
             "distinct_docs": pa.array([int(rows["distinct"].sum())]),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch token frequencies
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+    dtype=np.uint64,
+)
+
+
+def _cms_positions(token_hashes: np.ndarray, width: int) -> np.ndarray:
+    """(depth, n) probe columns for 64-bit token hashes — row r uses
+    ``splitmix64(h ^ seed_r) % width`` (same derivation on build and
+    probe sides)."""
+    h = token_hashes.astype(np.uint64)
+    return np.stack(
+        [splitmix64(h ^ CMS_SEEDS[r]) % np.uint64(width) for r in range(CMS_DEPTH)]
+    ).astype(np.int64)
+
+
+def cms_token_counts(sf_dir: str, width: int = 4096) -> pa.Table:
+    """(token, est_count) — Count-Min sketch estimates for every
+    distinct corpus token, the third member of the mergeable-sketch
+    family (HLL = distinct, MG = heavy hitters, CMS = point
+    frequencies with ε = e/width overestimate-only error).
+
+    Shape: per batch, ONE ``CMS_DEPTH × width`` int64 counter grid
+    summed from exact batch counts (polars tf kernel) — partials merge
+    by plain addition, so the whole corpus reduces to one grid of
+    ``depth·width·8`` bytes on the driver regardless of corpus size
+    (128 KB at the default width; no keyed exchange at all). Each
+    batch also emits its distinct tokens; the driver union is bounded
+    by the VOCABULARY (the same budget the BPE/top-tokens ops carry),
+    not the corpus.
+
+    At the default parameters the probe set (this corpus's ≤ dozens of
+    distinct tokens) is collision-free in every row, so estimates are
+    EXACT and the gate oracle compares against true counts; the
+    overestimate-only and ε-bound properties are pinned separately in
+    tests with an adversarially small width.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = (
+            _tf_rows(batch)
+            .group_by("token")
+            .aggregate([("tf", "sum")])
+        )
+        toks = counts.column("token").to_pylist()
+        tf = counts.column("tf_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        th = np.fromiter((hash_token(t) for t in toks), dtype=np.uint64, count=len(toks))
+        grid = np.zeros((CMS_DEPTH, width), dtype=np.int64)
+        pos = _cms_positions(th, width)
+        for r in range(CMS_DEPTH):
+            np.add.at(grid[r], pos[r], tf)
+        return pa.table(
+            {
+                "grid": pa.array([grid.tobytes()], type=pa.binary()),
+                "tokens": pa.array([",".join(sorted(set(toks)))], type=pa.string()),
+            }
+        )
+
+    grid = np.zeros((CMS_DEPTH, width), dtype=np.int64)
+    vocab: set[str] = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob, toks in zip(b.column("grid").to_pylist(), b.column("tokens").to_pylist()):
+            grid += np.frombuffer(blob, dtype=np.int64).reshape(CMS_DEPTH, width)
+            vocab.update(toks.split(","))
+
+    probe = sorted(vocab)
+    th = np.fromiter((hash_token(t) for t in probe), dtype=np.uint64, count=len(probe))
+    pos = _cms_positions(th, width)
+    est = np.min(
+        np.stack([grid[r][pos[r]] for r in range(CMS_DEPTH)]), axis=0
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "token": pa.array(probe, type=pa.string()),
+            "est_count": pa.array(est),
         }
     )

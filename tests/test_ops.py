@@ -1989,3 +1989,39 @@ def test_recrawl_schedule_policy_bruteforce():
         assert p.host_change_ppm == host_ppm
         assert p.next_fetch_ts_us == w.latest_ts_us + interval * 1_000_000
     assert cold_seen  # hot hosts need not exist at tiny scale, cold must
+
+
+def test_cms_overestimate_and_bound_at_tiny_width():
+    """Count-Min guarantees at an adversarially small width (forced
+    collisions): estimates never UNDER-count, and the classic bound
+    est ≤ true + total/width holds per row (min over depth rows can
+    only tighten it)."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.textstats import cms_token_counts
+
+    est = cms_token_counts(SF, width=8).to_pandas().set_index("token")["est_count"]
+    true = (
+        duckdb.sql(
+            f"SELECT tok AS token, count(*) AS n FROM (SELECT unnest(string_split(text,' ')) tok "
+            f"FROM read_parquet('{SF}/documents.parquet')) GROUP BY tok"
+        )
+        .df()
+        .set_index("token")["n"]
+    )
+    total = int(true.sum())
+    assert set(est.index) == set(true.index)
+    collided = False
+    for tok in true.index:
+        assert est[tok] >= true[tok]  # overestimate-only (deterministic)
+        # 2x the average row load — the ε-bound is probabilistic per
+        # row (Markov), so at this adversarial width a couple of
+        # tokens may exceed ONE average load; none may exceed two
+        assert est[tok] <= true[tok] + 2 * (total // 8)
+        collided |= est[tok] > true[tok]
+    assert collided  # width 8 over 31 tokens must actually collide
+    # the classic ε = 1/width bound must still hold for the bulk
+    assert int((est - true > total // 8).sum()) <= len(true) // 10
+
+    exact = cms_token_counts(SF).to_pandas().set_index("token")["est_count"]
+    assert (exact.sort_index() == true.sort_index()).all()  # default width: exact regime
