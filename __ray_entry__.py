@@ -978,6 +978,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NO keyed exchange; exact regime at default width → full
         # oracle, ε-bound pinned separately at adversarial width)
         "text_cms_counts": textstats.cms_token_counts,
+        # connected components over the reference graph (shared
+        # min-label propagation; site-cluster crawl partitioning key)
+        "crawl_components": _q_components,
     }
 
 
@@ -1095,6 +1098,15 @@ def _q_bm25_topk(sf_dir: str):
     from dfg_gepris_crawler_ray.ops.search import bm25_topk
 
     return bm25_topk(sf_dir)
+
+
+def _q_components(sf_dir: str):
+    """Connected components of the projekt→person reference graph
+    (ops/graph.py::reference_graph_components) — recursive-CTE oracle,
+    the dedup_clusters pattern over the generator's edge formulas."""
+    from dfg_gepris_crawler_ray.ops.graph import reference_graph_components
+
+    return reference_graph_components(sf_dir)
 
 
 def _q_lang_hist(sf_dir: str):
@@ -1788,6 +1800,26 @@ def oracle_sql() -> dict[str, str]:
     # adaptive refresh plan: same inventory + the integer-exact policy
     # (interval = base/2 if changed else base*2, halved again on a hot
     # host; hot = ≥100000 ppm of the host's URLs changed)
+    # connected components: recursive-CTE reachability over the
+    # generator-formula edge set, min label per node
+    oracles["crawl_components"] = """
+        WITH RECURSIVE nd AS (SELECT count(*) AS n_docs FROM documents),
+        e0 AS (
+          SELECT CAST(1000 + d.doc_id AS BIGINT) AS u,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS v
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+        )
+        SELECT node, min(r) AS component_rep FROM reach GROUP BY node
+    """
     # CMS in the exact regime (probe set collision-free at width 4096,
     # deterministic seeds — the same exact-regime pattern as
     # text_heavy_hitters' oracle)

@@ -502,7 +502,7 @@ def ngram_jaccard_pairs(
 
 
 def _cluster_labels_distributed(
-    pairs: "ray.data.Dataset", max_rounds: int = 50
+    pairs: "ray.data.Dataset", max_rounds: int = 50, shortcut: bool = False
 ) -> "ray.data.Dataset":
     """Connected components over a pair Dataset via min-label
     propagation — the path for edge sets too large for a driver
@@ -510,7 +510,30 @@ def _cluster_labels_distributed(
     the other endpoint; every node takes the min (two key-hash-bucket
     shuffles per round, all per-bucket work vectorized); converges in
     ≤ diameter rounds (near-dup clusters are shallow). Returns
-    ``(node, label)`` for every node that appears in a pair."""
+    ``(node, label)`` for every node that appears in a pair.
+
+    ``shortcut=True`` adds one pointer-jumping exchange per round
+    (``label ← label(label)``, Shiloach–Vishkin-style star
+    compression): rounds drop from O(diameter) to roughly
+    O(log diameter) at the cost of one extra keyed exchange per round
+    — the right trade for HIGH-diameter graphs (a structured link
+    graph), while shallow near-dup clusters keep the cheaper 2-exchange
+    rounds. Both settings reach the same fixpoint (labels only
+    decrease within a component; the component minimum keeps its own
+    label; hooking-stability forces edge-constant labels = the min),
+    so the union-find oracle pins either."""
+    from ..kernels.partitioning import adaptive_buckets
+
+    def _cut_lineage(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        """Rebuild a materialized Dataset from its block refs.
+
+        ``materialize()`` keeps the full logical plan for lineage
+        recreation; in an ITERATIVE loop that plan deepens every round
+        — planning time grows quadratically and ~30 rounds hits
+        RecursionError. Re-rooting on the object-store blocks keeps
+        each round's plan constant-depth (blocks are NOT collected to
+        the driver)."""
+        return ray.data.from_pandas_refs(ds.to_pandas_refs())
 
     def sym_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.concat(
@@ -522,6 +545,9 @@ def _cluster_labels_distributed(
         ).astype("int64")
 
     edges = pairs.map_batches(sym_edges, batch_format="pandas").materialize()
+    # fanout is a pure perf knob (all keying is by node value); shrink
+    # it when the edge set underfills 64 reduce partitions
+    nb = adaptive_buckets(edges.count())
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         nodes = df["src"].unique()
@@ -533,7 +559,7 @@ def _cluster_labels_distributed(
     labels = (
         edges.map_batches(init_labels, batch_format="pandas")
         .map_batches(
-            lambda df: df.assign(_b=(df["node"] % 64).astype("int32")),
+            lambda df: df.assign(_b=(df["node"] % nb).astype("int32")),
             batch_format="pandas",
         )
         .groupby("_b")
@@ -548,7 +574,7 @@ def _cluster_labels_distributed(
         #    so mixed-bucket groups always see a stable schema.
         tagged_lbl = labels.map_batches(
             lambda df: df.assign(
-                dst=-1, _b=(df["node"] % 64).astype("int32"), _k="l"
+                dst=-1, _b=(df["node"] % nb).astype("int32"), _k="l"
             )[["node", "label", "dst", "_b", "_k"]],
             batch_format="pandas",
         )
@@ -559,7 +585,7 @@ def _cluster_labels_distributed(
                     "label": -1,
                     "dst": df["dst"].astype("int64"),
                 }
-            ).assign(_b=lambda d: (d["node"] % 64).astype("int32"), _k="e"),
+            ).assign(_b=lambda d: (d["node"] % nb).astype("int32"), _k="e"),
             batch_format="pandas",
         )
 
@@ -575,6 +601,7 @@ def _cluster_labels_distributed(
 
         msgs = (
             tagged_lbl.union(tagged_edges)
+            .repartition(nb)
             .groupby("_b")
             .map_groups(propose, batch_format="pandas")
         )
@@ -591,22 +618,66 @@ def _cluster_labels_distributed(
 
         tagged_msgs = msgs.map_batches(
             lambda df: df.assign(
-                dst=-1, _b=(df["node"] % 64).astype("int32"), _k="m"
+                dst=-1, _b=(df["node"] % nb).astype("int32"), _k="m"
             )[["node", "label", "dst", "_b", "_k"]],
             batch_format="pandas",
         )
         reduced = (
             tagged_lbl.union(tagged_msgs)
+            .repartition(nb)
             .groupby("_b")
             .map_groups(reduce_min, batch_format="pandas")
             .materialize()
         )
         n_changed = int(reduced.sum("_changed") or 0)
-        labels = reduced.map_batches(
-            lambda df: df[["node", "label"]], batch_format="pandas"
-        ).materialize()
+        labels = _cut_lineage(
+            reduced.map_batches(
+                lambda df: df[["node", "label"]], batch_format="pandas"
+            ).materialize()
+        )
         if n_changed == 0:
             break
+
+        if shortcut:
+            # pointer jumping: label ← label(label). One keyed
+            # exchange: each (node, label) row meets the label-node's
+            # own row in the label-hash bucket and adopts its label —
+            # star compression halves pointer-chain depth per round.
+            def tag_ref(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {"key": df["label"].astype("int64"),
+                     "node": df["node"].astype("int64"),
+                     "label": np.int64(-1),
+                     "_b": (df["label"] % nb).astype("int32"),
+                     "_k": "a"}
+                )
+
+            def tag_self(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {"key": df["node"].astype("int64"),
+                     "node": np.int64(-1),
+                     "label": df["label"].astype("int64"),
+                     "_b": (df["node"] % nb).astype("int32"),
+                     "_k": "b"}
+                )
+
+            def jump(g: pd.DataFrame) -> pd.DataFrame:
+                a = g[g["_k"] == "a"][["key", "node"]]
+                b = g[g["_k"] == "b"][["key", "label"]].drop_duplicates("key")
+                m = a.merge(b, on="key", how="left")
+                # a label always names a node that appears in labels;
+                # the fillna is belt-and-braces for isolated rows
+                m["label"] = m["label"].fillna(m["key"]).astype("int64")
+                return m[["node", "label"]]
+
+            labels = _cut_lineage(
+                labels.map_batches(tag_ref, batch_format="pandas")
+                .union(labels.map_batches(tag_self, batch_format="pandas"))
+                .repartition(nb)
+                .groupby("_b")
+                .map_groups(jump, batch_format="pandas")
+                .materialize()
+            )
     else:
         # exhausted max_rounds with labels still moving: the output
         # would silently disagree with the union-find oracle (cluster

@@ -196,3 +196,46 @@ def reference_graph_pagerank(sf_dir: str, n_iters: int = 10) -> "ray.data.Datase
 
     edges = docs.map_batches(edge_rows, batch_format="pyarrow")
     return pagerank_ds(edges, n_iters=n_iters)
+
+
+def reference_graph_components(sf_dir: str) -> "ray.data.Dataset":
+    """(node, component_rep) — connected components over the
+    (symmetrized) projekt→person reference graph via the shared
+    min-label propagation (``dedup._cluster_labels_distributed``:
+    two key-hash-bucket shuffles per round, converges in ≤ graph
+    diameter). The crawl-side use: a component is a co-funding site
+    cluster — crawl/refresh it as a unit, and a frontier partitioned
+    by component key never splits an entity's neighborhood across
+    politeness shards."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from .dedup import _cluster_labels_distributed
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edge_rows(batch) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        rows = {"doc_a": [], "doc_b": []}
+        for d in ids:
+            for k in (1, 2, 3, 4):
+                rows["doc_a"].append(1000 + d)
+                rows["doc_b"].append(person_ref(d, k, n_docs))
+        return pd.DataFrame(
+            {"doc_a": pd.Series(rows["doc_a"], dtype="int64"),
+             "doc_b": pd.Series(rows["doc_b"], dtype="int64")}
+        )
+
+    pairs = docs.map_batches(edge_rows, batch_format="pyarrow")
+    # the link graph is structured (arithmetic-progression refs →
+    # diameter ~30 at test scale): pointer-jumping keeps rounds log
+    labels = _cluster_labels_distributed(pairs, shortcut=True)
+    return labels.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "component_rep": df["label"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )

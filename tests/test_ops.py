@@ -2025,3 +2025,58 @@ def test_cms_overestimate_and_bound_at_tiny_width():
 
     exact = cms_token_counts(SF).to_pandas().set_index("token")["est_count"]
     assert (exact.sort_index() == true.sort_index()).all()  # default width: exact regime
+
+
+def test_components_shortcut_on_deep_chain_and_reference_graph():
+    """Pointer-jumping propagation must converge on a DEEP path graph
+    (the case plain min-label needs O(diameter) rounds for) and match
+    a python union-find on the reference graph."""
+    import pandas as pd
+
+    import ray
+
+    from dfg_gepris_crawler_ray.ops.dedup import _cluster_labels_distributed
+    from dfg_gepris_crawler_ray.ops.graph import reference_graph_components
+
+    # 120-node path: node i — i+1; component min is 0 for every node
+    chain = pd.DataFrame(
+        {"doc_a": list(range(119)), "doc_b": list(range(1, 120))}
+    )
+    labels = (
+        _cluster_labels_distributed(
+            ray.data.from_pandas(chain), max_rounds=30, shortcut=True
+        )
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert len(labels) == 120
+    assert (labels["label"] == 0).all()
+
+    out = (
+        reference_graph_components(SF)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # brute union-find over the same formula edges
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d in range(0, n, 3):
+        for k in (1, 2, 3, 4):
+            a, b = find(1000 + d), find(person_ref(d, k, n))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    want = {v: find(v) for v in parent}
+    got = dict(zip(out["node"], out["component_rep"]))
+    assert got == want
