@@ -33,3 +33,18 @@ def adaptive_buckets(
     if n_rows <= 0:
         return lo
     return max(lo, min(requested, n_rows // rows_per_bucket + 1))
+
+
+def cut_lineage(ds):
+    """Rebuild a materialized Dataset from its object-store block refs.
+
+    Ray 2.49's ``materialize()`` keeps the dataset's full logical plan
+    (for lineage recreation); in an ITERATIVE loop (label propagation,
+    power iteration) each round's plan therefore embeds the previous
+    round's — planning time grows quadratically with rounds and deep
+    loops hit RecursionError. Re-rooting on the blocks keeps every
+    round's plan constant-depth; the blocks are referenced, NOT
+    collected to the driver."""
+    import ray.data
+
+    return ray.data.from_pandas_refs(ds.to_pandas_refs())

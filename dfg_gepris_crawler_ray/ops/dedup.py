@@ -522,18 +522,7 @@ def _cluster_labels_distributed(
     decrease within a component; the component minimum keeps its own
     label; hooking-stability forces edge-constant labels = the min),
     so the union-find oracle pins either."""
-    from ..kernels.partitioning import adaptive_buckets
-
-    def _cut_lineage(ds: "ray.data.Dataset") -> "ray.data.Dataset":
-        """Rebuild a materialized Dataset from its block refs.
-
-        ``materialize()`` keeps the full logical plan for lineage
-        recreation; in an ITERATIVE loop that plan deepens every round
-        — planning time grows quadratically and ~30 rounds hits
-        RecursionError. Re-rooting on the object-store blocks keeps
-        each round's plan constant-depth (blocks are NOT collected to
-        the driver)."""
-        return ray.data.from_pandas_refs(ds.to_pandas_refs())
+    from ..kernels.partitioning import adaptive_buckets, cut_lineage as _cut_lineage
 
     def sym_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.concat(

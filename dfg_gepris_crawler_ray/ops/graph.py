@@ -152,7 +152,9 @@ def pagerank_ds(
                  "outdeg": m["outdeg"].astype("int64")}
             )
 
-        ranks = (
+        from ..kernels.partitioning import cut_lineage
+
+        ranks = cut_lineage(
             ranks.map_batches(tag_node, batch_format="pandas")
             .union(contrib.map_batches(tag_contrib, batch_format="pandas"))
             .repartition(NUM_BUCKETS)
