@@ -43,6 +43,15 @@ def pagerank_ds(
         batch_format="pandas",
     ).materialize()
 
+    # fanout is a pure perf knob (all keying is by node value) —
+    # shrink it when the edge set underfills the cluster-scale 64
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(edges.count())
+
+    def _bl(s: pd.Series) -> pd.Series:
+        return (s.astype("int64") % nb).astype("int32")
+
     # node list + out-degree (one shuffle, computed once)
     def node_rows(df: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
@@ -51,7 +60,7 @@ def pagerank_ds(
         deg.columns = ["node", "outdeg"]
         out = out.merge(deg, on="node", how="left")
         out["outdeg"] = out["outdeg"].fillna(0).astype("int64")
-        return out.assign(_nb=_b(out["node"]))
+        return out.assign(_nb=_bl(out["node"]))
 
     def merge_nodes(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("node", as_index=False)["outdeg"].sum()
@@ -96,14 +105,14 @@ def pagerank_ds(
             return pd.DataFrame(
                 {"key": df["node"].astype("int64"), "dst": -1,
                  "val": df["rank"] / df["outdeg"].clip(lower=1),
-                 "_sb": _b(df["node"]), "_k": "r"}
+                 "_sb": _bl(df["node"]), "_k": "r"}
             )
 
         def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
                 {"key": df["src"].astype("int64"),
                  "dst": df["dst"].astype("int64"),
-                 "val": 0.0, "_sb": _b(df["src"]), "_k": "e"}
+                 "val": 0.0, "_sb": _bl(df["src"]), "_k": "e"}
             )
 
         def contribs(g: pd.DataFrame) -> pd.DataFrame:
@@ -112,13 +121,13 @@ def pagerank_ds(
             m = e.merge(r, on="key")
             return pd.DataFrame(
                 {"node": m["dst"].astype("int64"), "contrib": m["val"],
-                 "_nb": _b(m["dst"])}
+                 "_nb": _bl(m["dst"])}
             )
 
         contrib = (
             ranks.map_batches(tag_rank, batch_format="pandas")
             .union(edges.map_batches(tag_edges, batch_format="pandas"))
-            .repartition(NUM_BUCKETS)
+            .repartition(nb)
             .groupby("_sb")
             .map_groups(contribs, batch_format="pandas")
         )
@@ -132,7 +141,7 @@ def pagerank_ds(
             return pd.DataFrame(
                 {"node": df["node"].astype("int64"), "contrib": 0.0,
                  "outdeg": df["outdeg"].astype("int64"),
-                 "_nb": _b(df["node"]), "_k": "n"}
+                 "_nb": _bl(df["node"]), "_k": "n"}
             )
 
         def tag_contrib(df: pd.DataFrame) -> pd.DataFrame:
@@ -157,7 +166,7 @@ def pagerank_ds(
         ranks = cut_lineage(
             ranks.map_batches(tag_node, batch_format="pandas")
             .union(contrib.map_batches(tag_contrib, batch_format="pandas"))
-            .repartition(NUM_BUCKETS)
+            .repartition(nb)
             .groupby("_nb")
             .map_groups(reduce_rank, batch_format="pandas")
             .materialize()
