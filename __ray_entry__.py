@@ -981,6 +981,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the reference graph (shared
         # min-label propagation; site-cluster crawl partitioning key)
         "crawl_components": _q_components,
+        # TPC-H-Q4-style EXISTS semi-join (union-tag exchange) + the
+        # bloom runtime-filter pushdown route (identical output)
+        "rel_semi_join": relational.returned_orders_by_priority,
+        "rel_semi_join_bloom": lambda sf: relational.returned_orders_by_priority(
+            sf, route="bloom"
+        ),
     }
 
 
@@ -1820,6 +1826,15 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node, min(r) AS component_rep FROM reach GROUP BY node
     """
+    # EXISTS semi-join + its bloom-pushdown route (shared oracle)
+    oracles["rel_semi_join"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_returnflag = 'R')
+        GROUP BY 1
+    """
+    oracles["rel_semi_join_bloom"] = oracles["rel_semi_join"]
     # CMS in the exact regime (probe set collision-free at width 4096,
     # deterministic seeds — the same exact-regime pattern as
     # text_heavy_hitters' oracle)

@@ -23,7 +23,13 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..kernels.hashing import minhash_permutations, splitmix64, stable_hash64_array
+from ..kernels.hashing import (
+    bloom_contains as _bloom_contains,
+    bloom_partial as _bloom_partial,
+    minhash_permutations,
+    splitmix64,
+    stable_hash64_array,
+)
 from .similarity import _as_matrix_arrow, _i64, _list_column
 
 
@@ -1201,32 +1207,6 @@ def _md5_rows(batch: pa.Table, mod: int, want: int, negate: bool = False) -> pa.
                           type=pa.string()),
         }
     )
-
-
-def _bloom_partial(hashes64: np.ndarray, m_bits: int, k: int = 4) -> np.ndarray:
-    """OR-mergeable bloom bitmap (uint64 words) over 64-bit key hashes;
-    probe positions derived by repeated splitmix64 remixing — the
-    same derivation `incremental_dedup` uses on the lookup side."""
-    words = np.zeros(m_bits // 64, dtype=np.uint64)
-    z = hashes64.astype(np.uint64)
-    for _ in range(k):
-        z = splitmix64(z)
-        pos = z % np.uint64(m_bits)
-        np.bitwise_or.at(words, (pos // np.uint64(64)).astype(np.int64),
-                         np.uint64(1) << (pos % np.uint64(64)))
-    return words
-
-
-def _bloom_contains(words: np.ndarray, hashes64: np.ndarray,
-                    m_bits: int, k: int = 4) -> np.ndarray:
-    present = np.ones(len(hashes64), dtype=bool)
-    z = hashes64.astype(np.uint64)
-    for _ in range(k):
-        z = splitmix64(z)
-        pos = z % np.uint64(m_bits)
-        present &= (words[(pos // np.uint64(64)).astype(np.int64)]
-                    >> (pos % np.uint64(64))) & np.uint64(1) == 1
-    return present
 
 
 def incremental_dedup(

@@ -1008,3 +1008,156 @@ def window_distinct_users(sf_dir: str, num_buckets: int = 64) -> "ray.data.Datas
         .groupby("_b")
         .map_groups(count_bucket, batch_format="pandas")
     )
+
+
+def returned_orders_by_priority(
+    sf_dir: str,
+    route: str = "bucketed",
+    num_buckets: int = 64,
+    bloom_bits: int = 1 << 20,
+) -> "ray.data.Dataset":
+    """(o_orderpriority, n_orders) — orders with at least one RETURNED
+    lineitem (``l_returnflag = 'R'``), counted per priority: TPC-H Q4's
+    EXISTS semi-join adapted to this schema. The anti-join sibling is
+    ``customers_without_orders``; this op completes the join family
+    with the SEMI side and its bloom pushdown.
+
+    Routes (identical output — FPs are exactly verified):
+
+    - ``"bucketed"``: union-tag both sides into ONE orderkey-hash
+      exchange (per-batch dedup of the lineitem side first: one key
+      per batch, not one per returned line), per-bucket vectorized
+      ``isin``, then the tiny priority aggregate.
+    - ``"bloom"``: OR-mergeable bloom partials over returned orderkeys
+      reduce to one driver bitmap (``bloom_bits`` — bounded, NOT
+      key-cardinality) broadcast via ``ray.put``; bloom-NEGATIVE
+      orders drop in the scan (definitely no returned item — the
+      overwhelming majority on a low-return book), and only
+      bloom-positive orders enter the exact verify exchange. This is
+      the classic runtime-filter pushdown a distributed SQL engine
+      plants on the probe side of a selective semi-join.
+    """
+    import ray
+
+    from ..kernels.hashing import bloom_contains, bloom_partial
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    returned = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def returned_keys(batch: pa.Table) -> pa.Table:
+        keys = batch.filter(
+            pc.equal(batch.column("l_returnflag"), "R")
+        ).column("l_orderkey")
+        uniq = pc.unique(keys)
+        return pa.table({"key": uniq})
+
+    keys_ds = returned.map_batches(
+        returned_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def priority_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_orderpriority", as_index=False).size()
+        out.columns = ["o_orderpriority", "n_orders"]
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out
+
+    if route == "bucketed":
+        def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["o_orderkey"].astype("int64"),
+                 "prio": df["o_orderpriority"],
+                 "_b": (df["o_orderkey"] % num_buckets).astype("int32"),
+                 "_k": "o"}
+            )
+
+        def tag_keys(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["key"].astype("int64"), "prio": "",
+                 "_b": (df["key"] % num_buckets).astype("int32"), "_k": "k"}
+            )
+
+        def semi(g: pd.DataFrame) -> pd.DataFrame:
+            have = g.loc[g["_k"] == "k", "key"].unique()
+            o = g[g["_k"] == "o"]
+            hit = o[o["key"].isin(have)]
+            return pd.DataFrame(
+                {"o_orderpriority": hit["prio"], "key": hit["key"].astype("int64")}
+            )
+
+        matched = (
+            orders.map_batches(tag_orders, batch_format="pandas")
+            .union(keys_ds.map_batches(tag_keys, batch_format="pandas"))
+            .repartition(num_buckets)
+            .groupby("_b")
+            .map_groups(semi, batch_format="pandas")
+        )
+    elif route == "bloom":
+        def bloom_rows(df: pd.DataFrame) -> pd.DataFrame:
+            h = df["key"].to_numpy().astype(np.uint64)
+            return pd.DataFrame({"w": [bloom_partial(h, bloom_bits).tobytes()]})
+
+        merged = np.zeros(bloom_bits // 64, dtype=np.uint64)
+        for b in keys_ds.map_batches(bloom_rows, batch_format="pandas").iter_batches(
+            batch_format="pandas"
+        ):
+            for buf in b["w"]:
+                merged |= np.frombuffer(buf, dtype=np.uint64)
+        bloom_ref = ray.put(merged)
+
+        def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+            words = ray.get(bloom_ref)
+            h = df["o_orderkey"].to_numpy().astype(np.uint64)
+            maybe = bloom_contains(words, h, bloom_bits)
+            keep = df.loc[maybe]
+            return pd.DataFrame(
+                {"key": keep["o_orderkey"].astype("int64"),
+                 "prio": keep["o_orderpriority"],
+                 "_b": (keep["o_orderkey"] % num_buckets).astype("int32"),
+                 "_k": "o"}
+            )
+
+        def tag_keys(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["key"].astype("int64"), "prio": "",
+                 "_b": (df["key"] % num_buckets).astype("int32"), "_k": "k"}
+            )
+
+        def semi(g: pd.DataFrame) -> pd.DataFrame:
+            have = g.loc[g["_k"] == "k", "key"].unique()
+            o = g[g["_k"] == "o"]
+            hit = o[o["key"].isin(have)]
+            return pd.DataFrame(
+                {"o_orderpriority": hit["prio"], "key": hit["key"].astype("int64")}
+            )
+
+        matched = (
+            orders.map_batches(prefilter, batch_format="pandas")
+            .union(keys_ds.map_batches(tag_keys, batch_format="pandas"))
+            .repartition(num_buckets)
+            .groupby("_b")
+            .map_groups(semi, batch_format="pandas")
+        )
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown route {route!r}")
+
+    # per-bucket partial counts would also work; the matched set is
+    # already priority-labeled, so one tiny keyed sum finishes it
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return priority_counts(df)
+
+    return (
+        matched.map_batches(partial_counts, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .sum("n_orders")
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"o_orderpriority": df["o_orderpriority"],
+                 "n_orders": df["sum(n_orders)"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )

@@ -2080,3 +2080,27 @@ def test_components_shortcut_on_deep_chain_and_reference_graph():
     want = {v: find(v) for v in parent}
     got = dict(zip(out["node"], out["component_rep"]))
     assert got == want
+
+
+def test_semi_join_routes_identical_and_fp_safe():
+    """Bucketed and bloom semi-join routes must agree, including with a
+    deliberately tiny bloom (every order a false positive candidate)."""
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.ops.relational import returned_orders_by_priority
+
+    def run(**kw):
+        return (
+            returned_orders_by_priority(SF, **kw)
+            .to_pandas()
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+            .astype({"n_orders": "int64"})
+        )
+
+    bucketed = run(route="bucketed")
+    bloom = run(route="bloom")
+    tiny = run(route="bloom", bloom_bits=1 << 8)
+    pd.testing.assert_frame_equal(bucketed, bloom)
+    pd.testing.assert_frame_equal(bucketed, tiny)
+    assert bucketed["n_orders"].sum() > 0
