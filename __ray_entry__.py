@@ -981,6 +981,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the reference graph (shared
         # min-label propagation; site-cluster crawl partitioning key)
         "crawl_components": _q_components,
+        # collocation mining: top-k co-occurring token pairs (per-batch
+        # pair partials → one pair-hash exchange → bucket top-k prune)
+        "text_cooccurrence_topk": textstats.cooccurrence_topk,
         # TPC-H-Q4-style EXISTS semi-join (union-tag exchange) + the
         # bloom runtime-filter pushdown route (identical output)
         "rel_semi_join": relational.returned_orders_by_priority,
@@ -1825,6 +1828,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
         )
         SELECT node, min(r) AS component_rep FROM reach GROUP BY node
+    """
+    # collocations: distinct (doc, token) self-join
+    oracles["text_cooccurrence_topk"] = """
+        WITH dt AS (SELECT DISTINCT doc_id, tok FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        p AS (SELECT a.tok AS token_a, b.tok AS token_b, count(*) AS n_docs
+              FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2)
+        SELECT token_a, token_b, n_docs FROM p
+        ORDER BY n_docs DESC, token_a, token_b LIMIT 50
     """
     # EXISTS semi-join + its bloom-pushdown route (shared oracle)
     oracles["rel_semi_join"] = """

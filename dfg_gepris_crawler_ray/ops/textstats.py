@@ -1150,3 +1150,68 @@ def cms_token_counts(sf_dir: str, width: int = 4096) -> pa.Table:
             "est_count": pa.array(est),
         }
     )
+
+
+def cooccurrence_topk(
+    sf_dir: str, k: int = 50, num_buckets: int = 64
+) -> pa.Table:
+    """(token_a, token_b, n_docs) — the ``k`` most frequent co-occurring
+    token pairs (both tokens in the same document, token_a < token_b),
+    ties by (token_a, token_b) ascending: collocation mining, the
+    corpus-statistics op behind PMI features and phrase detection.
+
+    Shape: per batch, DISTINCT (doc, token) rows self-merge per doc —
+    all vectorized pandas — into per-batch pair counts (bounded by
+    batch_docs × vocab²_doc, the classic pair explosion; a real-vocab
+    corpus caps per-doc distinct tokens first, the inverted-index hub
+    rule); then ONE pair-hash keyed exchange sums partials, each
+    bucket prunes to its local top-k, and the driver merges
+    ≤ buckets·k rows. n_docs counts DOCUMENTS containing the pair
+    (not occurrences) so the SQL oracle is a plain distinct self-join.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows,
+        requested=num_buckets,
+    )
+
+    def pair_partials(batch: pa.Table) -> pd.DataFrame:
+        tf = _tf_rows(batch).to_pandas()[["doc_id", "token"]]
+        m = tf.merge(tf, on="doc_id")
+        m = m[m["token_x"] < m["token_y"]]
+        out = m.groupby(["token_x", "token_y"], as_index=False).size()
+        out.columns = ["token_a", "token_b", "n"]
+        h = stable_hash64_array_local(
+            [a + "\x00" + b for a, b in zip(out["token_a"], out["token_b"])]
+        )
+        return out.assign(_b=(h % np.uint64(nb)).astype(np.int32))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["token_a", "token_b"], as_index=False)["n"].sum()
+        s = s.sort_values(
+            ["n", "token_a", "token_b"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+        return s
+
+    partials = (
+        ds.map_batches(pair_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    top = partials.sort_values(
+        ["n", "token_a", "token_b"], ascending=[False, True, True], kind="mergesort"
+    ).head(k)
+    return pa.table(
+        {
+            "token_a": pa.array(top["token_a"], type=pa.string()),
+            "token_b": pa.array(top["token_b"], type=pa.string()),
+            "n_docs": pa.array(top["n"].to_numpy().astype(np.int64)),
+        }
+    )
