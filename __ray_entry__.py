@@ -981,6 +981,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the reference graph (shared
         # min-label propagation; site-cluster crawl partitioning key)
         "crawl_components": _q_components,
+        # content-defined chunking share report (Gear rolling hash →
+        # chunk-hash exchange; rows-only: rolling hash isn't SQL —
+        # shift-resistance + brute census pinned in test_ops)
+        "text_cdc_chunks": _q_cdc_chunks,
         # collocation mining: top-k co-occurring token pairs (per-batch
         # pair partials → one pair-hash exchange → bucket top-k prune)
         "text_cooccurrence_topk": textstats.cooccurrence_topk,
@@ -1107,6 +1111,15 @@ def _q_bm25_topk(sf_dir: str):
     from dfg_gepris_crawler_ray.ops.search import bm25_topk
 
     return bm25_topk(sf_dir)
+
+
+def _q_cdc_chunks(sf_dir: str):
+    """Per-doc CDC chunk share report (ops/cdc.py) — Gear-hash
+    boundaries, one chunk-hash exchange; rows-only gate."""
+    from dfg_gepris_crawler_ray.ops.cdc import cdc_chunk_stats
+
+    out = cdc_chunk_stats(sf_dir).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_components(sf_dir: str):

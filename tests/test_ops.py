@@ -2104,3 +2104,53 @@ def test_semi_join_routes_identical_and_fp_safe():
     pd.testing.assert_frame_equal(bucketed, bloom)
     pd.testing.assert_frame_equal(bucketed, tiny)
     assert bucketed["n_orders"].sum() > 0
+
+
+def test_cdc_chunking_shift_resistance_and_stats():
+    """CDC's reason to exist: prepending bytes must only change chunks
+    up to the first resynchronized boundary; and the distributed share
+    report must equal a brute-force chunk census."""
+    import duckdb
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.ops.cdc import _doc_chunks, cdc_chunk_stats, gear_boundaries
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+
+    # shift resistance on a long concatenation
+    t = (" ".join(docs["text"].head(30))).encode()
+
+    def pieces(d):
+        prev, out = 0, []
+        for e in gear_boundaries(d):
+            out.append(d[prev:e])
+            prev = e
+        return out
+
+    p1 = pieces(t)
+    p2 = pieces(b"INSERTED-PREFIX " + t)
+    assert len(p1) > 50
+    assert p1[1:] == p2[1:]  # everything after the first boundary resyncs
+    assert p1[0] != p2[0]
+
+    # distributed stats == brute force
+    out = cdc_chunk_stats(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    rows = []
+    for d, text in zip(docs["doc_id"], docs["text"]):
+        rows += _doc_chunks(int(d), text.encode())
+    df = pd.DataFrame(rows, columns=["h", "doc_id", "idx", "length"]).sort_values(
+        ["h", "doc_id", "idx"], kind="mergesort"
+    )
+    df["dup"] = df.duplicated("h", keep="first")
+    agg = (
+        df.groupby("doc_id")
+        .agg(n_chunks=("h", "size"), n_dup_chunks=("dup", "sum"))
+        .reset_index()
+    )
+    agg["dup_bytes"] = (
+        df.assign(db=df["length"] * df["dup"]).groupby("doc_id")["db"].sum().values
+    )
+    assert out.astype("int64").equals(agg.astype("int64"))
+    assert out["n_dup_chunks"].sum() > 0  # corpus genuinely shares chunks
