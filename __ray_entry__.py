@@ -981,6 +981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the reference graph (shared
         # min-label propagation; site-cluster crawl partitioning key)
         "crawl_components": _q_components,
+        # link-importance crawl order (PageRank-ranked frontier head)
+        "crawl_frontier_pagerank": _q_frontier_pagerank,
         # content-defined chunking share report (Gear rolling hash →
         # chunk-hash exchange; rows-only: rolling hash isn't SQL —
         # shift-resistance + brute census pinned in test_ops)
@@ -1113,6 +1115,15 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(sf_dir)
 
 
+def _q_frontier_pagerank(sf_dir: str):
+    """First 100 fetches of a PageRank-ordered frontier
+    (ops/graph.py::frontier_order_by_pagerank) — the J1 order contract
+    with the computed importance signal; unrolled-CTE oracle."""
+    from dfg_gepris_crawler_ray.ops.graph import frontier_order_by_pagerank
+
+    return frontier_order_by_pagerank(sf_dir)
+
+
 def _q_cdc_chunks(sf_dir: str):
     """Per-doc CDC chunk share report (ops/cdc.py) — Gear-hash
     boundaries, one chunk-hash exchange; rows-only gate."""
@@ -1237,7 +1248,9 @@ def _curation_oracle_sql(
     """
 
 
-def _pagerank_oracle_sql(n_iters: int = 4, damping: float = 0.85) -> str:
+def _pagerank_oracle_sql(
+    n_iters: int = 4, damping: float = 0.85, final_select: str | None = None
+) -> str:
     """DuckDB PageRank over the generator's projekt→person edge set
     (``testdata.gen_pages.person_ref``), the fixed iteration count
     unrolled as chained CTEs: per step, dangling mass ``d{i}`` (one
@@ -1276,7 +1289,7 @@ def _pagerank_oracle_sql(n_iters: int = 4, damping: float = 0.85) -> str:
         nn AS (SELECT count(*) AS n FROM nodes),
         r0 AS (SELECT node, outdeg, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn),
         {steps}
-        SELECT node, round(rank, 9) AS rank FROM r{n_iters} ORDER BY node
+        {final_select or f"SELECT node, round(rank, 9) AS rank FROM r{n_iters} ORDER BY node"}
     """
 
 
@@ -1744,6 +1757,15 @@ def oracle_sql() -> dict[str, str]:
     # recurrence unrolls into plain chained CTEs — graduated from
     # rows-only to a full value oracle
     oracles["crawl_pagerank"] = _pagerank_oracle_sql(n_iters=4)
+    oracles["crawl_frontier_pagerank"] = _pagerank_oracle_sql(
+        n_iters=4,
+        final_select="""
+        SELECT row_number() OVER (ORDER BY round(rank, 9) DESC, node) AS position,
+               node AS id, round(rank, 9) AS rank
+        FROM r4
+        ORDER BY round(rank, 9) DESC, node
+        LIMIT 100""",
+    )
     # BM25 retrieval: the oracle mirrors the op's expression tree
     # term-by-term (explicit left-to-right sum, same literals)
     from dfg_gepris_crawler_ray.ops.search import bm25_oracle_sql

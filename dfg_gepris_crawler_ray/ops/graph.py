@@ -250,3 +250,38 @@ def reference_graph_components(sf_dir: str) -> "ray.data.Dataset":
         ),
         batch_format="pandas",
     )
+
+
+def frontier_order_by_pagerank(
+    sf_dir: str, limit: int = 100, n_iters: int = 4
+) -> "pd.DataFrame":
+    """(position, id, rank) — the first ``limit`` entities a
+    link-importance-driven frontier would fetch: PageRank over the
+    reference graph, ordered by (rank DESC, id ASC). This is the J1
+    crawl-order contract with the static tier replaced by the
+    computed importance signal — what a production crawler does once
+    it has a link graph (the reference's cron can only order by
+    status/refresh age; database.py:43-64).
+
+    Ranks are rounded to 9 dp BEFORE ordering on both sides (op and
+    oracle) so the tie-set is identical. The sort is a distributed
+    ``Dataset.sort`` + ``limit`` — only ``limit`` rows reach the
+    driver."""
+    ranks = reference_graph_pagerank(sf_dir, n_iters=n_iters)
+
+    def round_rank(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "rank": (df["rank"].to_numpy() * 1e9).round() / 1e9}
+        )
+
+    top = (
+        ranks.map_batches(round_rank, batch_format="pandas")
+        .sort(["rank", "node"], descending=[True, False])
+        .limit(limit)
+        .to_pandas()
+    )
+    top.insert(0, "position", pd.RangeIndex(1, len(top) + 1).astype("int64"))
+    return top.rename(columns={"node": "id"})
