@@ -983,6 +983,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_components": _q_components,
         # link-importance crawl order (PageRank-ranked frontier head)
         "crawl_frontier_pagerank": _q_frontier_pagerank,
+        # full web-corpus→training-shards chain: Gopher gate → exact
+        # dedup → global sequence packing, end-to-end oracle
+        "text_pretrain_pack": curation.pretrain_pack_pipeline,
         # content-defined chunking share report (Gear rolling hash →
         # chunk-hash exchange; rows-only: rolling hash isn't SQL —
         # shift-resistance + brute census pinned in test_ops)
@@ -1863,6 +1866,37 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
         )
         SELECT node, min(r) AS component_rep FROM reach GROUP BY node
+    """
+    # gopher gate → dedup keep-min → packed sequences, end to end
+    oracles["text_pretrain_pack"] = """
+        WITH t AS (
+          SELECT doc_id, text,
+                 len(string_split(text, ' ')) AS n,
+                 length(text) - (len(string_split(text, ' ')) - 1) AS letters,
+                 CAST(list_contains(string_split(text,' '), 'the') AS BIGINT)
+                   + CAST(list_contains(string_split(text,' '), 'a') AS BIGINT)
+                   + CAST(list_contains(string_split(text,' '), 'to') AS BIGINT)
+                   + CAST(list_contains(string_split(text,' '), 'of') AS BIGINT)
+                   + CAST(list_contains(string_split(text,' '), 'and') AS BIGINT)
+                   AS sd
+          FROM documents),
+        kept AS (
+          SELECT doc_id, text, n FROM t
+          WHERE n >= 50 AND n <= 100000
+            AND letters >= 3*n AND letters <= 10*n AND sd >= 2),
+        surv AS (
+          SELECT doc_id, n FROM kept
+          QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+        p AS (
+          SELECT doc_id, n AS n_tokens,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prefix
+          FROM surv)
+        SELECT doc_id, n_tokens,
+               CAST(prefix // 1024 AS BIGINT) AS seq_id,
+               CAST(prefix % 1024 AS BIGINT) AS seq_offset
+        FROM p
     """
     # collocations: distinct (doc, token) self-join
     oracles["text_cooccurrence_topk"] = """

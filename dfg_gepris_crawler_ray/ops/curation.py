@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..kernels.hashing import stable_hash64_array as _stable_hash64_array
 from .textstats import quality_batch
 
 #: per-class keep rates for the stratified events sample (rebalancing:
@@ -1016,3 +1017,125 @@ def gopher_rules_oracle_sql(
                 AND {stop_sum} >= {min_stop_distinct}) AS keep
         FROM t
     """
+
+
+def pretrain_pack_pipeline(
+    sf_dir: str,
+    budget: int = 1024,
+    min_words: int = 50,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, seq_id, seq_offset) — the full
+    web-corpus→training-shards chain as ONE pipeline: Gopher rule gate
+    (``gopher_rules`` keep) → corpus-wide exact dedup (keep the lowest
+    doc_id per content hash among survivors) → deterministic
+    token-budget sequence packing of the surviving documents in doc_id
+    order. Every stage's decision is integer-exact, so the END-TO-END
+    SQL oracle reproduces the final packed layout bit-for-bit.
+
+    Distributed shape (nothing corpus-sized on the driver):
+
+    1. one pruned scan emits compact feature rows ``(doc_id, n_tokens,
+       letters, stop_distinct, md5)`` — the text stays in the scan;
+    2. rule gate applied row-locally; survivors enter ONE md5-bucket
+       exchange for the keep-min dedup;
+    3. survivors sort by doc_id (distributed sort) and the packing
+       prefix runs as the scan-then-offset pattern of
+       ``sequence_packing``: per-block (first_doc, token sum) partials
+       → tiny driver cumulative → broadcast offsets → row-local
+       assignment.
+    """
+    import hashlib as _hashlib
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    nb = adaptive_buckets(pq.read_metadata(path).num_rows, requested=num_buckets)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    stops = list(GOPHER_REQUIRED_STOPWORDS)
+
+    def features(batch: pa.Table) -> pd.DataFrame:
+        import polars as pl
+
+        t = pl.from_arrow(batch).with_columns(
+            pl.col("text").str.split(" ").alias("tok")
+        )
+        n = t.select(pl.col("tok").list.len()).to_series().to_numpy().astype(np.int64)
+        chars = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        letters = chars - (n - 1)
+        sd = np.zeros(len(n), dtype=np.int64)
+        for w in stops:
+            sd += (
+                t.select(pl.col("tok").list.contains(w)).to_series().to_numpy().astype(np.int64)
+            )
+        keep = (
+            (n >= min_words) & (n <= 100_000)
+            & (letters >= 3 * n) & (letters <= 10 * n)
+            & (sd >= 2)
+        )
+        md5s = [
+            _hashlib.md5(t_.encode()).hexdigest()
+            for t_ in batch.column("text").to_pylist()
+        ]
+        df = pd.DataFrame(
+            {
+                "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+                "n_tokens": n,
+                "h": md5s,
+            }
+        ).loc[keep]
+        b = _stable_hash64_array(list(df["h"])) % np.uint64(nb)
+        return df.assign(_b=b.astype(np.int32))
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g.groupby("h")["doc_id"].idxmin()
+        return g.loc[idx, ["doc_id", "n_tokens"]].astype("int64")
+
+    survivors = (
+        ds.map_batches(features, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(keep_min, batch_format="pandas")
+        .sort("doc_id")
+        .materialize()
+    )
+
+    # scan-then-offset global prefix over the SAME materialized blocks
+    part = survivors.map_batches(
+        lambda df: pd.DataFrame(
+            {"first_doc": [int(df["doc_id"].iloc[0])] if len(df) else [],
+             "tokens": [int(df["n_tokens"].sum())] if len(df) else []}
+        ),
+        batch_size=None,  # one batch per block → partials key by block
+        batch_format="pandas",
+    ).to_pandas()
+    part = part.sort_values("first_doc")
+    offsets = dict(
+        zip(part["first_doc"], part["tokens"].cumsum().shift(fill_value=0))
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "n_tokens": pd.Series(dtype="int64"),
+                 "seq_id": pd.Series(dtype="int64"),
+                 "seq_offset": pd.Series(dtype="int64")}
+            )
+        base = int(ray.get(off_ref)[int(df["doc_id"].iloc[0])])
+        prefix = base + df["n_tokens"].cumsum().shift(fill_value=0).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "n_tokens": df["n_tokens"].astype("int64"),
+                "seq_id": (prefix // budget).astype("int64"),
+                "seq_offset": (prefix % budget).astype("int64"),
+            }
+        )
+
+    return survivors.map_batches(assign, batch_size=None, batch_format="pandas")
