@@ -21,13 +21,6 @@ import ray.data
 # body fails on workers even under pickle-by-value registration
 from ..testdata.gen_pages import person_ref
 
-NUM_BUCKETS = 64
-
-
-def _b(s: pd.Series) -> pd.Series:
-    return (s.astype("int64") % NUM_BUCKETS).astype("int32")
-
-
 def pagerank_ds(
     edges: "ray.data.Dataset",
     n_iters: int = 10,
