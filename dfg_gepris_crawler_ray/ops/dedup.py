@@ -1244,9 +1244,14 @@ def incremental_dedup(
     """
     import pyarrow.parquet as pq
 
+    from ..kernels.partitioning import adaptive_buckets
     from .relational import anti_join_bucketed
 
     path = f"{sf_dir}/documents.parquet"
+    # fanout is a pure perf knob (md5 keying is bucket-count-agnostic)
+    num_buckets = adaptive_buckets(
+        pq.read_metadata(path).num_rows, requested=num_buckets
+    )
     docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
 
     old_h = docs.map_batches(
