@@ -983,6 +983,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_components": _q_components,
         # link-importance crawl order (PageRank-ranked frontier head)
         "crawl_frontier_pagerank": _q_frontier_pagerank,
+        # degree-based priority signal: top-k persons by inbound
+        # projekt references (partial counts → one dst-bucket sum)
+        "crawl_inbound_topk": _q_inbound_topk,
         # full web-corpus→training-shards chain: Gopher gate → exact
         # dedup → global sequence packing, end-to-end oracle
         "text_pretrain_pack": curation.pretrain_pack_pipeline,
@@ -1116,6 +1119,14 @@ def _q_bm25_topk(sf_dir: str):
     from dfg_gepris_crawler_ray.ops.search import bm25_topk
 
     return bm25_topk(sf_dir)
+
+
+def _q_inbound_topk(sf_dir: str):
+    """Top-25 persons by inbound reference degree
+    (ops/graph.py::inbound_reference_topk)."""
+    from dfg_gepris_crawler_ray.ops.graph import inbound_reference_topk
+
+    return inbound_reference_topk(sf_dir)
 
 
 def _q_frontier_pagerank(sf_dir: str):
@@ -1866,6 +1877,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
         )
         SELECT node, min(r) AS component_rep FROM reach GROUP BY node
+    """
+    # in-degree top-k over the formula edge set
+    oracles["crawl_inbound_topk"] = """
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        e AS (
+          SELECT CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS person_id
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        c AS (SELECT person_id, count(*) AS n_inbound FROM e GROUP BY 1)
+        SELECT row_number() OVER (ORDER BY n_inbound DESC, person_id) AS rank,
+               person_id, n_inbound
+        FROM c ORDER BY n_inbound DESC, person_id LIMIT 25
     """
     # gopher gate → dedup keep-min → packed sequences, end to end
     oracles["text_pretrain_pack"] = """

@@ -13,6 +13,7 @@ scalar dangling mass reduces to the driver each round.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray.data
@@ -278,3 +279,59 @@ def frontier_order_by_pagerank(
     )
     top.insert(0, "position", pd.RangeIndex(1, len(top) + 1).astype("int64"))
     return top.rename(columns={"node": "id"})
+
+
+def inbound_reference_topk(sf_dir: str, k: int = 25) -> "pa.Table":
+    """(rank, person_id, n_inbound) — the ``k`` persons most
+    referenced by projekt pages (ties by person_id ascending): the
+    in-degree crawl-priority signal, i.e. the degree-based cheap
+    cousin of :func:`reference_graph_pagerank` that a frontier uses
+    before any iteration has run (reference J5/J9 edges).
+
+    Shape: edge emission fused into the documents scan (formula
+    edges, no page parse needed), per-batch partial in-degree counts,
+    ONE dst-bucket keyed sum, per-bucket top-k prune, ≤ buckets·k
+    driver rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = pq.read_metadata(path).num_rows
+    nb = adaptive_buckets(n_docs)
+    docs = ray.data.read_parquet(path, columns=["doc_id"])
+
+    def partial_indeg(batch) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        dsts = [person_ref(d, kk, n_docs) for d in ids for kk in (1, 2, 3, 4)]
+        s = pd.Series(dsts, dtype="int64").value_counts()
+        return pd.DataFrame(
+            {"person_id": s.index.astype("int64"), "n": s.to_numpy().astype("int64"),
+             "_b": (s.index.astype("int64") % nb).astype("int32")}
+        )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("person_id", as_index=False)["n"].sum()
+        return s.sort_values(["n", "person_id"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    top = (
+        docs.map_batches(partial_indeg, batch_format="pyarrow")
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["n", "person_id"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            "person_id": pa.array(top["person_id"].to_numpy()),
+            "n_inbound": pa.array(top["n"].to_numpy()),
+        }
+    )
