@@ -996,6 +996,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collocation mining: top-k co-occurring token pairs (per-batch
         # pair partials → one pair-hash exchange → bucket top-k prune)
         "text_cooccurrence_topk": textstats.cooccurrence_topk,
+        # TPC-H Q5 star join: two fact-fact bucket exchanges + dim
+        # broadcast, integer-exact revenue (no float drift)
+        "rel_q5_nation_revenue": relational.regional_nation_revenue,
         # TPC-H-Q4-style EXISTS semi-join (union-tag exchange) + the
         # bloom runtime-filter pushdown route (identical output)
         "rel_semi_join": relational.returned_orders_by_priority,
@@ -1932,6 +1935,19 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2)
         SELECT token_a, token_b, n_docs FROM p
         ORDER BY n_docs DESC, token_a, token_b LIMIT 50
+    """
+    # Q5 star join, revenue as integer ten-thousandths
+    oracles["rel_q5_nation_revenue"] = """
+        SELECT n_name,
+               SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * CAST(round((1-l_discount)*100) AS BIGINT))
+                 AS revenue_x10000
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+        GROUP BY n_name
     """
     # EXISTS semi-join + its bloom-pushdown route (shared oracle)
     oracles["rel_semi_join"] = """

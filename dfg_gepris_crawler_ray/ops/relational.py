@@ -1161,3 +1161,155 @@ def returned_orders_by_priority(
             batch_format="pandas",
         )
     )
+
+
+def regional_nation_revenue(
+    sf_dir: str, region: str = "EUROPE", num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(n_name, revenue_x10000) — TPC-H Q5: revenue from lineitems
+    whose customer AND supplier sit in the same nation of ``region``,
+    per nation. Revenue is kept as integer ten-thousandths
+    (``Σ round(100·extendedprice) · round(100·(1−discount))``) so the
+    aggregate is INTEGER-EXACT — no float summation-order or rounding
+    -mode drift between engines.
+
+    The multi-way join, sized per side:
+
+    - region ⋈ nation and supplier: broadcast via ``ray.put`` (dims —
+      thousands of rows at any scale; suppliers grow far slower than
+      facts; the standard star-schema small side);
+    - customer ⋈ orders: ONE custkey-hash bucket exchange (both fact-
+      scale at 10^10 — neither broadcastable);
+    - (customer⋈orders) ⋈ lineitem: ONE orderkey-hash bucket exchange;
+      the supplier/nation checks and the revenue partial happen inside
+      the same group task, so only per-nation partials leave it;
+    - final keyed sum over ≤ nations rows.
+    """
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nk2name = dict(
+        nation.merge(
+            reg[reg["r_name"] == region], left_on="n_regionkey",
+            right_on="r_regionkey",
+        )[["n_nationkey", "n_name"]].itertuples(index=False, name=None)
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_nk = dict(supp.itertuples(index=False, name=None))
+    dims_ref = ray.put((nk2name, supp_nk))
+
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    # exchange 1: customer ⋈ orders by custkey bucket (region filter
+    # applied on the customer side BEFORE the shuffle)
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        nk2name_, _ = ray.get(dims_ref)
+        keep = df["c_nationkey"].isin(nk2name_)
+        d = df.loc[keep]
+        return pd.DataFrame(
+            {"key": d["c_custkey"].astype("int64"),
+             "okey": np.int64(-1),
+             "nk": d["c_nationkey"].astype("int64"),
+             "_b": (d["c_custkey"] % nb).astype("int32"), "_k": "c"}
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["o_custkey"].astype("int64"),
+             "okey": df["o_orderkey"].astype("int64"),
+             "nk": np.int64(-1),
+             "_b": (df["o_custkey"] % nb).astype("int32"), "_k": "o"}
+        )
+
+    def join_co(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["_k"] == "c"][["key", "nk"]]
+        o = g[g["_k"] == "o"][["key", "okey"]]
+        m = o.merge(c, on="key")
+        return pd.DataFrame(
+            {"okey": m["okey"].astype("int64"), "nk": m["nk"].astype("int64"),
+             "_b2": (m["okey"] % nb).astype("int32"), "_k": "co"}
+        )
+
+    cust_orders = (
+        customers.map_batches(tag_cust, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(join_co, batch_format="pandas")
+    )
+
+    # exchange 2: ⋈ lineitem by orderkey bucket; revenue partial +
+    # supplier-nation check inside the group task
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (
+            (df["l_extendedprice"] * 100).round().astype("int64")
+            * ((1.0 - df["l_discount"]) * 100).round().astype("int64")
+        )
+        return pd.DataFrame(
+            {"okey": df["l_orderkey"].astype("int64"),
+             "nk": df["l_suppkey"].astype("int64"),  # suppkey rides in nk
+             "rev": rev,
+             "_b2": (df["l_orderkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    def join_rev(g: pd.DataFrame) -> pd.DataFrame:
+        nk2name_, supp_nk_ = ray.get(dims_ref)
+        co = g[g["_k"] == "co"][["okey", "nk"]]
+        li = g[g["_k"] == "l"][["okey", "nk", "rev"]].rename(
+            columns={"nk": "suppkey"}
+        )
+        m = li.merge(co, on="okey")
+        m["snk"] = m["suppkey"].map(supp_nk_)
+        m = m[m["snk"] == m["nk"]]
+        if not len(m):
+            return pd.DataFrame(
+                {"n_name": pd.Series(dtype="object"),
+                 "revenue_x10000": pd.Series(dtype="int64")}
+            )
+        m["n_name"] = m["nk"].map(nk2name_)
+        out = m.groupby("n_name", as_index=False)["rev"].sum()
+        return pd.DataFrame(
+            {"n_name": out["n_name"],
+             "revenue_x10000": out["rev"].astype("int64")}
+        )
+
+    def add_rev_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(rev=np.int64(0))[["okey", "nk", "rev", "_b2", "_k"]]
+
+    return (
+        cust_orders.map_batches(add_rev_cols, batch_format="pandas")
+        .union(lineitem.map_batches(tag_line, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b2")
+        .map_groups(join_rev, batch_format="pandas")
+        .groupby("n_name")
+        .sum("revenue_x10000")
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"n_name": df["n_name"],
+                 "revenue_x10000": df["sum(revenue_x10000)"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )
