@@ -272,6 +272,11 @@ def main():
     timed("crawl_recrawl_schedule", lambda: recrawl_schedule(SF_DIR).materialize())
     timed("rel_window_distinct_users",
           lambda: relational.window_distinct_users(SF_DIR).materialize())
+    timed("rel_q5_nation_revenue",
+          lambda: relational.regional_nation_revenue(SF_DIR).materialize())
+    timed("text_pretrain_pack", lambda: curation.pretrain_pack_pipeline(SF_DIR).materialize())
+    timed("text_cooccurrence_topk", lambda: textstats.cooccurrence_topk(SF_DIR))
+    timed("text_cms_counts", lambda: textstats.cms_token_counts(SF_DIR))
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big
