@@ -1262,6 +1262,10 @@ def regional_nation_revenue(
     # exchange 2: ⋈ lineitem by orderkey bucket; revenue partial +
     # supplier-nation check inside the group task
     def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        # np.round (half-even) vs SQL round (half-away) agree here
+        # because neither factor can land on an exact .5 boundary:
+        # discounts are centi-steps (only dyadic values like .375
+        # could produce exact halves) and prices are cents
         rev = (
             (df["l_extendedprice"] * 100).round().astype("int64")
             * ((1.0 - df["l_discount"]) * 100).round().astype("int64")
