@@ -1288,12 +1288,11 @@ def incremental_dedup(
             h64 = stable_hash64_array(list(df["h"]))
             return pd.DataFrame({"w": [_bloom_partial(h64, bloom_bits).tobytes()]})
 
-        merged = np.zeros(bloom_bits // 64, dtype=np.uint64)
-        for b in old_h.map_batches(bloom_rows, batch_format="pandas").iter_batches(
-            batch_format="pandas"
-        ):
-            for buf in b["w"]:
-                merged |= np.frombuffer(buf, dtype=np.uint64)
+        from ..kernels.hashing import bloom_or_reduce
+
+        merged = bloom_or_reduce(
+            old_h.map_batches(bloom_rows, batch_format="pandas"), bloom_bits
+        )
         bloom_ref = ray.put(merged)
 
         def split_maybe(df: pd.DataFrame) -> pd.DataFrame:

@@ -1100,12 +1100,11 @@ def returned_orders_by_priority(
             h = df["key"].to_numpy().astype(np.uint64)
             return pd.DataFrame({"w": [bloom_partial(h, bloom_bits).tobytes()]})
 
-        merged = np.zeros(bloom_bits // 64, dtype=np.uint64)
-        for b in keys_ds.map_batches(bloom_rows, batch_format="pandas").iter_batches(
-            batch_format="pandas"
-        ):
-            for buf in b["w"]:
-                merged |= np.frombuffer(buf, dtype=np.uint64)
+        from ..kernels.hashing import bloom_or_reduce
+
+        merged = bloom_or_reduce(
+            keys_ds.map_batches(bloom_rows, batch_format="pandas"), bloom_bits
+        )
         bloom_ref = ray.put(merged)
 
         def prefilter(df: pd.DataFrame) -> pd.DataFrame:
