@@ -177,7 +177,21 @@ def approx_distinct_tokens(sf_dir: str, p: int = 12) -> "ray.data.Dataset":
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    # lang-keyed max-merge stage: the driver reads ONE register row
+    # per language, not one per block (registers are max-mergeable)
+    def max_merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc: np.ndarray | None = None
+        for blob in g["registers"]:
+            r = np.frombuffer(blob, dtype=np.uint8)
+            acc = r.copy() if acc is None else np.maximum(acc, r)
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "registers": [acc.tobytes()]})
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(max_merge, batch_format="pandas")
+        .to_pandas()
+    )
     merged: dict[str, np.ndarray] = {}
     for lang, blob in zip(partials["lang"], partials["registers"]):
         regs = np.frombuffer(blob, dtype=np.uint8)
@@ -1129,12 +1143,25 @@ def cms_token_counts(sf_dir: str, width: int = 4096) -> pa.Table:
             }
         )
 
+    # tree-reduce the grids (ADD-mergeable) so the driver pulls a
+    # fanin-bounded handful of blobs, not one per block
+    def sum_rows(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(CMS_DEPTH * width, dtype=np.int64)
+        toks: set[str] = set()
+        for blob, ts in zip(df["grid"], df["tokens"]):
+            acc += np.frombuffer(blob, dtype=np.int64)
+            toks.update(ts.split(","))
+        return pd.DataFrame({"grid": [acc.tobytes()], "tokens": [",".join(sorted(toks))]})
+
+    reduced = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(8)
+        .map_batches(sum_rows, batch_size=None, batch_format="pandas")
+    )
     grid = np.zeros((CMS_DEPTH, width), dtype=np.int64)
     vocab: set[str] = set()
-    for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for blob, toks in zip(b.column("grid").to_pylist(), b.column("tokens").to_pylist()):
+    for b in reduced.iter_batches(batch_format="pandas"):
+        for blob, toks in zip(b["grid"], b["tokens"]):
             grid += np.frombuffer(blob, dtype=np.int64).reshape(CMS_DEPTH, width)
             vocab.update(toks.split(","))
 
