@@ -404,7 +404,24 @@ def quantile_digest(
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    # type-keyed pre-merge: the driver reads ONE ≤k-centroid row per
+    # event type, not one per block (digest merge is compression over
+    # the mean-sorted union — input-order-independent)
+    def merge_type(g: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(m) for m in g["means"]])
+        weights = np.concatenate([np.asarray(w) for w in g["weights"]])
+        m, w = _compress_centroids(means, weights, k)
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "means": [m.tolist()], "weights": [w.tolist()]}
+        )
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(merge_type, batch_format="pandas")
+        .to_pandas()
+    )
 
     out = {"event_type": [], "q": [], "value": []}
     for etype, grp in partials.groupby("event_type"):
