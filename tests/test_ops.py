@@ -2154,3 +2154,62 @@ def test_cdc_chunking_shift_resistance_and_stats():
     )
     assert out.astype("int64").equals(agg.astype("int64"))
     assert out["n_dup_chunks"].sum() > 0  # corpus genuinely shares chunks
+
+
+def test_q5_window_distinct_cooccurrence_match_duckdb():
+    """DuckDB pins for the round-3 relational/text additions (the gate
+    checks these too; this keeps them covered by `pytest` alone)."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import (
+        regional_nation_revenue,
+        window_distinct_users,
+    )
+    from dfg_gepris_crawler_ray.ops.textstats import cooccurrence_topk
+
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "supplier", "nation", "region",
+              "events", "documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    q5 = regional_nation_revenue(SF).to_pandas().sort_values("n_name").reset_index(drop=True)
+    want = con.execute("""
+        SELECT n_name,
+               SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * CAST(round((1-l_discount)*100) AS BIGINT)) AS revenue_x10000
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+        GROUP BY n_name ORDER BY n_name
+    """).fetchdf()
+    assert q5.astype({"revenue_x10000": "int64"}).equals(
+        want.astype({"revenue_x10000": "int64"})
+    )
+
+    wd = (
+        window_distinct_users(SF)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want2 = con.execute("""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(DISTINCT user_id) AS distinct_users
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchdf()
+    assert wd["distinct_users"].astype("int64").tolist() == want2["distinct_users"].astype("int64").tolist()
+    assert wd["event_type"].tolist() == want2["event_type"].tolist()
+
+    co = cooccurrence_topk(SF).to_pandas().reset_index(drop=True)
+    want3 = con.execute("""
+        WITH dt AS (SELECT DISTINCT doc_id, tok FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        p AS (SELECT a.tok AS token_a, b.tok AS token_b, count(*) AS n_docs
+              FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2)
+        SELECT token_a, token_b, n_docs FROM p
+        ORDER BY n_docs DESC, token_a, token_b LIMIT 50
+    """).fetchdf()
+    assert co.astype({"n_docs": "int64"}).equals(want3.astype({"n_docs": "int64"}))
