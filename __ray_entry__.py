@@ -1926,10 +1926,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(prefix % 1024 AS BIGINT) AS seq_offset
         FROM p
     """
-    # collocations: distinct (doc, token) self-join
+    # collocations: distinct (doc, token) self-join over the hub-capped
+    # token set — the cap (top-1000 per doc by tf desc, token asc)
+    # mirrors ops/textstats.py::cooccurrence_topk's enforced per-doc
+    # distinct-token bound bit-for-bit
     oracles["text_cooccurrence_topk"] = """
-        WITH dt AS (SELECT DISTINCT doc_id, tok FROM
-          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY 1, 2),
+        dt AS (SELECT doc_id, tok FROM tf
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tf DESC, tok ASC) <= 1000),
         p AS (SELECT a.tok AS token_a, b.tok AS token_b, count(*) AS n_docs
               FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
               GROUP BY 1, 2)

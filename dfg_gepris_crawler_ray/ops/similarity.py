@@ -185,14 +185,43 @@ def knn_brute(sf_dir: str, query_ids=(0, 1, 2, 3, 4), k: int = 10) -> pa.Table:
     return _merge_topk(partials, query_ids, k)
 
 
+def _reduce_centroid_partials(partials_ds, fanin: int = 8):
+    """Distributed ADD-merge of per-batch (centroid_id, vec_sum, count)
+    partial rows before the driver read: coalesce into ``fanin`` blocks
+    and sum per centroid inside each, so the driver collects
+    ≤ fanin × n_centroids rows regardless of input block count (the raw
+    partials are n_centroids rows per *batch* — linear in block count;
+    at 10^10 vectors / 4096-row batches that is millions of rows per
+    iteration). Mirrors the ``textstats`` CMS-grid pre-reduce."""
+    import pandas as pd
+
+    def block_addmerge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        out = {"centroid_id": [], "vec_sum": [], "count": []}
+        for cid, grp in df.groupby("centroid_id", sort=True):
+            out["centroid_id"].append(cid)
+            out["vec_sum"].append(np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0))
+            out["count"].append(int(grp["count"].sum()))
+        return pd.DataFrame(out)
+
+    return (
+        partials_ds.repartition(fanin)
+        .map_batches(block_addmerge, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def spherical_kmeans(
     sf_dir: str, n_centroids: int = 16, n_iters: int = 3
 ) -> np.ndarray:
     """Distributed spherical k-means over the embeddings table:
     centroids broadcast per iteration, per-batch partial (sum, count)
-    accumulators inside ``map_batches``, tiny driver reduce
-    (n_centroids rows per batch — bounded, never the vectors).
-    Deterministic init: the ``n_centroids`` lowest vec_ids."""
+    accumulators inside ``map_batches``, fanin-bounded distributed
+    ADD-merge (:func:`_reduce_centroid_partials`), then a tiny driver
+    reduce over ≤ fanin × n_centroids rows — driver I/O is independent
+    of block count. Deterministic init: the ``n_centroids`` lowest
+    vec_ids."""
     cent = _load_queries(sf_dir, list(range(n_centroids)))
     cent = cent / np.clip(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12, None)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -216,7 +245,9 @@ def spherical_kmeans(
                 }
             )
 
-        agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+        agg = _reduce_centroid_partials(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        )
         new_cent = cent.copy()
         for cid, grp in agg.groupby("centroid_id"):
             total = int(grp["count"].sum())

@@ -1197,7 +1197,7 @@ def cms_token_counts(sf_dir: str, width: int = 4096) -> pa.Table:
 
 
 def cooccurrence_topk(
-    sf_dir: str, k: int = 50, num_buckets: int = 64
+    sf_dir: str, k: int = 50, num_buckets: int = 64, max_doc_tokens: int = 1000
 ) -> pa.Table:
     """(token_a, token_b, n_docs) — the ``k`` most frequent co-occurring
     token pairs (both tokens in the same document, token_a < token_b),
@@ -1205,13 +1205,18 @@ def cooccurrence_topk(
     corpus-statistics op behind PMI features and phrase detection.
 
     Shape: per batch, DISTINCT (doc, token) rows self-merge per doc —
-    all vectorized pandas — into per-batch pair counts (bounded by
-    batch_docs × vocab²_doc, the classic pair explosion; a real-vocab
-    corpus caps per-doc distinct tokens first, the inverted-index hub
-    rule); then ONE pair-hash keyed exchange sums partials, each
-    bucket prunes to its local top-k, and the driver merges
-    ≤ buckets·k rows. n_docs counts DOCUMENTS containing the pair
-    (not occurrences) so the SQL oracle is a plain distinct self-join.
+    all vectorized pandas — into per-batch pair counts. The classic
+    pair explosion (vocab²_doc intermediate rows per doc) is ENFORCED
+    bounded by ``max_doc_tokens``: only each document's top-N distinct
+    tokens by (tf desc, token asc) enter the self-merge — the
+    inverted-index hub rule — so one pathological 50k-distinct-token
+    document costs ≤ N²/2 rows, never 1.25G. The SQL oracle applies the
+    identical cap (same deterministic tie-break) so results match
+    bit-for-bit even when the cap is active. Then ONE pair-hash keyed
+    exchange sums partials, each bucket prunes to its local top-k, and
+    the driver merges ≤ buckets·k rows. n_docs counts DOCUMENTS
+    containing the pair (not occurrences) so the SQL oracle is a plain
+    distinct self-join over the capped token set.
     """
     import pyarrow.parquet as pq
 
@@ -1224,7 +1229,14 @@ def cooccurrence_topk(
     )
 
     def pair_partials(batch: pa.Table) -> pd.DataFrame:
-        tf = _tf_rows(batch).to_pandas()[["doc_id", "token"]]
+        tf = _tf_rows(batch).to_pandas()
+        # hub rule: cap per-doc distinct tokens BEFORE the self-merge
+        # (tf desc, token asc — mirrored verbatim in the SQL oracle)
+        tf = tf.sort_values(
+            ["doc_id", "tf", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        tf = tf.groupby("doc_id", sort=False).head(max_doc_tokens)[["doc_id", "token"]]
         m = tf.merge(tf, on="doc_id")
         m = m[m["token_x"] < m["token_y"]]
         out = m.groupby(["token_x", "token_y"], as_index=False).size()

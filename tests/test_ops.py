@@ -187,6 +187,38 @@ def test_knn_ivf_recall_vs_brute():
     assert sum(recalls) / len(recalls) >= 0.5  # 3/8 lists probed
 
 
+def test_kmeans_partials_prereduce_bounded():
+    """The k-means (sum, count) partial funnel is fanin-bounded: the
+    driver collects ≤ fanin × n_centroids rows regardless of input
+    block count, and the ADD-merge preserves totals exactly."""
+    import pandas as pd
+    import ray.data
+
+    from dfg_gepris_crawler_ray.ops.similarity import _reduce_centroid_partials
+
+    n_centroids, n_blocks, fanin, d = 8, 40, 8, 4
+    blocks = []
+    for b in range(n_blocks):
+        blocks.append(
+            pd.DataFrame(
+                {
+                    "centroid_id": np.arange(n_centroids, dtype=np.int64),
+                    "vec_sum": [np.full(d, float(b + 1)) for _ in range(n_centroids)],
+                    "count": np.full(n_centroids, b + 1, dtype=np.int64),
+                }
+            )
+        )
+    ds = ray.data.from_pandas(blocks)
+    agg = _reduce_centroid_partials(ds, fanin=fanin)
+    assert len(agg) <= fanin * n_centroids
+    expect = sum(range(1, n_blocks + 1))
+    per_cid = agg.groupby("centroid_id")
+    assert (per_cid["count"].sum() == expect).all()
+    for _, grp in per_cid:
+        s = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)
+        assert np.allclose(s, np.full(d, float(expect)))
+
+
 def test_hll_approx_distinct_within_error():
     import duckdb
 
@@ -2204,8 +2236,12 @@ def test_q5_window_distinct_cooccurrence_match_duckdb():
 
     co = cooccurrence_topk(SF).to_pandas().reset_index(drop=True)
     want3 = con.execute("""
-        WITH dt AS (SELECT DISTINCT doc_id, tok FROM
-          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY 1, 2),
+        dt AS (SELECT doc_id, tok FROM tf
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tf DESC, tok ASC) <= 1000),
         p AS (SELECT a.tok AS token_a, b.tok AS token_b, count(*) AS n_docs
               FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
               GROUP BY 1, 2)
@@ -2213,3 +2249,57 @@ def test_q5_window_distinct_cooccurrence_match_duckdb():
         ORDER BY n_docs DESC, token_a, token_b LIMIT 50
     """).fetchdf()
     assert co.astype({"n_docs": "int64"}).equals(want3.astype({"n_docs": "int64"}))
+
+
+def test_cooccurrence_hub_doc_cap_bounded(tmp_path):
+    """One synthetic hub document with far more distinct tokens than
+    ``max_doc_tokens``: the enforced cap keeps the self-merge's
+    intermediate pair count at N·(N-1)/2 instead of vocab²/2, and the
+    output matches a DuckDB oracle applying the identical cap with the
+    identical (tf desc, token asc) tie-break."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.textstats import cooccurrence_topk
+
+    cap = 10
+    # hub doc: tokens h00..h49, token h{i} repeated (50 - i) times so
+    # the tf-desc tie-break deterministically keeps h00..h09
+    hub = " ".join(" ".join([f"h{i:02d}"] * (50 - i)) for i in range(50))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array([hub, "a b c a", "b c d"], type=pa.string()),
+            "lang": pa.array(["en", "en", "en"], type=pa.string()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    out = cooccurrence_topk(str(tmp_path), k=200, max_doc_tokens=cap).to_pandas()
+    # every surviving hub pair is within the top-`cap` tokens by tf
+    hub_toks = {f"h{i:02d}" for i in range(cap)}
+    hub_pairs = out[out["token_a"].str.startswith("h")]
+    assert set(hub_pairs["token_a"]) | set(hub_pairs["token_b"]) <= hub_toks
+    assert len(hub_pairs) == cap * (cap - 1) // 2  # 45, not 1225
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.execute(f"""
+        WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY 1, 2),
+        dt AS (SELECT doc_id, tok FROM tf
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tf DESC, tok ASC) <= {cap}),
+        p AS (SELECT a.tok AS token_a, b.tok AS token_b, count(*) AS n_docs
+              FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2)
+        SELECT token_a, token_b, n_docs FROM p
+        ORDER BY n_docs DESC, token_a, token_b LIMIT 200
+    """).fetchdf()
+    assert out.reset_index(drop=True).astype({"n_docs": "int64"}).equals(
+        want.astype({"n_docs": "int64"})
+    )
