@@ -47,6 +47,7 @@ def run_details_extraction(
     strict: bool = False,
     politeness=None,
     mode: str = "clustered",
+    redo_cap: int = 100_000,
 ) -> "ray.data.Dataset":
     """Extract items for all (or the frontier-selected) entities.
 
@@ -68,8 +69,18 @@ def run_details_extraction(
       by the hashed canonical entity key (``bucket``); correct for any
       corpus layout.
 
+    ``redo_cap``: clustered-mode safety valve — the conflict-key set
+    (entities split across block interiors, empty on a clustered
+    corpus) is only ever collected to the driver when its DISTRIBUTED
+    count is ≤ this bound; past it the layout is adversarial, the
+    clustered fast path has no edge left, and the run falls back to
+    ``mode="shuffle"`` wholesale. Driver memory is therefore bounded
+    by ``redo_cap`` keys on ANY layout, never corpus cardinality.
+
     Returns a Dataset of item rows (stages.extract_stage.RESULT_SCHEMA).
     """
+    if frontier_keys is not None:
+        frontier_keys = set(frontier_keys)
     ds = read_pages(pages_dir, kinds=DETAIL_KINDS)
     ds = annotate_pages(ds, num_buckets=num_buckets)
     ds = filter_detail_pages(ds)
@@ -132,13 +143,29 @@ def run_details_extraction(
     # fixed cost per INPUT block, and the clustered extract emits one
     # tiny partial block per corpus block (measured at sf0.1×256:
     # 4,000 input blocks → 59 s shuffle; repartition(64) first → 3.7 s)
-    redo_rows = (
+    conflicts = (
         combined.map_batches(status_partial, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(64)
         .groupby("rbucket")
         .map_groups(bucket_conflicts, batch_format="pandas")
-        .take_all()
+        .materialize()  # stays in the object store; driver sees a count
     )
+    n_conflicts = conflicts.count()
+    if n_conflicts > redo_cap:
+        # Adversarial layout: more split entities than the broadcast
+        # redo path may hold on the driver. The clustered fast path has
+        # already lost its edge here, so degrade safely to the general
+        # keyed exchange for the WHOLE corpus — no driver-side key set
+        # at any cardinality.
+        return run_details_extraction(
+            pages_dir,
+            frontier_keys=frontier_keys,
+            num_buckets=num_buckets,
+            strict=strict,
+            politeness=politeness,
+            mode="shuffle",
+        )
+    redo_rows = conflicts.take_all()  # ≤ redo_cap rows by the gate above
     redo_keys = {(r["context"], r["id"]) for r in redo_rows}
 
     if redo_keys:

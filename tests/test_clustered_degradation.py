@@ -68,3 +68,37 @@ def test_clustered_mode_correct_on_shuffled_corpus(shuffled_pages, ray_session):
     got = _items(shuffled_pages, "clustered", ray_session)
     key = lambda df: sorted(zip(df["id"], df["context"], df["status"], df["item"].fillna("")))
     assert key(got) == key(truth)
+
+
+def test_clustered_redo_cap_falls_back_to_shuffle(shuffled_pages, ray_session):
+    """Past ``redo_cap`` conflicting keys the clustered path must NOT
+    collect the conflict set to the driver — it degrades wholesale to
+    the layout-immune shuffle exchange. With ``redo_cap=0`` every
+    conflict (and the adversarially permuted corpus produces many)
+    triggers the fallback, and the output is still byte-identical to
+    ground truth."""
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    truth = _items(ensure_pages(SF), "shuffle", ray_session)
+    got = run_details_extraction(
+        shuffled_pages, num_buckets=8, mode="clustered", redo_cap=0
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["id"], df["context"], df["status"], df["item"].fillna("")))
+    assert key(got) == key(truth)
+
+
+def test_clustered_redo_cap_not_triggered_on_clustered_corpus(ray_session):
+    """On a properly clustered corpus the conflict count is zero, so
+    ``redo_cap=0`` never triggers the fallback and the fast path's
+    output is unchanged."""
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    src = ensure_pages(SF)
+    base = _items(src, "clustered", ray_session)
+    capped = run_details_extraction(
+        src, num_buckets=8, mode="clustered", redo_cap=0
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["id"], df["context"], df["status"], df["item"].fillna("")))
+    assert key(capped) == key(base)
