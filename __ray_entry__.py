@@ -1943,7 +1943,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT token_a, token_b, n_docs FROM p
         ORDER BY n_docs DESC, token_a, token_b LIMIT 50
     """
-    # Q5 star join, revenue as integer ten-thousandths
+    # Q5 star join, revenue as integer ten-thousandths; full Q5
+    # contract incl. the one-year order-date window (1996 — the
+    # synthetic corpus spans 1995–2001)
     oracles["rel_q5_nation_revenue"] = """
         SELECT n_name,
                SUM(CAST(round(l_extendedprice*100) AS BIGINT)
@@ -1954,6 +1956,8 @@ def oracle_sql() -> dict[str, str]:
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
           AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
           AND r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
     """
     # EXISTS semi-join + its bloom-pushdown route (shared oracle)

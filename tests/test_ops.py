@@ -2214,6 +2214,8 @@ def test_q5_window_distinct_cooccurrence_match_duckdb():
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
           AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
           AND r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY n_name
     """).fetchdf()
     assert q5.astype({"revenue_x10000": "int64"}).equals(
