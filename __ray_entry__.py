@@ -46,6 +46,27 @@ def _pages(sf_dir: str) -> str:
     return ensure_pages(sf_dir)
 
 
+_STAGE_DIR = "/tmp/gepris_oracle_stage"
+
+
+def _stage_truth(name: str, df: pd.DataFrame) -> None:
+    """Publish brute-kernel ground truth for a non-SQL-expressible op
+    as a parquet table that the matching ``oracle_sql()`` statement
+    reads back with ``read_parquet()`` — graduating the op from a
+    rows-only record to a full value-hash check. The truth is computed
+    DRIVER-SIDE by the same single-process brute kernels the pytests
+    pin against (never through the Ray op under test), and the
+    query callable always stages before returning, matching the
+    gate's query-then-oracle execution order. Atomic tmp+rename so a
+    concurrent reader never sees a torn file."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(_STAGE_DIR, exist_ok=True)
+    tmp = os.path.join(_STAGE_DIR, f".{name}.tmp.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(_STAGE_DIR, f"{name}.parquet"))
+
+
 def _crawl_items(sf_dir: str):
     """Run (once per sf_dir) the full details extraction; cached."""
     if sf_dir not in _ITEMS_CACHE:
@@ -1043,8 +1064,52 @@ def _q_corpus_funnel(sf_dir: str):
 def _q_host_boilerplate(sf_dir: str):
     """Per-page boilerplate-removal tallies (ops/boilerplate.py):
     two page scans, one model-sized (host × template-segment) keyed
-    exchange, verdict broadcast."""
-    from dfg_gepris_crawler_ray.ops.boilerplate import host_boilerplate
+    exchange, verdict broadcast. Value-checked: the segment census is
+    deterministic over the generated pages, so the single-process
+    Counter brute (the test_ops pin) is staged as the oracle's truth
+    table."""
+    import glob
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.boilerplate import (
+        _host_of,
+        _page_segments,
+        _seg_hash64,
+        host_boilerplate,
+    )
+
+    pages: list = []
+    for f in sorted(glob.glob(_pages(sf_dir) + "/*.parquet")):
+        t = pq.read_table(f, columns=["url", "html"])
+        pages += list(zip(t.column("url").to_pylist(), t.column("html").to_pylist()))
+    seg_pages: Counter = Counter()
+    totals: Counter = Counter()
+    for url, html in pages:
+        host = _host_of(url)
+        totals[host] += 1
+        for h in {_seg_hash64(s) for s in _page_segments(html)}:
+            seg_pages[(host, h)] += 1
+    boiler = defaultdict(set)
+    for (host, h), n in seg_pages.items():
+        if n >= 0.5 * totals[host]:
+            boiler[host].add(h)
+    rows = []
+    for url, html in pages:
+        host = _host_of(url)
+        segs = _page_segments(html)
+        is_b = [_seg_hash64(s) in boiler[host] for s in segs]
+        rows.append(
+            {
+                "url": url,
+                "host": host,
+                "n_segments": len(segs),
+                "n_boilerplate": sum(is_b),
+                "content_bytes": sum(len(s) for s, b in zip(segs, is_b) if not b),
+            }
+        )
+    _stage_truth("crawl_host_boilerplate", pd.DataFrame(rows))
 
     return host_boilerplate(sf_dir)
 
@@ -1073,8 +1138,51 @@ def _q_recrawl_schedule(sf_dir: str):
 def _q_bpe_learned_tokens(sf_dir: str):
     """Token counts under a corpus-trained BPE tokenizer (ops/bpe.py):
     one distributed word-histogram shuffle, vocab-sized driver merge
-    loop, broadcast ranks, memoized distributed apply."""
-    from dfg_gepris_crawler_ray.ops.bpe import bpe_token_counts
+    loop, broadcast ranks, memoized distributed apply. Value-checked:
+    the learned merges are deterministic given the corpus, so a
+    single-process training-order REPLAY encoding (the test_ops
+    independent path, not the op's rank-based ``encode_word``) over a
+    driver-side word scan is staged as the oracle's truth table."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.bpe import EOW, bpe_token_counts, train_bpe
+
+    merges = train_bpe(sf_dir, n_merges=32)
+
+    def replay_len(word: str) -> int:
+        seq = list(word) + [EOW]
+        for a, b in merges:  # training-order replay — independent path
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq)
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cache: dict[str, int] = {}
+    doc_ids, n_words, n_tokens = [], [], []
+    for d, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        words = [w for w in text.split(" ") if w]
+        total = 0
+        for w in words:
+            t = cache.get(w)
+            if t is None:
+                t = cache[w] = replay_len(w)
+            total += t
+        doc_ids.append(int(d))
+        n_words.append(len(words))
+        n_tokens.append(total)
+    _stage_truth(
+        "text_bpe_learned_tokens",
+        pd.DataFrame(
+            {"doc_id": doc_ids, "n_words": n_words, "n_bpe_tokens": n_tokens}
+        ).astype("int64"),
+    )
 
     return bpe_token_counts(sf_dir)
 
@@ -1143,8 +1251,31 @@ def _q_frontier_pagerank(sf_dir: str):
 
 def _q_cdc_chunks(sf_dir: str):
     """Per-doc CDC chunk share report (ops/cdc.py) — Gear-hash
-    boundaries, one chunk-hash exchange; rows-only gate."""
-    from dfg_gepris_crawler_ray.ops.cdc import cdc_chunk_stats
+    boundaries, one chunk-hash exchange. Value-checked: the chunk
+    spans are a deterministic function of the text bytes, so the
+    single-process brute census (the test_ops pin) is staged as the
+    oracle's truth table."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.cdc import _doc_chunks, cdc_chunk_stats
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows: list = []
+    for d, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        rows += _doc_chunks(int(d), text.encode())
+    df = pd.DataFrame(rows, columns=["h", "doc_id", "idx", "length"]).sort_values(
+        ["h", "doc_id", "idx"], kind="mergesort"
+    )
+    df["dup"] = df.duplicated("h", keep="first")
+    truth = (
+        df.groupby("doc_id")
+        .agg(n_chunks=("h", "size"), n_dup_chunks=("dup", "sum"))
+        .reset_index()
+    )
+    truth["dup_bytes"] = (
+        df.assign(db=df["length"] * df["dup"]).groupby("doc_id")["db"].sum().values
+    )
+    _stage_truth("text_cdc_chunks", truth.astype("int64"))
 
     out = cdc_chunk_stats(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1976,6 +2107,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT tok AS token, count(*) AS est_count
         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         GROUP BY tok
+    """
+    # Staged-truth oracles: for deterministic ops whose kernel is not
+    # expressible in ANSI SQL (Gear rolling hash, BPE merge loop,
+    # binary HTML segmentation), the query callable stages a brute
+    # single-process census (the same independent kernels the pytests
+    # pin against — never the Ray op's own output) under
+    # /tmp/gepris_oracle_stage, and the oracle reads it back. The gate
+    # runs the query before its oracle, so the file always reflects
+    # the sf under test.
+    oracles["text_cdc_chunks"] = f"""
+        SELECT doc_id, n_chunks, n_dup_chunks, dup_bytes
+        FROM read_parquet('{_STAGE_DIR}/text_cdc_chunks.parquet')
+    """
+    oracles["text_bpe_learned_tokens"] = f"""
+        SELECT doc_id, n_words, n_bpe_tokens
+        FROM read_parquet('{_STAGE_DIR}/text_bpe_learned_tokens.parquet')
+    """
+    oracles["crawl_host_boilerplate"] = f"""
+        SELECT url, host, n_segments, n_boilerplate, content_bytes
+        FROM read_parquet('{_STAGE_DIR}/crawl_host_boilerplate.parquet')
     """
     oracles["rel_window_distinct_users"] = """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
