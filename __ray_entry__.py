@@ -995,6 +995,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distinct users per window (dedup-then-count exchange —
         # the aggregate that does not pre-reduce with plain partials)
         "rel_window_distinct_users": relational.window_distinct_users,
+        # HLL route for ultra-wide windows: one 4 KB register row per
+        # (block, window, type) — exchange volume independent of user
+        # cardinality (rows-only gate; 6σ error bound pinned in pytest
+        # test_window_distinct_hll_route_error_bound)
+        "rel_window_distinct_hll": lambda sf: relational.window_distinct_users(
+            sf, route="hll"
+        ),
         # Count-Min sketch point frequencies (128 KB mergeable grid,
         # NO keyed exchange; exact regime at default width → full
         # oracle, ε-bound pinned separately at adversarial width)

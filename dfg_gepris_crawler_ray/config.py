@@ -57,6 +57,15 @@ class CrawlerConfig:
     num_buckets: int = 64
     num_shards: int = 8
     seen_mode: str = "exact"  # "exact" | "bloom"
+    #: Ray Data shuffle backend for every keyed exchange (groupby /
+    #: repartition). None = Ray's default (sort, pull-based). On a real
+    #: multi-node cluster "hash_shuffle" avoids the full sort and keeps
+    #: reducers pinned; it is NOT the default because Ray 2.49's hash
+    #: shuffle can hang under address="local" (BASELINE.md note) — the
+    #: flag exists so a cluster deployment switches strategies with a
+    #: config change, zero code changes.
+    shuffle_strategy: str | None = None  # None | "hash_shuffle" |
+    # "sort_shuffle_pull_based" | "sort_shuffle_push_based"
 
     def make_politeness(self):
         """Build the run-time gate this config describes (None when
@@ -70,6 +79,34 @@ class CrawlerConfig:
             min_delay_ms=self.min_delay_ms,
             robots=self.robots if self.obey_robots else {},
         )
+
+    def apply_shuffle_strategy(self) -> str:
+        """Install ``shuffle_strategy`` on the ambient
+        :class:`ray.data.context.DataContext` so every keyed exchange
+        (groupby / map_groups / aggregate / repartition) in pipelines
+        built afterwards uses it. Returns the strategy now in effect.
+
+        DataContext is per-driver ambient state — setting it once here
+        covers all exchanges without threading a parameter through
+        every operator, the same way the reference's settings.py
+        globally configures Scrapy's scheduler.
+        """
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        if self.shuffle_strategy is not None:
+            valid = {
+                "hash_shuffle": ShuffleStrategy.HASH_SHUFFLE,
+                "sort_shuffle_pull_based": ShuffleStrategy.SORT_SHUFFLE_PULL_BASED,
+                "sort_shuffle_push_based": ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED,
+            }
+            if self.shuffle_strategy not in valid:
+                raise ValueError(
+                    f"unknown shuffle_strategy {self.shuffle_strategy!r}; "
+                    f"expected one of {sorted(valid)}"
+                )
+            ctx.shuffle_strategy = valid[self.shuffle_strategy]
+        return str(ctx.shuffle_strategy)
 
 
 class StageRegistry:

@@ -959,27 +959,83 @@ def order_rollup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def window_distinct_users(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
-    """(window_start, event_type, distinct_users) — exact distinct
-    users per tumbling 1-hour window per event type.
+def window_distinct_users(
+    sf_dir: str, num_buckets: int = 64, route: str = "exact", p: int = 12
+) -> "ray.data.Dataset":
+    """(window_start, event_type, distinct_users) — distinct users per
+    tumbling 1-hour window per event type.
 
     Distinct-count is the aggregate that does NOT pre-reduce with
     plain partials (two batches may share users), so the shape differs
-    from ``hourly_event_stats``: per batch, project to DEDUPED
-    (window, event_type, user_id) triples (the only thing that must
-    travel), then ONE window-hash keyed exchange where each group
-    counts uniques vectorized. Exchange volume is bounded by distinct
-    triples, not events — the batch-level dedup already collapses
-    hot users. At 10^12 events the exact form stays viable as long as
-    distinct (window, user) fits the cluster; beyond that the HLL
-    sketch (``textstats.approx_distinct_tokens``'s registers) is the
-    documented fallback.
+    from ``hourly_event_stats``. Two routes:
+
+    - ``"exact"``: per batch, project to DEDUPED
+      (window, event_type, user_id) triples (the only thing that must
+      travel), then ONE window-hash keyed exchange where each group
+      counts uniques vectorized. Exchange volume is bounded by distinct
+      triples, not events — the batch-level dedup already collapses
+      hot users. At 10^12 events the exact form stays viable as long
+      as distinct (window, user) fits the cluster.
+    - ``"hll"``: for ultra-wide windows where even the deduped triples
+      would dominate the exchange, each batch emits ONE HyperLogLog
+      register row (2^p bytes) per (window, event_type) it touches —
+      exchange volume is blocks × windows × types × 2^p bytes,
+      INDEPENDENT of user cardinality — then a keyed max-merge +
+      estimate. Shares the register/estimator kernels with
+      ``textstats.approx_distinct_tokens``; error ≈ 1.04/sqrt(2^p)
+      (~1.6% at p=12), pinned against the exact route in pytest.
     """
     import ray
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
     )
+
+    if route == "hll":
+        from ..kernels.hashing import splitmix64
+        from .textstats import _hll_estimate, _hll_registers
+
+        def hll_partial(batch: pa.Table) -> pd.DataFrame:
+            hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+            df = pd.DataFrame(
+                {
+                    "window_start": hour.to_pandas(),
+                    "event_type": batch.column("event_type").to_pylist(),
+                    "_uh": splitmix64(
+                        batch.column("user_id")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.uint64)
+                    ),
+                }
+            )
+            rows: list[tuple] = []
+            for (w, et), g in df.groupby(["window_start", "event_type"], sort=False):
+                regs = _hll_registers(np.unique(g["_uh"].to_numpy()), p)
+                rows.append((w, et, regs.tobytes()))
+            return pd.DataFrame(
+                rows, columns=["window_start", "event_type", "registers"]
+            )
+
+        def merge_estimate(g: pd.DataFrame) -> pd.DataFrame:
+            acc: np.ndarray | None = None
+            for blob in g["registers"]:
+                r = np.frombuffer(blob, dtype=np.uint8)
+                acc = r.copy() if acc is None else np.maximum(acc, r)
+            return pd.DataFrame(
+                {
+                    "window_start": [g["window_start"].iloc[0]],
+                    "event_type": [g["event_type"].iloc[0]],
+                    "distinct_users": np.asarray([_hll_estimate(acc)], dtype=np.int64),
+                }
+            )
+
+        return (
+            ds.map_batches(hll_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["window_start", "event_type"])
+            .map_groups(merge_estimate, batch_format="pandas")
+        )
+    if route != "exact":
+        raise ValueError(f"unknown window-distinct route {route!r}")
 
     def triples(batch: pa.Table) -> pd.DataFrame:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")

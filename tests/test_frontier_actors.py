@@ -270,3 +270,82 @@ def test_politeness_shard_adaptive_accounting(ray_session):
     assert delays["h"] == 0.002  # clamped to max
     counts = ray.get(shard.counts.remote())
     assert counts["h"] == 3
+
+
+def test_seen_filter_cuckoo_churn_no_false_negatives(ray_session):
+    """Property churn (VERDICT r3 #8): >10^5 random add/delete/contains
+    key-ops against a set model at >0.9 shard load factor, then a
+    forced saturation phase that exhausts eviction chains. Contract
+    under test: every key whose add() reported NEW and that has not
+    been deleted since is contains()-present — including after
+    over-capacity raises, which is exactly what the victim slot
+    guarantees (interrupted batches are quarantined as indeterminate,
+    the caller-continues scenario)."""
+    rng = np.random.default_rng(0xC0C0)
+    # 1024 buckets × 8 slots per shard: this geometry saturates near
+    # 0.968 (measured), so a 0.92 churn plateau has headroom while the
+    # final phase can still drive chains to exhaustion.
+    f = SeenFilter(num_shards=4, mode="cuckoo", cuckoo_buckets=1 << 10, cuckoo_slots=8)
+    capacity = 4 * (1 << 10) * 8
+    universe = np.array([f"churn/{i}" for i in range(int(capacity * 1.3))])
+    model: set[str] = set()
+    unknown: set[str] = set()  # batches interrupted by over-capacity
+    checked = 0
+
+    def try_add(keys: list[str]) -> bool:
+        nonlocal checked
+        checked += len(keys)
+        try:
+            novel = f.add(keys)
+        except RuntimeError:  # over capacity mid-batch: insertions
+            unknown.update(keys)  # up to the raise DID land
+            return False
+        model.update(k for k, n in zip(keys, novel) if n and k not in unknown)
+        return True
+
+    # phase 1: fill to >0.9 global load factor
+    fill_order = rng.permutation(universe)
+    i = 0
+    while len(model) < int(capacity * 0.92) and i < len(fill_order):
+        try_add(fill_order[i : i + 256].tolist())
+        i += 256
+    assert len(model) >= int(capacity * 0.9)
+
+    # phase 2: balanced churn at the plateau
+    for _ in range(300):
+        live = np.array(sorted(model))
+        victims = rng.choice(live, size=64, replace=False)
+        removed = f.delete(victims.tolist())
+        assert removed.all()  # model keys are physically resident
+        model.difference_update(victims.tolist())
+        fresh = [
+            k
+            for k in rng.choice(universe, size=96, replace=False).tolist()
+            if k not in model and k not in unknown
+        ][:64]
+        try_add(fresh)
+        probe = rng.choice(universe, size=192, replace=False).tolist()
+        present = f.contains(probe)
+        for k, p in zip(probe, present):
+            if k in model:
+                assert p, f"false negative for live key {k}"
+        checked += len(victims) + len(probe)
+    assert checked > 100_000
+
+    # phase 3: force eviction-chain exhaustion (victim slot engages)
+    saturation_failures = 0
+    for j in range(0, len(universe), 256):
+        batch = [k for k in universe[j : j + 256].tolist() if k not in model]
+        if batch and not try_add(batch):
+            saturation_failures += 1
+            if saturation_failures >= 4:
+                break
+    assert saturation_failures >= 1  # chains DID exhaust
+    # the no-false-negative contract survives: every definitely-live
+    # key is still present after the over-capacity raises
+    live = sorted(model)
+    for j in range(0, len(live), 4096):
+        assert f.contains(live[j : j + 4096]).all()
+    # deleting live keys frees capacity and delete still reports True
+    sample = rng.choice(np.array(live), size=512, replace=False).tolist()
+    assert f.delete(sample).all()
