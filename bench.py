@@ -145,12 +145,84 @@ def _frontier_scale():
     print(json.dumps(out))
 
 
+def _search_scale():
+    """Evidence for the search lifecycle at frontier scale (VERDICT r3
+    #7): ``run_search_ds`` (J2 upsert + J6 mark_not_found through the
+    bucketed Dataset-resident state machine) against a synthetic 10^7-
+    key state table. No driver-side observation list — the pandas-form
+    twin (runs.py run_search) stays budget-bounded by design."""
+    import resource
+    import tempfile
+
+    import ray
+
+    n_keys = int(os.environ.get("GRAFT_FRONTIER_KEYS", str(10_000_000)))
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import dfg_gepris_crawler_ray
+
+    dfg_gepris_crawler_ray.register_for_ray()
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.frontier import state as S
+    from dfg_gepris_crawler_ray.frontier.manifests import CrawlStore
+    from dfg_gepris_crawler_ray.pipelines.runs import run_search_ds
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF_DIR)
+
+    def to_state_rows(batch: dict) -> pd.DataFrame:
+        ids = batch["id"]
+        return pd.DataFrame(
+            {
+                "id": 1000 + ids,
+                "context": "projekt",
+                "last_available_seen": 1.0,
+                "last_available_change": 1.0,
+                "last_available_item": '{"seed":1}',
+                "last_detail_check": None,
+                "detail_check_needed": True,
+            }
+        )[list(S.STATE_COLUMNS)]
+
+    state_ds = ray.data.range(n_keys).map_batches(
+        to_state_rows, batch_format="numpy"
+    )
+    store = CrawlStore(tempfile.mkdtemp(prefix="gepris_search_scale_"))
+    store.save_table_ds("state", state_ds)
+
+    t0 = time.perf_counter()
+    r = run_search_ds(store, pages_dir, "projekt")
+    wall = round(time.perf_counter() - t0, 3)
+    peak_rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+    out = {
+        "mode": "search_scale",
+        "state_keys": n_keys,
+        "n_items": int(r["items"].count()),
+        "state_backend": r["manifest"]["state_backend"],
+        "wall_sec": wall,
+        "driver_peak_rss_mb": peak_rss_mb,
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 def main():
     if "--scaling" in sys.argv:
         _scaling()
         return
     if "--frontier-scale" in sys.argv:
         _frontier_scale()
+        return
+    if "--search-scale" in sys.argv:
+        _search_scale()
         return
 
     import ray
@@ -228,6 +300,23 @@ def main():
         samples.append(round(time.perf_counter() - t0, 3))
     timings["crawl_details"] = min(samples)
     n_items = items.count()
+
+    if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
+        # headline WITH the politeness gate active (VERDICT r3 #5): a
+        # high-budget gate (no delay binding) so what's measured is the
+        # actor-shard accounting overhead the reference's defining
+        # constraint adds to the flagship path, not throttle waits.
+        from dfg_gepris_crawler_ray.frontier.politeness import PolitenessGate
+
+        gate = PolitenessGate(num_shards=8, min_delay_ms=0.0)
+        polite_samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_details_extraction(
+                pages_dir, num_buckets=num_buckets, politeness=gate
+            ).materialize()
+            polite_samples.append(round(time.perf_counter() - t0, 3))
+        timings["crawl_details_polite"] = min(polite_samples)
 
     if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
         timed = lambda name, fn: None  # scaling runs use the headline only
