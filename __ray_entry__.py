@@ -995,6 +995,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distinct users per window (dedup-then-count exchange —
         # the aggregate that does not pre-reduce with plain partials)
         "rel_window_distinct_users": relational.window_distinct_users,
+        # sliding 3h/1h windows (tumbling/session/sliding family
+        # complete): window expansion AFTER the per-batch pre-aggregate
+        # so exchange rows are independent of event cardinality
+        "rel_sliding_window_counts": relational.sliding_window_counts,
         # HLL route for ultra-wide windows: one 4 KB register row per
         # (block, window, type) — exchange volume independent of user
         # cardinality (rows-only gate; 6σ error bound pinned in pytest
@@ -2139,6 +2143,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(DISTINCT user_id) AS distinct_users
         FROM events GROUP BY 1, 2
+    """
+    oracles["rel_sliding_window_counts"] = """
+        SELECT date_trunc('hour', ts) - to_hours(k) AS window_start,
+               event_type, count(*) AS n_events
+        FROM events CROSS JOIN (VALUES (0), (1), (2)) shifts(k)
+        GROUP BY 1, 2
     """
     oracles["crawl_recrawl_schedule"] = (
         "WITH " + _inventory_ctes + """,

@@ -1066,6 +1066,71 @@ def window_distinct_users(
     )
 
 
+def sliding_window_counts(
+    sf_dir: str, window_hours: int = 3, step_hours: int = 1, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(window_start, event_type, n_events) — event counts per SLIDING
+    window of ``window_hours`` advancing by ``step_hours`` (the overlap
+    generalisation of ``hourly_event_stats``'s tumbling windows; with
+    session_windows this completes the tumbling/session/sliding window
+    family). An event at hour h belongs to the windows starting at
+    h, h-step, …, h-(window-step) — each event contributes to exactly
+    window/step windows.
+
+    Shape: the window expansion happens INSIDE the per-batch partial
+    (groupby (window, type) count first, THEN expand the tiny partial
+    rows — never the raw events), so the keyed exchange carries
+    ≤ batches × hours × types × (window/step) count rows, independent
+    of event cardinality. One window-hash exchange sums partials.
+    """
+    import ray
+
+    if window_hours % step_hours:
+        raise ValueError("window_hours must be a multiple of step_hours")
+    n_shift = window_hours // step_hours
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        base = (
+            pd.DataFrame(
+                {
+                    "hour": hour.to_pandas(),
+                    "event_type": batch.column("event_type").to_pylist(),
+                }
+            )
+            .groupby(["hour", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        # expand the pre-aggregated rows (not the events) to the
+        # windows each hour falls into
+        parts = [
+            base.assign(
+                window_start=base["hour"] - pd.Timedelta(hours=s * step_hours)
+            )
+            for s in range(n_shift)
+        ]
+        out = pd.concat(parts, ignore_index=True)[["window_start", "event_type", "n"]]
+        epoch = out["window_start"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        return out.assign(_b=((epoch // 3600) % num_buckets).astype("int32"))
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["window_start", "event_type"], as_index=False)["n"].sum()
+        out.columns = ["window_start", "event_type", "n_events"]
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(bucket_sum, batch_format="pandas")
+    )
+
+
 def returned_orders_by_priority(
     sf_dir: str,
     route: str = "bucketed",
