@@ -349,3 +349,25 @@ def test_seen_filter_cuckoo_churn_no_false_negatives(ray_session):
     # deleting live keys frees capacity and delete still reports True
     sample = rng.choice(np.array(live), size=512, replace=False).tolist()
     assert f.delete(sample).all()
+
+
+def test_shard_positions_decorrelated_from_routing():
+    """Regression for the routing/position bit-share bug: all keys a
+    shard receives share their low log2(num_shards) hash bits (the
+    facade routes by h % K), so bucket/bit positions derived from
+    those bits would confine the shard to 1/K of its table. After the
+    remix, keys with identical low bits must still cover every cuckoo
+    bucket and all bloom bit-position residues."""
+    from dfg_gepris_crawler_ray.frontier.seen import SeenShard
+
+    Raw = SeenShard.__ray_metadata__.modified_class
+    # 5000 hashes, all ≡ 0 (mod 8): what shard 0 of 8 would receive
+    hashes = np.arange(5000, dtype=np.uint64) * np.uint64(8)
+
+    cuckoo = Raw(mode="cuckoo", cuckoo_buckets=1 << 7, cuckoo_slots=8)
+    _, i1, _ = cuckoo._cuckoo_fp_idx(hashes)
+    assert len(np.unique(i1)) == 128  # every i1 bucket reachable
+
+    bloom = Raw(mode="bloom", bloom_bits=1 << 12)
+    pos = bloom._positions(hashes)
+    assert len(np.unique(pos % np.uint64(8))) == 8  # low bits live again
