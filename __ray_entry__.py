@@ -995,10 +995,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distinct users per window (dedup-then-count exchange —
         # the aggregate that does not pre-reduce with plain partials)
         "rel_window_distinct_users": relational.window_distinct_users,
-        # sliding 3h/1h windows (tumbling/session/sliding family
-        # complete): window expansion AFTER the per-batch pre-aggregate
-        # so exchange rows are independent of event cardinality
-        "rel_sliding_window_counts": relational.sliding_window_counts,
+        # ordered funnel (view→click→purchase): step filter pushed
+        # into the scan, one user-hash exchange, per-bucket vectorized
+        # progression, buckets×steps partial rows to the final sum
+        "rel_funnel_steps": relational.funnel_steps,
         # HLL route for ultra-wide windows: one 4 KB register row per
         # (block, window, type) — exchange volume independent of user
         # cardinality (rows-only gate; 6σ error bound pinned in pytest
@@ -2144,11 +2144,21 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id) AS distinct_users
         FROM events GROUP BY 1, 2
     """
-    oracles["rel_sliding_window_counts"] = """
-        SELECT date_trunc('hour', ts) - to_hours(k) AS window_start,
-               event_type, count(*) AS n_events
-        FROM events CROSS JOIN (VALUES (0), (1), (2)) shifts(k)
-        GROUP BY 1, 2
+    oracles["rel_funnel_steps"] = """
+        WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+             t2 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+                    JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts
+                     AND e.ts <= t1.ts + INTERVAL 24 HOUR
+                    WHERE e.event_type = 'click' GROUP BY 1),
+             t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM events e
+                    JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts
+                     AND e.ts <= t2.ts + INTERVAL 24 HOUR
+                    WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT 1::BIGINT AS step_no, 'view' AS step,
+               (SELECT count(*) FROM t1) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+        UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
     """
     oracles["crawl_recrawl_schedule"] = (
         "WITH " + _inventory_ctes + """,

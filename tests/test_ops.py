@@ -2336,3 +2336,37 @@ def test_window_distinct_hll_route_error_bound():
     # group at this scale in a way that suggests it fell back to the
     # exact path: schema check is the meaningful part — int64 out
     assert approx["distinct_users"].dtype == np.int64
+
+
+def test_funnel_steps_matches_duckdb():
+    """Ordered time-boxed funnel: first-occurrence progression with a
+    24 h per-step conversion window — drop-off per step pinned against
+    the DuckDB chained-semi-join oracle (the gate checks this too)."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import funnel_steps
+
+    got = funnel_steps(SF).to_pandas().sort_values("step_no").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        WITH t1 AS (SELECT user_id, min(ts) ts
+                    FROM read_parquet('{SF}/events.parquet')
+                    WHERE event_type='view' GROUP BY 1),
+             t2 AS (SELECT e.user_id, min(e.ts) ts
+                    FROM read_parquet('{SF}/events.parquet') e
+                    JOIN t1 ON e.user_id=t1.user_id AND e.ts>t1.ts
+                     AND e.ts <= t1.ts + INTERVAL 24 HOUR
+                    WHERE e.event_type='click' GROUP BY 1),
+             t3 AS (SELECT e.user_id, min(e.ts) ts
+                    FROM read_parquet('{SF}/events.parquet') e
+                    JOIN t2 ON e.user_id=t2.user_id AND e.ts>t2.ts
+                     AND e.ts <= t2.ts + INTERVAL 24 HOUR
+                    WHERE e.event_type='purchase' GROUP BY 1)
+        SELECT 1 AS step_no, (SELECT count(*) FROM t1) AS n
+        UNION ALL SELECT 2, (SELECT count(*) FROM t2)
+        UNION ALL SELECT 3, (SELECT count(*) FROM t3) ORDER BY step_no
+    """).df()
+    assert got["n_users"].astype("int64").tolist() == want["n"].astype("int64").tolist()
+    assert got["step"].tolist() == ["view", "click", "purchase"]
+    # the windowed funnel must actually discriminate at this corpus
+    n = got["n_users"].tolist()
+    assert n[0] > n[1] > n[2] >= 0
