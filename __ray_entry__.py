@@ -995,6 +995,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distinct users per window (dedup-then-count exchange —
         # the aggregate that does not pre-reduce with plain partials)
         "rel_window_distinct_users": relational.window_distinct_users,
+        # daily retention matrix: deduped (user, day) pairs → one
+        # user-hash exchange → vectorized cohort/offset partials
+        "rel_retention_cohorts": relational.retention_cohorts,
         # ordered funnel (view→click→purchase): step filter pushed
         # into the scan, one user-hash exchange, per-bucket vectorized
         # progression, buckets×steps partial rows to the final sum
@@ -2143,6 +2146,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(DISTINCT user_id) AS distinct_users
         FROM events GROUP BY 1, 2
+    """
+    oracles["rel_retention_cohorts"] = """
+        WITH fw AS (SELECT user_id, date_trunc('day', min(ts)) AS cd
+                    FROM events GROUP BY 1),
+             act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                     FROM events)
+        SELECT fw.cd AS cohort_day,
+               date_diff('day', fw.cd, act.d) AS day_offset,
+               count(*) AS n_users
+        FROM act JOIN fw USING (user_id)
+        GROUP BY 1, 2
     """
     oracles["rel_funnel_steps"] = """
         WITH t1 AS (SELECT user_id, min(ts) AS ts FROM events

@@ -1135,6 +1135,61 @@ def funnel_steps(
     )
 
 
+def retention_cohorts(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """(cohort_day, day_offset, n_users) — the classic retention
+    matrix: users grouped by the day of their FIRST event, counted on
+    each later day they were active. With funnel_steps and
+    session_windows this rounds out the event-analytics family.
+
+    Shape: only DEDUPED (user, day) pairs leave each batch (hot users
+    collapse immediately — the same projection trick as
+    window_distinct_users), ONE user-hash exchange co-locates every
+    user's activity so the per-bucket first-day min is the global min,
+    offsets and partial (cohort, offset) counts are vectorized integer
+    arithmetic (Monday-free day indexing: epoch days, no calendar
+    lookups), and the final Sum sees ≤ buckets × cohorts × offsets
+    rows — independent of both event and user cardinality.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        days = batch.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+                "day": days,
+            }
+        ).drop_duplicates()
+        return df.assign(bucket=(df["user_id"] % num_buckets).astype("int32"))
+
+    def bucket_matrix(g: pd.DataFrame) -> pd.DataFrame:
+        df = g[["user_id", "day"]].drop_duplicates()
+        first = df.groupby("user_id")["day"].min().rename("cohort")
+        df = df.merge(first, left_on="user_id", right_index=True)
+        df["day_offset"] = (df["day"] - df["cohort"]).astype("int64")
+        out = df.groupby(["cohort", "day_offset"], as_index=False).size()
+        out.columns = ["cohort", "day_offset", "n_users"]
+        out["cohort_day"] = pd.to_datetime(out.pop("cohort"), unit="D")
+        return out[["cohort_day", "day_offset", "n_users"]].astype(
+            {"n_users": "int64"}
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_matrix, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
 def returned_orders_by_priority(
     sf_dir: str,
     route: str = "bucketed",

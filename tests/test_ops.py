@@ -2370,3 +2370,32 @@ def test_funnel_steps_matches_duckdb():
     # the windowed funnel must actually discriminate at this corpus
     n = got["n_users"].tolist()
     assert n[0] > n[1] > n[2] >= 0
+
+
+def test_retention_cohorts_matches_duckdb():
+    """Daily retention matrix pinned against the DuckDB first-day +
+    distinct-activity oracle (the gate checks this too)."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import retention_cohorts
+
+    got = (
+        retention_cohorts(SF)
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(f"""
+        WITH fw AS (SELECT user_id, date_trunc('day', min(ts)) cd
+                    FROM read_parquet('{SF}/events.parquet') GROUP BY 1),
+             act AS (SELECT DISTINCT user_id, date_trunc('day', ts) d
+                     FROM read_parquet('{SF}/events.parquet'))
+        SELECT fw.cd AS cohort_day, date_diff('day', fw.cd, act.d) AS day_offset,
+               count(*) AS n_users
+        FROM act JOIN fw USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert got["n_users"].astype("int64").tolist() == want["n_users"].astype("int64").tolist()
+    assert got["day_offset"].astype("int64").tolist() == want["day_offset"].astype("int64").tolist()
+    # discriminating at this sf: activity is sparse, so the matrix is
+    # not a constant column (the sf0.01 gate additionally has 2 cohorts)
+    assert got["n_users"].nunique() >= 2
