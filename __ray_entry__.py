@@ -995,6 +995,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distinct users per window (dedup-then-count exchange —
         # the aggregate that does not pre-reduce with plain partials)
         "rel_window_distinct_users": relational.window_distinct_users,
+        # ordered analytic window (SUM OVER PARTITION BY ... ORDER BY):
+        # user-hash exchange + per-group ordered cumsum, same addition
+        # order as the SQL frame so doubles match bit-for-bit
+        "rel_running_totals": relational.running_totals,
         # daily retention matrix: deduped (user, day) pairs → one
         # user-hash exchange → vectorized cohort/offset partials
         "rel_retention_cohorts": relational.retention_cohorts,
@@ -1016,6 +1020,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the reference graph (shared
         # min-label propagation; site-cluster crawl partitioning key)
         "crawl_components": _q_components,
+        # triangle census of the person co-participation projection
+        # (degree-oriented node-iterator, all stages keyed exchanges,
+        # no driver-resident degree map or edge set)
+        "crawl_triangles": _q_triangles,
         # link-importance crawl order (PageRank-ranked frontier head)
         "crawl_frontier_pagerank": _q_frontier_pagerank,
         # degree-based priority signal: top-k persons by inbound
@@ -1302,6 +1310,15 @@ def _q_components(sf_dir: str):
     from dfg_gepris_crawler_ray.ops.graph import reference_graph_components
 
     return reference_graph_components(sf_dir)
+
+
+def _q_triangles(sf_dir: str):
+    """Triangle census of the person co-participation projection
+    (ops/graph.py::person_projection_triangles) — the formula edge set
+    makes the 3-way self-join oracle exact."""
+    from dfg_gepris_crawler_ray.ops.graph import person_projection_triangles
+
+    return person_projection_triangles(sf_dir)
 
 
 def _q_lang_hist(sf_dir: str):
@@ -2026,6 +2043,32 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node, min(r) AS component_rep FROM reach GROUP BY node
     """
+    oracles["crawl_triangles"] = """
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        pp AS (
+          SELECT d.doc_id,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS p
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        e AS (SELECT DISTINCT x.p AS a, y.p AS b
+              FROM pp x JOIN pp y
+                ON x.doc_id = y.doc_id AND x.p < y.p),
+        deg AS (SELECT node, count(*) AS n FROM
+                  (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                GROUP BY 1),
+        wed AS (SELECT CAST(sum(n*(n-1)//2) AS BIGINT) AS w FROM deg),
+        tri AS (SELECT count(*) AS t
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        SELECT (SELECT count(*) FROM e) AS n_edges,
+               (SELECT w FROM wed) AS n_wedges,
+               (SELECT t FROM tri) AS n_triangles,
+               round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wed), 6)
+                 AS transitivity
+    """
     # in-degree top-k over the formula edge set
     oracles["crawl_inbound_topk"] = """
         WITH nd AS (SELECT count(*) AS n_docs FROM documents),
@@ -2146,6 +2189,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(DISTINCT user_id) AS distinct_users
         FROM events GROUP BY 1, 2
+    """
+    oracles["rel_running_totals"] = """
+        SELECT event_id, user_id,
+               SUM(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS running_value
+        FROM events
     """
     oracles["rel_retention_cohorts"] = """
         WITH fw AS (SELECT user_id, date_trunc('day', min(ts)) AS cd

@@ -335,3 +335,214 @@ def inbound_reference_topk(sf_dir: str, k: int = 25) -> "pa.Table":
             "n_inbound": pa.array(top["n"].to_numpy()),
         }
     )
+
+
+def person_projection_triangles(
+    sf_dir: str, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """One row: (n_edges, n_wedges, n_triangles, transitivity) over the
+    person co-participation graph (persons linked when they share a
+    projekt — the J9 projection a crawl scheduler clusters by; the raw
+    projekt→person graph is bipartite and trivially triangle-free).
+
+    Degree-ordered node-iterator (Schank–Wagner / Cohen's MapReduce
+    form), every stage a keyed exchange — NO driver-resident degree
+    map or edge set at any cardinality:
+
+    1. per-projekt person pairs (C(4,2)=6 per projekt, canonical
+       a<b, per-batch dedup) → pair-hash exchange → global dedup =
+       the undirected edge set E.
+    2. degree rows from both endpoints (per-batch partial counts) →
+       node-hash exchange → (node, deg); n_wedges = Σ C(deg, 2)
+       reduces distributed (per-bucket partial sums).
+    3. two tag-join exchanges attach deg(a), deg(b) to each edge,
+       then each edge orients low→high by (deg, id) — every node's
+       out-degree is O(√m), the classic wedge-explosion bound, which
+       is why the orientation uses DEGREES and not ids (a hub's id
+       order could emit deg² wedges).
+    4. out-adjacency groups by src; each group emits its
+       wedge pairs ((v, w) canonical by the same (deg, id) order,
+       vectorized triu) → wedges ∪ oriented-edges union-tag exchange
+       on the pair key → per bucket, wedges whose pair is an edge
+       close a triangle; partial counts Sum to one row.
+
+    Cites reference J9 (`database.py` reference views) for the
+    projection semantics; the count itself is a standard public
+    algorithm (Schank & Wagner 2005; Suri & Vassilvitskii WWW'11).
+    """
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ..kernels.hashing import stable_hash64_array
+    from ..kernels.partitioning import adaptive_buckets
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nb = adaptive_buckets(n_docs, requested=num_buckets)
+
+    def _pair_bucket(a: pd.Series, b: pd.Series) -> pd.Series:
+        h = stable_hash64_array(
+            [f"{x}\x00{y}" for x, y in zip(a.tolist(), b.tolist())]
+        )
+        return pd.Series((h % np.uint64(nb)).astype("int32"), index=a.index)
+
+    # 1. candidate pairs, deduped per batch
+    def pair_rows(batch) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        rows_a, rows_b = [], []
+        for d in ids:
+            ps = sorted({person_ref(d, k, n_docs) for k in (1, 2, 3, 4)})
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    rows_a.append(ps[i])
+                    rows_b.append(ps[j])
+        df = pd.DataFrame(
+            {"a": pd.Series(rows_a, dtype="int64"), "b": pd.Series(rows_b, dtype="int64")}
+        ).drop_duplicates()
+        return df.assign(_pb=_pair_bucket(df["a"], df["b"]))
+
+    edges = (
+        docs.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(
+            lambda g: g[["a", "b"]].drop_duplicates(), batch_format="pandas"
+        )
+        .materialize()
+    )
+    n_edges = edges.count()
+
+    # 2. degrees (node-hash exchange over per-batch partials)
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([df["a"], df["b"]], ignore_index=True)
+        g = nodes.value_counts().rename_axis("node").reset_index(name="n")
+        return g.assign(_b=(g["node"] % nb).astype("int32"))
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(
+            lambda g: g.groupby("node", as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n_wedges = int(
+        degrees.map_batches(
+            lambda df: pd.DataFrame(
+                {"w": [int((df["n"].to_numpy(dtype=np.int64) * (df["n"].to_numpy(dtype=np.int64) - 1) // 2).sum())]}
+            ),
+            batch_format="pandas",
+        ).aggregate(Sum("w", alias_name="w"))["w"]
+    )
+
+    # 3. attach degrees via two union-tag exchanges, then orient
+    def tag_edge_on(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.assign(_side="e", node=df[col])
+            return out.assign(_b=(out["node"] % nb).astype("int32"))
+        return fn
+
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"n": "deg"}).assign(_side="d")
+        return out.assign(_b=(out["node"] % nb).astype("int32"))
+
+    def join_deg(outcol):
+        def fn(g: pd.DataFrame) -> pd.DataFrame:
+            dmap = g[g["_side"] == "d"].set_index("node")["deg"]
+            e = g[g["_side"] == "e"].copy()
+            e[outcol] = e["node"].map(dmap).astype("int64")
+            keep = [c for c in ("a", "b", "deg_a", "deg_b") if c in e.columns]
+            return e[keep]
+        return fn
+
+    e1 = (
+        edges.map_batches(tag_edge_on("a"), batch_format="pandas")
+        .union(degrees.map_batches(tag_deg, batch_format="pandas"))
+        .groupby("_b")
+        .map_groups(join_deg("deg_a"), batch_format="pandas")
+    )
+    e2 = (
+        e1.map_batches(tag_edge_on("b"), batch_format="pandas")
+        .union(degrees.map_batches(tag_deg, batch_format="pandas"))
+        .groupby("_b")
+        .map_groups(join_deg("deg_b"), batch_format="pandas")
+    )
+
+    # orient low→high by (deg, id); canonical order key for pair keys
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a_first = (df["deg_a"].to_numpy() < df["deg_b"].to_numpy()) | (
+            (df["deg_a"].to_numpy() == df["deg_b"].to_numpy())
+            & (df["a"].to_numpy() < df["b"].to_numpy())
+        )
+        src = np.where(a_first, df["a"], df["b"])
+        dst = np.where(a_first, df["b"], df["a"])
+        sdeg = np.where(a_first, df["deg_a"], df["deg_b"])
+        ddeg = np.where(a_first, df["deg_b"], df["deg_a"])
+        out = pd.DataFrame(
+            {"src": src.astype("int64"), "dst": dst.astype("int64"),
+             "sdeg": sdeg.astype("int64"), "ddeg": ddeg.astype("int64")}
+        )
+        return out.assign(_sb=(out["src"] % nb).astype("int32"))
+
+    oriented = e2.map_batches(orient, batch_format="pandas").materialize()
+
+    # 4. wedges per src group (vectorized triu over (deg,id)-sorted
+    # out-neighbors so (v, w) is already canonical), then close
+    def wedge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("src", sort=False):
+            order = np.lexsort((grp["dst"].to_numpy(), grp["ddeg"].to_numpy()))
+            ns = grp["dst"].to_numpy()[order]
+            if len(ns) < 2:
+                continue
+            i, j = np.triu_indices(len(ns), k=1)
+            outs.append(pd.DataFrame({"v": ns[i], "w": ns[j]}))
+        if not outs:
+            return pd.DataFrame({"v": pd.Series(dtype="int64"),
+                                 "w": pd.Series(dtype="int64"), "_t": pd.Series(dtype="object")})
+        out = pd.concat(outs, ignore_index=True).astype({"v": "int64", "w": "int64"})
+        return out.assign(_t="w")
+
+    wedge_ds = (
+        oriented.groupby("_sb").map_groups(wedge_rows, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(_pb=_pair_bucket(df["v"], df["w"])),
+            batch_format="pandas",
+        )
+    )
+    edge_keys = oriented.map_batches(
+        lambda df: pd.DataFrame(
+            {"v": df["src"].astype("int64"), "w": df["dst"].astype("int64"), "_t": "e"}
+        ).assign(_pb=_pair_bucket(df["src"], df["dst"])),
+        batch_format="pandas",
+    )
+
+    def close_triangles(g: pd.DataFrame) -> pd.DataFrame:
+        ek = set(zip(g.loc[g["_t"] == "e", "v"], g.loc[g["_t"] == "e", "w"]))
+        wd = g[g["_t"] == "w"]
+        n = sum((v, w) in ek for v, w in zip(wd["v"], wd["w"]))
+        return pd.DataFrame({"n_tri": [int(n)]})
+
+    n_triangles = int(
+        wedge_ds.union(edge_keys)
+        .groupby("_pb")
+        .map_groups(close_triangles, batch_format="pandas")
+        .aggregate(Sum("n_tri", alias_name="n_tri"))["n_tri"]
+    )
+
+    import pyarrow as pa
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([n_edges], type=pa.int64()),
+                "n_wedges": pa.array([n_wedges], type=pa.int64()),
+                "n_triangles": pa.array([n_triangles], type=pa.int64()),
+                "transitivity": pa.array(
+                    [round(3.0 * n_triangles / n_wedges, 6) if n_wedges else 0.0],
+                    type=pa.float64(),
+                ),
+            }
+        )
+    )

@@ -1190,6 +1190,42 @@ def retention_cohorts(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
     )
 
 
+def running_totals(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """(event_id, user_id, running_value) — SQL's ordered analytic
+    window ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)``: the per-event cumulative transform that a batch
+    engine expresses as partition-key exchange + per-group ordered
+    scan (SURVEY.md §2.10 custom-operator path (a); session_windows'
+    aggregate sibling — this one is a TRANSFORM, output is
+    event-cardinality by definition).
+
+    Shape: column-pruned read (4 columns), one user-hash exchange so
+    each user's history co-locates, per-bucket mergesort +
+    vectorized ``groupby().cumsum()``. The running sum adds doubles in
+    the same left-to-right order as the SQL window frame, so values
+    match the oracle bit-for-bit, not just to rounding.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=(df["user_id"] % num_buckets).astype("int32"))
+
+    def cumulate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["running_value"] = g.groupby("user_id", sort=False)["value"].cumsum()
+        return g[["event_id", "user_id", "running_value"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(cumulate, batch_format="pandas")
+    )
+
+
 def returned_orders_by_priority(
     sf_dir: str,
     route: str = "bucketed",

@@ -2399,3 +2399,43 @@ def test_retention_cohorts_matches_duckdb():
     # discriminating at this sf: activity is sparse, so the matrix is
     # not a constant column (the sf0.01 gate additionally has 2 cohorts)
     assert got["n_users"].nunique() >= 2
+
+
+def test_person_projection_triangles_matches_brute():
+    """Degree-oriented distributed triangle census vs a brute in-process
+    count over the same formula edge set (the sf0.01 gate additionally
+    pins the 3-way-self-join SQL oracle)."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.graph import person_projection_triangles
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    got = person_projection_triangles(SF).to_pandas().iloc[0]
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    doc_ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    edges = set()
+    for d in doc_ids:
+        if d % 3:
+            continue
+        ps = sorted({person_ref(int(d), k, n_docs) for k in (1, 2, 3, 4)})
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if a < c and b < c  # count each triangle at its max vertex pair
+    ) // 1
+    # each triangle {x<y<z} found via edges (x,y),(x,z),(y,z): counting
+    # common neighbors c>max(a,b) per edge counts it exactly once
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert int(got["n_edges"]) == len(edges)
+    assert int(got["n_wedges"]) == wedges
+    assert int(got["n_triangles"]) == tri
+    assert tri > 0  # the projection genuinely has triangles
