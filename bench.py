@@ -364,6 +364,11 @@ def main():
     timed("rel_q5_nation_revenue",
           lambda: relational.regional_nation_revenue(SF_DIR).materialize())
     timed("text_pretrain_pack", lambda: curation.pretrain_pack_pipeline(SF_DIR).materialize())
+    timed("rel_funnel_steps", lambda: relational.funnel_steps(SF_DIR).materialize())
+    timed("rel_retention_cohorts", lambda: relational.retention_cohorts(SF_DIR).materialize())
+    timed("rel_running_totals", lambda: relational.running_totals(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import person_projection_triangles
+    timed("crawl_triangles", lambda: person_projection_triangles(SF_DIR).materialize())
     timed("text_cooccurrence_topk", lambda: textstats.cooccurrence_topk(SF_DIR))
     timed("text_cms_counts", lambda: textstats.cms_token_counts(SF_DIR))
     # note: the seen-filter streaming count (crawl_url_seen) is

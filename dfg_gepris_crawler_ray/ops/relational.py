@@ -1113,6 +1113,11 @@ def funnel_steps(
                 ev = ev.merge(
                     reached.rename("prev_ts"), left_on="user_id", right_index=True
                 )
+                # on an EMPTY merge pandas names the result's index
+                # after the right side ("user_id"), which makes the
+                # groupby below ambiguous — found by the hypothesis
+                # kernel property test; reset unconditionally
+                ev = ev.reset_index(drop=True)
                 ev = ev[ev["ts"] > ev["prev_ts"]]
                 if within_hours is not None:
                     ev = ev[ev["ts"] <= ev["prev_ts"] + pd.Timedelta(hours=within_hours)]

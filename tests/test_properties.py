@@ -185,3 +185,68 @@ def test_mg_compress_sandwich_bound(batches, m):
     for t, c in true.items():
         if c > total_d:
             assert t in est, (t, c, total_d)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),            # user
+            st.integers(0, 100_000),      # seconds offset
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    st.sampled_from([1, 4, 24]),
+)
+@settings(max_examples=60, deadline=None)
+def test_funnel_bucket_kernel_matches_reference_semantics(rows, within_hours):
+    """The vectorized funnel progression equals a per-user reference
+    walk (first step-1 ts; first step-2 strictly after it within the
+    window; first step-3 likewise) on arbitrary event soups — including
+    duplicate timestamps, missing steps and bucket-order permutations."""
+    import pandas as pd
+
+    steps = ["view", "click", "purchase"]
+    base = pd.Timestamp("2024-01-01")
+    g = pd.DataFrame(
+        {
+            "user_id": pd.Series([u for u, _, _ in rows], dtype="int64"),
+            "ts": pd.Series(
+                [base + pd.Timedelta(seconds=s) for _, s, _ in rows],
+                dtype="datetime64[ns]",
+            ),
+            "event_type": pd.Series([t for _, _, t in rows], dtype="object"),
+        }
+    )
+
+    # vectorized kernel (mirrors ops/relational.py::funnel_steps)
+    reached = None
+    got = []
+    for s in steps:
+        ev = g[g["event_type"] == s][["user_id", "ts"]]
+        if reached is not None:
+            ev = ev.merge(reached.rename("prev_ts"), left_on="user_id", right_index=True)
+            ev = ev.reset_index(drop=True)  # empty-merge index-name hazard
+            ev = ev[ev["ts"] > ev["prev_ts"]]
+            ev = ev[ev["ts"] <= ev["prev_ts"] + pd.Timedelta(hours=within_hours)]
+        reached = ev.groupby("user_id")["ts"].min()
+        got.append(len(reached))
+
+    # reference walk, one user at a time
+    want = [0, 0, 0]
+    for u in sorted(set(g["user_id"])):
+        h = g[g["user_id"] == u].sort_values("ts", kind="mergesort")
+        prev = None
+        for i, s in enumerate(steps):
+            cand = h[h["event_type"] == s]
+            if prev is not None:
+                cand = cand[
+                    (cand["ts"] > prev)
+                    & (cand["ts"] <= prev + pd.Timedelta(hours=within_hours))
+                ]
+            if not len(cand):
+                break
+            prev = cand["ts"].min()
+            want[i] += 1
+    assert got == want
