@@ -850,6 +850,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": multimodal.media_resize,
         "media_frame_sample": multimodal.media_frame_sample,
         "media_audio_windows": multimodal.media_audio_windows,
+        # image near-dup by perceptual hash: actor-pool DCT pHash →
+        # 4×16-bit banding exchange → vectorized hamming verify
+        # (rows-only: the synthetic pseudo-images are pairwise
+        # unrelated so 0 pairs is correct; invariances + planted-pair
+        # recovery pinned in pytest test_phash_invariances_* and
+        # test_media_phash_pairs_plumbing)
+        "media_phash_pairs": multimodal.media_phash_pairs,
         # --- generic relational operators ---------------------------------
         "rel_pricing_summary": relational.pricing_summary,
         "rel_segment_revenue": relational.segment_revenue,

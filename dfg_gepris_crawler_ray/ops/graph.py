@@ -338,7 +338,7 @@ def inbound_reference_topk(sf_dir: str, k: int = 25) -> "pa.Table":
 
 
 def person_projection_triangles(
-    sf_dir: str, num_buckets: int = 64
+    sf_dir: str, num_buckets: int = 64, degree_route: str = "auto"
 ) -> "ray.data.Dataset":
     """One row: (n_edges, n_wedges, n_triangles, transitivity) over the
     person co-participation graph (persons linked when they share a
@@ -456,18 +456,44 @@ def person_projection_triangles(
             return e[keep]
         return fn
 
-    e1 = (
-        edges.map_batches(tag_edge_on("a"), batch_format="pandas")
-        .union(degrees.map_batches(tag_deg, batch_format="pandas"))
-        .groupby("_b")
-        .map_groups(join_deg("deg_a"), batch_format="pandas")
+    # route selection (the minhash-verify broadcast/bucketed pattern):
+    # the degree table is NODE-cardinality — broadcast it only while it
+    # comfortably fits the object store as one map (≈16 B/node; the
+    # 2M-node threshold is ~32 MB), otherwise attach each endpoint's
+    # degree through a node-keyed union-tag exchange (unbounded scale,
+    # two more exchanges).
+    if degree_route not in ("auto", "broadcast", "bucketed"):
+        raise ValueError(f"unknown degree_route {degree_route!r}")
+    use_broadcast = degree_route == "broadcast" or (
+        degree_route == "auto" and degrees.count() <= 2_000_000
     )
-    e2 = (
-        e1.map_batches(tag_edge_on("b"), batch_format="pandas")
-        .union(degrees.map_batches(tag_deg, batch_format="pandas"))
-        .groupby("_b")
-        .map_groups(join_deg("deg_b"), batch_format="pandas")
-    )
+    if use_broadcast:
+        deg_pd = degrees.to_pandas()
+        deg_ref = ray.put(
+            dict(zip(deg_pd["node"].tolist(), deg_pd["n"].tolist()))
+        )
+
+        def attach_both(df: pd.DataFrame) -> pd.DataFrame:
+            dmap = ray.get(deg_ref)
+            out = df.copy()
+            out["deg_a"] = out["a"].map(dmap).astype("int64")
+            out["deg_b"] = out["b"].map(dmap).astype("int64")
+            return out
+
+        e2 = edges.map_batches(attach_both, batch_format="pandas")
+    else:
+        e1 = (
+            edges.map_batches(tag_edge_on("a"), batch_format="pandas")
+            .union(degrees.map_batches(tag_deg, batch_format="pandas"))
+            .groupby("_b")
+            .map_groups(join_deg("deg_a"), batch_format="pandas")
+        )
+        e2 = (
+            e1.map_batches(tag_edge_on("b"), batch_format="pandas")
+            .union(degrees.map_batches(tag_deg, batch_format="pandas"))
+            .groupby("_b")
+            .map_groups(join_deg("deg_b"), batch_format="pandas")
+        )
 
     # orient low→high by (deg, id); canonical order key for pair keys
     def orient(df: pd.DataFrame) -> pd.DataFrame:

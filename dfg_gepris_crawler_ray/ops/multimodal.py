@@ -262,3 +262,188 @@ def media_audio_windows(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# --- perceptual hashing (image near-dup at 100 TB) -------------------------
+
+_DCT32: np.ndarray | None = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II matrix (the pHash frequency transform)."""
+    k = np.arange(n, dtype=np.float64)
+    m = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+def area_resize(img: np.ndarray, out: int = 32) -> np.ndarray:
+    """Area-average resample to ``out×out`` for ARBITRARY input sizes
+    (variable-width pixel boxes via ``np.add.reduceat``) — the
+    anti-aliased reduction pHash needs, pure numpy. Unlike a pad-to-
+    multiple block mean, this keeps the sampled geometry proportional,
+    so an upscaled copy of an image hashes near its original."""
+    h, w = img.shape
+    if h < out:
+        img = np.repeat(img, -(-out // h), axis=0)
+        h = img.shape[0]
+    if w < out:
+        img = np.repeat(img, -(-out // w), axis=1)
+        w = img.shape[1]
+    rb = np.arange(out) * h // out
+    cb = np.arange(out) * w // out
+    s = np.add.reduceat(np.add.reduceat(img, rb, axis=0), cb, axis=1)
+    rc = np.diff(np.append(rb, h))
+    cc = np.diff(np.append(cb, w))
+    return s / np.outer(rc, cc)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (standard pHash construction): grayscale
+    → 32×32 area-mean → 2D DCT-II → top-left 8×8 low-frequency block →
+    median threshold (median over the 63 AC coefficients so a flat
+    image doesn't flip every bit). Robust to brightness scaling,
+    mild noise and resizing; near-duplicate images land within a few
+    bits of hamming distance."""
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(32)
+    g = area_resize(np.asarray(img, dtype=np.float64), 32)
+    c = _DCT32 @ g @ _DCT32.T
+    block = c[:8, :8].ravel()
+    med = np.median(block[1:])
+    return int.from_bytes(np.packbits(block > med).tobytes(), "big")
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of xor over uint64 arrays."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+
+
+class PHashExtractor:
+    """Actor-pool stage: payload → perceptual hash. DCT matrix built
+    once per actor in ``__init__``; the real decoder stays behind the
+    same ``decode_media`` stub as every other media stage."""
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+        self.dct = _dct_matrix(32)
+
+    def _image(self, payload: bytes, fmt: str) -> np.ndarray:
+        if self.decoder == "real":
+            return decode_media(payload, fmt)  # pragma: no cover - stub
+        # deterministic pseudo-image from the payload bytes
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(32, 32)).astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = batch.column("media").to_pylist()
+        fmts = batch.column("media_format").to_pylist()
+        hs = [
+            np.int64(np.uint64(phash64(self._image(p, f))))
+            for p, f in zip(payloads, fmts)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "phash": pa.array(hs, type=pa.int64()),
+            }
+        )
+
+
+def media_phash_pairs(
+    sf_dir: str | None = None,
+    max_hamming: int = 3,
+    decoder: str = "fake",
+    concurrency: int = 2,
+    media: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b, hamming) — image near-duplicate pairs by pHash
+    banding: 4 exact 16-bit bands (any pair within hamming ≤ 3 shares
+    one), band-bucket exchange, per-bucket vectorized xor-popcount
+    verify, pair-hash dedup — the ``dedup.simhash_neardup_pairs``
+    shape applied to the media column, with the hash itself computed
+    by an actor pool (DCT matrix per actor, decoder stub honest)."""
+    import pandas as pd
+
+    if media is None:
+        media = media_table(sf_dir)
+    hashes = media.map_batches(
+        PHashExtractor(decoder=decoder),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = batch.column("phash").to_pylist()
+        rows = {"band": [], "band_val": [], "doc_id": [], "phash": []}
+        for i, h in zip(ids, hs):
+            uh = h & 0xFFFFFFFFFFFFFFFF
+            for band in range(4):
+                rows["band"].append(band)
+                rows["band_val"].append((uh >> (band * 16)) & 0xFFFF)
+                rows["doc_id"].append(i)
+                rows["phash"].append(h)
+        return pa.table(
+            {
+                "band": pa.array(rows["band"], type=pa.int32()),
+                "band_val": pa.array(rows["band_val"], type=pa.int32()),
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "phash": pa.array(rows["phash"], type=pa.int64()),
+            }
+        )
+
+    def emit_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["band", "band_val", "doc_id", "phash"]].drop_duplicates()
+        m = g.merge(g, on=["band", "band_val"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "hamming": "int32"}
+            )
+        ham = hamming64(
+            m["phash_x"].to_numpy().astype(np.uint64),
+            m["phash_y"].to_numpy().astype(np.uint64),
+        )
+        out = pd.DataFrame(
+            {
+                "doc_a": m["doc_id_x"].to_numpy(),
+                "doc_b": m["doc_id_y"].to_numpy(),
+                "hamming": ham.astype(np.int32),
+            }
+        )
+        return out[out["hamming"] <= max_hamming].drop_duplicates(["doc_a", "doc_b"])
+
+    pairs = (
+        hashes.map_batches(to_bands, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "bucket",
+                pa.array((np.asarray(b.column("band_val")) % 64).astype(np.int32)),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bucket")
+        .map_groups(emit_bucket, batch_format="pandas")
+    )
+    return (
+        pairs.map_batches(
+            lambda b: b.assign(
+                pair_bucket=((b["doc_a"] * 1_000_003 + b["doc_b"]) % 64).astype("int32")
+            ),
+            batch_format="pandas",
+        )
+        .groupby("pair_bucket")
+        .map_groups(
+            lambda b: b.drop_duplicates(["doc_a", "doc_b"]), batch_format="pandas"
+        )
+        .map_batches(lambda b: b[["doc_a", "doc_b", "hamming"]], batch_format="pandas")
+    )

@@ -2439,3 +2439,97 @@ def test_person_projection_triangles_matches_brute():
     assert int(got["n_wedges"]) == wedges
     assert int(got["n_triangles"]) == tri
     assert tri > 0  # the projection genuinely has triangles
+
+
+def test_phash_invariances_and_banding_recovery():
+    """pHash kernel: brightness/offset/noise/rescale-invariant, far
+    from unrelated images; the 4×16-bit banding recovers every planted
+    near-dup pair (hamming ≤ 3 ⇒ one exact band, pigeonhole)."""
+    from dfg_gepris_crawler_ray.ops.multimodal import hamming64, phash64
+
+    rng = np.random.default_rng(11)
+
+    def blur(x):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        p = np.pad(x, 2, mode="edge")
+        return sliding_window_view(p, (5, 5)).reshape(x.shape[0], x.shape[1], 25).mean(-1)
+
+    def ham(a, b):
+        return int(hamming64(np.asarray([a]), np.asarray([b]))[0])
+
+    base = blur(rng.integers(0, 256, size=(64, 48)).astype(np.float64))
+    h0 = phash64(base)
+    assert ham(h0, phash64(np.clip(base * 1.2, 0, 255))) <= 2   # brightness
+    assert ham(h0, phash64(base + 15.0)) <= 2                   # offset
+    assert ham(h0, phash64(base + rng.normal(0, 2, base.shape))) <= 3  # noise
+    assert ham(h0, phash64(np.kron(base, np.ones((2, 2))))) <= 8       # upscale
+    other = blur(rng.integers(0, 256, size=(64, 48)).astype(np.float64))
+    assert ham(h0, phash64(other)) >= 16                        # unrelated
+
+    # banding recovery over a planted population
+    imgs = [blur(rng.integers(0, 256, size=(48, 48)).astype(np.float64)) for _ in range(40)]
+    hashes = [phash64(im) for im in imgs]
+    planted = []
+    for i in range(10):  # near-dup copies of the first 10
+        dup = np.clip(imgs[i] * 1.1 + rng.normal(0, 1, imgs[i].shape), 0, 255)
+        hd = phash64(dup)
+        if ham(hashes[i], hd) <= 3:  # only pairs inside the contract
+            planted.append((i, 40 + len(planted)))
+            hashes.append(hd)
+    assert len(planted) >= 8  # the construction does produce near-dups
+    # band tables: pair recovered iff any 16-bit band matches exactly
+    recovered = set()
+    for a in range(len(hashes)):
+        for b in range(a + 1, len(hashes)):
+            shares = any(
+                (hashes[a] >> (16 * k)) & 0xFFFF == (hashes[b] >> (16 * k)) & 0xFFFF
+                for k in range(4)
+            )
+            if shares and ham(hashes[a], hashes[b]) <= 3:
+                recovered.add((a, b))
+    assert set(planted) <= recovered
+
+
+def test_media_phash_pairs_plumbing():
+    """End-to-end pair recovery through the actor-pool hash stage and
+    the banding exchange: planted duplicate payloads come back as
+    hamming-0 pairs; the synthetic corpus itself (pairwise-unrelated
+    pseudo-images) correctly yields zero pairs."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from dfg_gepris_crawler_ray.ops.multimodal import media_phash_pairs, synth_payload
+
+    payloads = [synth_payload(d) for d in range(30)]
+    # plant: docs 100/101 duplicate doc 0, doc 102 duplicates doc 7
+    ids = list(range(30)) + [100, 101, 102]
+    blobs = payloads + [payloads[0], payloads[0], payloads[7]]
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "media": pa.array(blobs, type=pa.binary()),
+                "media_format": pa.array(["png"] * len(ids)),
+                "media_bytes": pa.array([len(b) for b in blobs], type=pa.int64()),
+            }
+        )
+    )
+    out = media_phash_pairs(media=media).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert {(0, 100), (0, 101), (100, 101), (7, 102)} <= got
+    assert (out["hamming"] <= 3).all()
+
+    corpus = media_phash_pairs(SF).to_pandas()
+    assert len(corpus) == 0
+
+
+def test_triangle_degree_routes_agree():
+    """The broadcast and bucketed degree-attach routes produce the
+    identical census row (the bucketed route is the 10^10-node path)."""
+    from dfg_gepris_crawler_ray.ops.graph import person_projection_triangles
+
+    a = person_projection_triangles(SF, degree_route="broadcast").to_pandas()
+    b = person_projection_triangles(SF, degree_route="bucketed").to_pandas()
+    assert a.to_dict("records") == b.to_dict("records")
