@@ -389,17 +389,18 @@ def person_projection_triangles(
 
     # 1. candidate pairs, deduped per batch
     def pair_rows(batch) -> pd.DataFrame:
-        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
-        rows_a, rows_b = [], []
-        for d in ids:
-            ps = sorted({person_ref(d, k, n_docs) for k in (1, 2, 3, 4)})
-            for i in range(len(ps)):
-                for j in range(i + 1, len(ps)):
-                    rows_a.append(ps[i])
-                    rows_b.append(ps[j])
-        df = pd.DataFrame(
-            {"a": pd.Series(rows_a, dtype="int64"), "b": pd.Series(rows_b, dtype="int64")}
-        ).drop_duplicates()
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = doc_ids[doc_ids % 3 == 0].astype(np.int64)
+        # vectorized person_ref over the (doc, k) grid, then all 6
+        # within-projekt pairs via row-sorted column picks — no loop
+        m = (n_docs + 1) // 3
+        ps = 1000 + 3 * ((ids[:, None] * 7 + np.arange(1, 5)[None, :]) % m) + 1
+        ps = np.sort(ps, axis=1)
+        ii, jj = np.triu_indices(4, k=1)
+        a = ps[:, ii].ravel()
+        b = ps[:, jj].ravel()
+        keep = a != b  # a projekt may reference the same person twice
+        df = pd.DataFrame({"a": a[keep], "b": b[keep]}).drop_duplicates()
         return df.assign(_pb=_pair_bucket(df["a"], df["b"]))
 
     edges = (

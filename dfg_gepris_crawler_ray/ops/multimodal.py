@@ -381,22 +381,20 @@ def media_phash_pairs(
     )
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        hs = batch.column("phash").to_pylist()
-        rows = {"band": [], "band_val": [], "doc_id": [], "phash": []}
-        for i, h in zip(ids, hs):
-            uh = h & 0xFFFFFFFFFFFFFFFF
-            for band in range(4):
-                rows["band"].append(band)
-                rows["band_val"].append((uh >> (band * 16)) & 0xFFFF)
-                rows["doc_id"].append(i)
-                rows["phash"].append(h)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = batch.column("phash").to_numpy(zero_copy_only=False)
+        uh = hs.view(np.uint64)
+        n = len(ids)
+        # vectorized band expansion: 4 rows per hash, no Python loop
+        bands = np.repeat(np.arange(4, dtype=np.int32)[None, :], n, axis=0).ravel()
+        shifts = (bands.astype(np.uint64) * np.uint64(16))
+        vals = ((np.repeat(uh, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table(
             {
-                "band": pa.array(rows["band"], type=pa.int32()),
-                "band_val": pa.array(rows["band_val"], type=pa.int32()),
-                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-                "phash": pa.array(rows["phash"], type=pa.int64()),
+                "band": pa.array(bands, type=pa.int32()),
+                "band_val": pa.array(vals, type=pa.int32()),
+                "doc_id": pa.array(np.repeat(ids, 4), type=pa.int64()),
+                "phash": pa.array(np.repeat(hs, 4), type=pa.int64()),
             }
         )
 
