@@ -250,3 +250,44 @@ def test_funnel_bucket_kernel_matches_reference_semantics(rows, within_hours):
             prev = cand["ts"].min()
             want[i] += 1
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 40)),  # (user, day)
+        min_size=0,
+        max_size=150,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_retention_bucket_kernel_matches_reference(rows):
+    """The vectorized retention-matrix kernel equals a per-user
+    reference walk on arbitrary (user, activity-day) multisets."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "user_id": pd.Series([u for u, _ in rows], dtype="int64"),
+            "day": pd.Series([d for _, d in rows], dtype="int64"),
+        }
+    )
+
+    # vectorized kernel (mirrors ops/relational.py::retention_cohorts)
+    dd = df.drop_duplicates()
+    first = dd.groupby("user_id")["day"].min().rename("cohort")
+    m = dd.merge(first, left_on="user_id", right_index=True)
+    m["day_offset"] = (m["day"] - m["cohort"]).astype("int64")
+    got = (
+        m.groupby(["cohort", "day_offset"])
+        .size()
+        .to_dict()
+    )
+
+    # reference walk
+    want: dict[tuple[int, int], int] = {}
+    for u in sorted(set(r[0] for r in rows)):
+        days = sorted({d for uu, d in rows if uu == u})
+        c = days[0]
+        for d in days:
+            want[(c, d - c)] = want.get((c, d - c), 0) + 1
+    assert got == want
