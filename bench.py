@@ -369,6 +369,10 @@ def main():
     timed("rel_running_totals", lambda: relational.running_totals(SF_DIR).materialize())
     from dfg_gepris_crawler_ray.ops.graph import person_projection_triangles
     timed("crawl_triangles", lambda: person_projection_triangles(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.multimodal import media_phash_pairs
+    timed("media_phash_pairs", lambda: media_phash_pairs(SF_DIR).materialize())
+    timed("rel_window_distinct_hll",
+          lambda: relational.window_distinct_users(SF_DIR, route="hll").materialize())
     timed("text_cooccurrence_topk", lambda: textstats.cooccurrence_topk(SF_DIR))
     timed("text_cms_counts", lambda: textstats.cms_token_counts(SF_DIR))
     # note: the seen-filter streaming count (crawl_url_seen) is
