@@ -550,9 +550,12 @@ def person_projection_triangles(
     )
 
     def close_triangles(g: pd.DataFrame) -> pd.DataFrame:
-        ek = set(zip(g.loc[g["_t"] == "e", "v"], g.loc[g["_t"] == "e", "w"]))
-        wd = g[g["_t"] == "w"]
-        n = sum((v, w) in ek for v, w in zip(wd["v"], wd["w"]))
+        # vectorized wedge∧edge intersection: inner-merge the bucket's
+        # wedge rows with its (deduped) edge keys — no Python loop over
+        # wedges, which dominate this stage's row count
+        ek = g.loc[g["_t"] == "e", ["v", "w"]].drop_duplicates()
+        wd = g.loc[g["_t"] == "w", ["v", "w"]]
+        n = len(wd.merge(ek, on=["v", "w"]))
         return pd.DataFrame({"n_tri": [int(n)]})
 
     n_triangles = int(
