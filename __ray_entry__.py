@@ -927,6 +927,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute-force ground truth pinned in
         # test_ops::test_host_boilerplate_matches_bruteforce)
         "crawl_host_boilerplate": _q_host_boilerplate,
+        # exact distinct urls per host via HOT-KEY SALTING (the 70%-hot
+        # host splits across num_salts disjoint distinct-space shards)
+        "crawl_host_distinct_urls": _q_host_distinct_urls,
         # snapshot token-frequency drift (data-monitor at corpus scale;
         # integer-exact ppm, per-bucket top-k prune)
         "text_token_drift": textstats.token_drift,
@@ -1317,6 +1320,15 @@ def _q_components(sf_dir: str):
     from dfg_gepris_crawler_ray.ops.graph import reference_graph_components
 
     return reference_graph_components(sf_dir)
+
+
+def _q_host_distinct_urls(sf_dir: str):
+    """Salted exact distinct-URL count per host (hot-key skew demo) —
+    inventory-CTE oracle."""
+    from dfg_gepris_crawler_ray.ops.boilerplate import host_distinct_urls
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return host_distinct_urls(ensure_pages(sf_dir))
 
 
 def _q_triangles(sf_dir: str):
@@ -2023,6 +2035,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'https://gepris.example.org/gepris/OCTOPUS?task=showMonitor',
                  1, FALSE, 1704067200000000)
     """
+    oracles["crawl_host_distinct_urls"] = (
+        "WITH " + _inventory_ctes
+        + """ SELECT split_part(url, '/', 3) AS host,
+               count(DISTINCT url) AS distinct_urls
+           FROM allpages GROUP BY 1"""
+    )
     oracles["crawl_recrawl_delta"] = (
         "WITH " + _inventory_ctes
         + " SELECT url, n_snapshots, changed, latest_ts_us FROM allpages"

@@ -154,3 +154,52 @@ def host_boilerplate(
         )
 
     return ds.map_batches(remove, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def host_distinct_urls(
+    pages_dir: str, num_salts: int = 16
+) -> "ray.data.Dataset":
+    """(host, distinct_urls) — exact distinct-URL count per host with
+    the HOT-KEY SALTING pattern (the corpus's 70%-hot host
+    `gepris.example.org` would otherwise funnel into ONE reduce task
+    under a plain groupby(host) distinct).
+
+    Salt = stable_hash(url) % num_salts: a function of the counted
+    value itself, so it PARTITIONS each host's distinct space into
+    disjoint shards — each (host, salt) group deduplicates and counts
+    independently (num_salts-way parallelism on the hot key, no double
+    counting by construction), then a tiny per-host Sum reassembles
+    the exact total. Per-batch dedup bounds the exchange by distinct
+    urls, not page rows. This is the skew treatment to reach for
+    whenever one key holds a constant fraction of a 100 TB corpus.
+    """
+    import pandas as pd
+
+    from ..kernels.hashing import stable_hash64_array
+    from ..sources.pages import read_pages
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = read_pages(pages_dir, columns=["url"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"url": batch.column("url").to_pylist()}).drop_duplicates()
+        h = stable_hash64_array(df["url"].tolist())
+        df["salt"] = (h % np.uint64(num_salts)).astype("int32")
+        df["host"] = df["url"].str.split("/").str[2]
+        return df[["host", "salt", "url"]]
+
+    def count_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("host", as_index=False)["url"].nunique()
+        out.columns = ["host", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["host", "salt"])
+        .map_groups(count_shard, batch_format="pandas")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="distinct_urls"))
+    )

@@ -2533,3 +2533,45 @@ def test_triangle_degree_routes_agree():
     a = person_projection_triangles(SF, degree_route="broadcast").to_pandas()
     b = person_projection_triangles(SF, degree_route="bucketed").to_pandas()
     assert a.to_dict("records") == b.to_dict("records")
+
+
+def test_host_distinct_urls_salting_splits_hot_key():
+    """Salted exact distinct: result equals a direct pandas distinct
+    count, and the hot host's distinct space actually splits across
+    all salt shards (the skew treatment, not just a correct answer)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.boilerplate import host_distinct_urls
+    from dfg_gepris_crawler_ray.kernels.hashing import stable_hash64_array
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages = ensure_pages(SF)
+    got = (
+        host_distinct_urls(pages, num_salts=16)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    urls = pd.concat(
+        [pq.read_table(f, columns=["url"]).to_pandas() for f in glob.glob(pages + "/*.parquet")],
+        ignore_index=True,
+    )["url"].drop_duplicates()
+    want = (
+        urls.str.split("/").str[2]
+        .value_counts()
+        .rename_axis("host")
+        .reset_index(name="n")
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert got["host"].tolist() == want["host"].tolist()
+    assert got["distinct_urls"].astype("int64").tolist() == want["n"].astype("int64").tolist()
+    # the hot host dominates the corpus AND its urls hit every salt
+    hot = "gepris.example.org"
+    assert int(got.set_index("host").loc[hot, "distinct_urls"]) > got["distinct_urls"].sum() * 0.5
+    hot_urls = urls[urls.str.contains(hot)]
+    salts = set((stable_hash64_array(hot_urls.tolist()) % np.uint64(16)).tolist())
+    assert len(salts) == 16
