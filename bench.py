@@ -373,6 +373,11 @@ def main():
     timed("media_phash_pairs", lambda: media_phash_pairs(SF_DIR).materialize())
     timed("rel_window_distinct_hll",
           lambda: relational.window_distinct_users(SF_DIR, route="hll").materialize())
+    from dfg_gepris_crawler_ray.ops.boilerplate import host_distinct_urls
+    # over the REPLICATED corpus: the hot host is ~70% of 1.9M pages —
+    # the salting demo at its intended skew
+    timed("crawl_host_distinct_urls",
+          lambda: host_distinct_urls(pages_dir).materialize())
     timed("text_cooccurrence_topk", lambda: textstats.cooccurrence_topk(SF_DIR))
     timed("text_cms_counts", lambda: textstats.cms_token_counts(SF_DIR))
     # note: the seen-filter streaming count (crawl_url_seen) is
