@@ -1058,6 +1058,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_semi_join_bloom": lambda sf: relational.returned_orders_by_priority(
             sf, route="bloom"
         ),
+        # TPC-H Q18 HAVING-filter semi-join: survivor map broadcast
+        # (selectivity-bounded) + the zero-driver bucketed route
+        "rel_q18_large_orders": relational.large_quantity_orders,
+        "rel_q18_large_orders_bucketed": lambda sf: relational.large_quantity_orders(
+            sf, route="bucketed"
+        ),
+        # first-order Markov transition counts over per-user event
+        # streams (lead() window → pair counts; one user-hash exchange)
+        "rel_event_transitions": relational.event_transition_counts,
+        # TPC-H-Q12-style late-shipment CASE counts per priority (one
+        # orderkey-hash fact-fact exchange, date compare in-bucket)
+        "rel_late_shipments": relational.late_shipment_priority,
+        # TPC-H-Q22-style dormant rich customers (scalar-subquery
+        # broadcast + recency-filtered bucketed anti-join)
+        "rel_rich_dormant": relational.rich_idle_customers,
     }
 
 
@@ -2182,6 +2197,50 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
     oracles["rel_semi_join_bloom"] = oracles["rel_semi_join"]
+    # Q18 HAVING-filter semi-join (threshold 300 ≈ p99.7 of per-order
+    # quantity; k=100 — non-binding at sf0.01, binding at sf0.1 with a
+    # deterministic (totalprice desc, orderdate, orderkey) tiebreak);
+    # shared by both routes
+    oracles["rel_q18_large_orders"] = """
+        WITH surv AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        SELECT c_name, o_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM surv JOIN orders ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+    """
+    oracles["rel_q18_large_orders_bucketed"] = oracles["rel_q18_large_orders"]
+    oracles["rel_event_transitions"] = """
+        SELECT event_type, next_event_type,
+               count(*)::BIGINT AS n_transitions
+        FROM (SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS next_event_type
+              FROM events)
+        WHERE next_event_type IS NOT NULL
+        GROUP BY 1, 2
+    """
+    oracles["rel_late_shipments"] = """
+        SELECT o_orderpriority,
+               sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END)::BIGINT AS n_late,
+               sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 0 ELSE 1 END)::BIGINT AS n_ontime
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """
+    oracles["rel_rich_dormant"] = """
+        SELECT c_mktsegment, count(*)::BIGINT AS n_custs,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY 1
+    """
     # CMS in the exact regime (probe set collision-free at width 4096,
     # deterministic seeds — the same exact-regime pattern as
     # text_heavy_hitters' oracle)

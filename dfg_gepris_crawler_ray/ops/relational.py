@@ -1554,3 +1554,330 @@ def regional_nation_revenue(
             batch_format="pandas",
         )
     )
+
+
+def large_quantity_orders(
+    sf_dir: str,
+    threshold: float = 300.0,
+    k: int = 100,
+    route: str = "broadcast",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """TPC-H Q18 (large-volume customer): orders whose total lineitem
+    quantity exceeds ``threshold``, joined back to orders + customer,
+    top-``k`` by (o_totalprice desc, o_orderdate, o_orderkey).
+
+    The defining shape is the HAVING-filter semi-join: the aggregate
+    side is fact-cardinality going IN but selectivity-bounded coming
+    OUT (threshold sits far above the quantity p95, ~0.3% of orders
+    here), so the surviving (orderkey, sum_qty) set is the small side
+    of the subsequent join.
+
+    Routes (identical output):
+
+    - ``"broadcast"``: partial per-batch quantity sums → one orderkey
+      groupby → HAVING filter → the tiny survivor map broadcast via
+      ``ray.put``; orders probe it in-scan. Driver traffic is
+      survivor-bounded (selectivity × orders), NOT fact-bounded.
+    - ``"bucketed"``: survivors stay a Dataset and meet orders in a
+      union-tag orderkey-hash exchange — zero driver residency, the
+      form to use if the threshold were ever hot.
+
+    Customer names attach via dim broadcast either way; final top-k is
+    a per-batch partial top-k pre-reduce, so the driver sees at most
+    (blocks × k) rows, then exactly k.
+    """
+    import pyarrow.parquet as pq
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        return pa.Table.from_pandas(
+            g.rename(columns={"l_quantity": "sum_qty"}), preserve_index=False
+        )
+
+    survivors = (
+        lineitem.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
+        .filter(lambda row: row["sum_qty"] > threshold)
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    if route == "broadcast":
+        sdf = survivors.to_pandas()  # survivor-bounded by construction
+        qty_map = dict(zip(sdf["l_orderkey"].astype("int64"), sdf["sum_qty"]))
+        qty_ref = ray.put(qty_map)
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(qty_ref)
+            hit = df[df["o_orderkey"].isin(lookup)].copy()
+            hit["sum_qty"] = hit["o_orderkey"].map(lookup)
+            return hit
+
+        joined = orders.map_batches(probe, batch_format="pandas")
+    elif route == "bucketed":
+        def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"].astype("int64"),
+                 "o_custkey": df["o_custkey"].astype("int64"),
+                 "o_totalprice": df["o_totalprice"],
+                 "o_orderdate": df["o_orderdate"],
+                 "sum_qty": np.float64(np.nan),
+                 "_b": (df["o_orderkey"] % num_buckets).astype("int32"),
+                 "_k": "o"}
+            )
+
+        def tag_survivors(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"o_orderkey": df["l_orderkey"].astype("int64"),
+                 "o_custkey": np.int64(-1),
+                 "o_totalprice": np.float64(np.nan),
+                 "o_orderdate": pd.NaT,
+                 "sum_qty": df["sum_qty"].astype("float64"),
+                 "_b": (df["l_orderkey"] % num_buckets).astype("int32"),
+                 "_k": "s"}
+            )
+
+        def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            s = g[g["_k"] == "s"][["o_orderkey", "sum_qty"]]
+            o = g[g["_k"] == "o"].drop(columns=["sum_qty", "_b", "_k"])
+            m = o.merge(s, on="o_orderkey", how="inner")
+            return m
+
+        joined = (
+            orders.map_batches(tag_orders, batch_format="pandas")
+            .union(survivors.map_batches(tag_survivors, batch_format="pandas"))
+            .repartition(num_buckets)
+            .groupby("_b")
+            .map_groups(join_bucket, batch_format="pandas")
+        )
+    else:  # pragma: no cover - guarded by tests
+        raise ValueError(f"unknown route {route!r}")
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    name_map = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
+    )
+    name_ref = ray.put(name_map)
+    sort_cols = ["o_totalprice", "o_orderdate", "o_orderkey"]
+
+    def attach_topk(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(name_ref)
+        df = df.copy()
+        df["c_name"] = df["o_custkey"].map(lookup)
+        df = df.sort_values(
+            sort_cols, ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+        return df[["c_name", "o_custkey", "o_orderkey",
+                   "o_orderdate", "o_totalprice", "sum_qty"]]
+
+    partials = joined.map_batches(attach_topk, batch_format="pandas").to_pandas()
+    out = partials.sort_values(
+        sort_cols, ascending=[False, True, True], kind="mergesort"
+    ).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def event_transition_counts(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """(event_type, next_event_type, n_transitions) — first-order
+    Markov transition counts over each user's time-ordered event
+    stream (SQL's ``lead() OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)``): the sequence-mining primitive behind session-flow /
+    next-action models.
+
+    Shape: column-pruned read, ONE user-hash exchange so each user's
+    history co-locates, per-bucket mergesort + vectorized
+    ``groupby().shift(-1)``, per-bucket partial pair counts, then a
+    tiny (|types|²-row) global sum. The shuffle carries only
+    (user, ts, event_id, type); transitions never cross buckets
+    because users never cross buckets.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_b=(df["user_id"] % num_buckets).astype("int32"))
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g.groupby("user_id", sort=False)["event_type"].shift(-1)
+        pairs = pd.DataFrame({"event_type": g["event_type"], "next_event_type": nxt})
+        pairs = pairs[pairs["next_event_type"].notna()]
+        out = pairs.groupby(
+            ["event_type", "next_event_type"], as_index=False
+        ).size()
+        out.columns = ["event_type", "next_event_type", "n_transitions"]
+        out["n_transitions"] = out["n_transitions"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(transitions, batch_format="pandas")
+        .groupby(["event_type", "next_event_type"])
+        .aggregate(Sum("n_transitions", alias_name="n_transitions"))
+    )
+
+
+def late_shipment_priority(
+    sf_dir: str, grace_days: int = 90, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(o_orderpriority, n_late, n_ontime) — TPC-H Q12 adapted to this
+    schema (no receipt/commit dates): a lineitem ships LATE when
+    ``l_shipdate > o_orderdate + grace_days``; count late vs on-time
+    lines per order priority.
+
+    Shape: both fact sides column-pruned, ONE orderkey-hash union-tag
+    exchange (the o_orderdate/o_orderpriority pair must meet each
+    line, so no pre-aggregation is possible before the join), then
+    per-bucket vectorized date compare + CASE-count partials and a
+    tiny priority-cardinality global sum. The exchange carries 3
+    columns per line and 3 per order — nothing wider ever shuffles.
+    """
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lines = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["o_orderkey"].astype("int64"),
+             "o_orderdate": df["o_orderdate"],
+             "o_orderpriority": df["o_orderpriority"],
+             "l_shipdate": pd.NaT,
+             "_b": (df["o_orderkey"] % num_buckets).astype("int32"),
+             "_k": "o"}
+        )
+
+    def tag_lines(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["l_orderkey"].astype("int64"),
+             "o_orderdate": pd.NaT,
+             "o_orderpriority": "",
+             "l_shipdate": df["l_shipdate"],
+             "_b": (df["l_orderkey"] % num_buckets).astype("int32"),
+             "_k": "l"}
+        )
+
+    grace = pd.Timedelta(days=grace_days)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_k"] == "o"][["key", "o_orderdate", "o_orderpriority"]]
+        l = g[g["_k"] == "l"][["key", "l_shipdate"]]
+        m = l.merge(o, on="key", how="inner")
+        late = m["l_shipdate"] > (m["o_orderdate"] + grace)
+        out = pd.DataFrame({"o_orderpriority": m["o_orderpriority"], "late": late})
+        agg = out.groupby("o_orderpriority", as_index=False).agg(
+            n_late=("late", "sum"), n_ontime=("late", lambda s: int((~s).sum()))
+        )
+        agg["n_late"] = agg["n_late"].astype("int64")
+        agg["n_ontime"] = agg["n_ontime"].astype("int64")
+        return agg
+
+    return (
+        orders.map_batches(tag_orders, batch_format="pandas")
+        .union(lines.map_batches(tag_lines, batch_format="pandas"))
+        .repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_late", alias_name="n_late"),
+            Sum("n_ontime", alias_name="n_ontime"),
+        )
+    )
+
+
+def rich_idle_customers(sf_dir: str, cutoff: str = "2001-01-01") -> "ray.data.Dataset":
+    """(c_mktsegment, n_custs, total_acctbal) — TPC-H Q22 adapted to
+    this schema (segment stands in for the phone prefix, and "no
+    orders" becomes "no order on/after ``cutoff``" because the
+    synthetic book gives every customer at least one lifetime order):
+    DORMANT customers whose account balance exceeds the global average
+    POSITIVE balance, counted per market segment.
+
+    Shape: the scalar subquery is a distributed (sum, count) partial
+    reduce (driver sees one row per block, merged to ONE scalar, then
+    broadcast inside the threshold closure); the NOT EXISTS side is
+    the general bucketed hash anti-join (both sides arbitrary scale)
+    with the recency predicate pushed into the orders parquet scan;
+    the final aggregate is segment-cardinality. No customer or order
+    list ever lands on the driver.
+    """
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    bal = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_acctbal"]
+    )
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column("c_acctbal")
+        pos = pc.filter(arr, pc.greater(arr, 0.0))
+        return pa.table(
+            {"s": [pc.sum(pos).as_py() or 0.0], "n": [len(pos)]}
+        )
+
+    parts = bal.map_batches(
+        bal_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # one row per block: block-count-bounded, ~16 B each
+    avg_pos = float(parts["s"].sum()) / max(int(parts["n"].sum()), 1)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).filter(lambda row: row["c_acctbal"] > avg_pos)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= _dt.datetime.fromisoformat(cutoff),
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+
+    idle = anti_join_bucketed(cust, orders, on="c_custkey")
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"c_mktsegment": pd.Series([], dtype="object"),
+                 "n_custs": pd.Series([], dtype="int64"),
+                 "total_acctbal": pd.Series([], dtype="float64")}
+            )
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_custs=("c_custkey", "size"), total_acctbal=("c_acctbal", "sum")
+        )
+        g["n_custs"] = g["n_custs"].astype("int64")
+        return g
+
+    out = (
+        idle.map_batches(seg_partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_custs", alias_name="n_custs"),
+            Sum("total_acctbal", alias_name="total_acctbal"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_acctbal"] = round_half_away(df["total_acctbal"], 2)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -2575,3 +2575,53 @@ def test_host_distinct_urls_salting_splits_hot_key():
     hot_urls = urls[urls.str.contains(hot)]
     salts = set((stable_hash64_array(hot_urls.tolist()) % np.uint64(16)).tolist())
     assert len(salts) == 16
+
+
+def test_q18_routes_agree_and_threshold_binds():
+    """Broadcast and bucketed Q18 routes return identical rows, every
+    returned order is genuinely above the HAVING threshold, and the
+    survivor set is a strict subset of all orders (the semi-join is
+    selective, not a pass-through)."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import large_quantity_orders
+
+    cols = ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty"]
+    a = large_quantity_orders(SF).to_pandas()[cols]
+    b = large_quantity_orders(SF, route="bucketed").to_pandas()[cols]
+    key = ["o_orderkey"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0 and (a["sum_qty"] > 300).all()
+    n_orders = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert len(a) < 0.05 * n_orders  # selectivity: the broadcast is justified
+
+
+def test_event_transitions_match_per_user_walk():
+    """The distributed transition counts equal a single-process walk
+    over each user's (ts, event_id)-ordered stream."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.relational import event_transition_counts
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    want: Counter = Counter()
+    for _, g in ev.groupby("user_id", sort=False):
+        types = g["event_type"].tolist()
+        for cur, nxt in zip(types, types[1:]):
+            want[(cur, nxt)] += 1
+    got = event_transition_counts(SF).to_pandas()
+    got_map = {
+        (r.event_type, r.next_event_type): int(r.n_transitions)
+        for r in got.itertuples()
+    }
+    assert got_map == dict(want)
+    # sanity: a tiny dense matrix, every count positive
+    assert all(v > 0 for v in got_map.values()) and len(got_map) > 1
