@@ -22,6 +22,7 @@ import sys
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -823,7 +824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops --------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
-        "dedup_simhash_pairs": dedup.simhash_neardup_pairs,
+        # integer-exact banding guarantee → staged brute-census oracle
+        "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_embedding_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, threshold=0.35),
@@ -852,11 +854,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_windows": multimodal.media_audio_windows,
         # image near-dup by perceptual hash: actor-pool DCT pHash →
         # 4×16-bit banding exchange → vectorized hamming verify
-        # (rows-only: the synthetic pseudo-images are pairwise
-        # unrelated so 0 pairs is correct; invariances + planted-pair
-        # recovery pinned in pytest test_phash_invariances_* and
-        # test_media_phash_pairs_plumbing)
-        "media_phash_pairs": multimodal.media_phash_pairs,
+        # (staged brute-census oracle: the synthetic pseudo-images are
+        # pairwise unrelated so the census — and the op — is empty;
+        # invariances + planted-pair recovery pinned in pytest
+        # test_phash_invariances_* and test_media_phash_pairs_plumbing)
+        "media_phash_pairs": _q_media_phash_pairs,
         # --- generic relational operators ---------------------------------
         "rel_pricing_summary": relational.pricing_summary,
         "rel_segment_revenue": relational.segment_revenue,
@@ -1326,6 +1328,76 @@ def _q_cdc_chunks(sf_dir: str):
 
     out = cdc_chunk_stats(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash hamming-≤3 near-dup pairs (ops/dedup.py). Value-checked:
+    the 4×16-bit banding guarantees EXACT recovery of the hamming-≤3
+    pair set, and the fingerprint is an integer-deterministic function
+    of the text — so the single-process brute census (per-doc
+    ``simhash64`` + vectorized all-pairs popcount, the test_ops pin)
+    is staged as the oracle's truth table."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.dedup import simhash64, simhash_neardup_pairs
+    from dfg_gepris_crawler_ray.ops.multimodal import hamming64
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    texts = tbl.column("text").to_pylist()
+    hs = np.array([simhash64(texts[i]) for i in order], dtype=np.uint64)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    ham = hamming64(hs[ai], hs[bi])
+    keep = ham <= 3
+    truth = pd.DataFrame(
+        {
+            "doc_a": ids[ai[keep]],
+            "doc_b": ids[bi[keep]],
+            "hamming": ham[keep].astype("int32"),
+        }
+    )
+    _stage_truth("dedup_simhash_pairs", truth)
+    return simhash_neardup_pairs(sf_dir)
+
+
+def _q_media_phash_pairs(sf_dir: str):
+    """pHash image near-dup pairs (ops/multimodal.py). Value-checked
+    the same way as dedup_simhash_pairs: pHash is integer-deterministic
+    per payload and the 4×16-bit banding recovers the hamming-≤3 pair
+    set exactly, so the single-process brute census (the same
+    attach→hash kernels run off-Ray) is staged as truth. On the
+    synthetic corpus the pseudo-images are pairwise unrelated, so both
+    the census and the op are empty — the check still pins schema and
+    rules out false positives."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.multimodal import (
+        PHashExtractor,
+        attach_media_batch,
+        hamming64,
+        media_phash_pairs,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    hashed = PHashExtractor(decoder="fake")(attach_media_batch(tbl))
+    ids = np.asarray(hashed.column("doc_id"), dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    hs = np.asarray(hashed.column("phash"), dtype=np.int64)[order].view(np.uint64)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    ham = hamming64(hs[ai], hs[bi])
+    keep = ham <= 3
+    truth = pd.DataFrame(
+        {
+            "doc_a": ids[ai[keep]],
+            "doc_b": ids[bi[keep]],
+            "hamming": ham[keep].astype("int32"),
+        }
+    )
+    _stage_truth("media_phash_pairs", truth)
+    return media_phash_pairs(sf_dir)
 
 
 def _q_components(sf_dir: str):
@@ -2268,6 +2340,16 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_host_boilerplate"] = f"""
         SELECT url, host, n_segments, n_boilerplate, content_bytes
         FROM read_parquet('{_STAGE_DIR}/crawl_host_boilerplate.parquet')
+    """
+    # integer-exact banding ops: the staged truth is the brute
+    # all-pairs popcount census over single-process fingerprints
+    oracles["dedup_simhash_pairs"] = f"""
+        SELECT doc_a, doc_b, hamming
+        FROM read_parquet('{_STAGE_DIR}/dedup_simhash_pairs.parquet')
+    """
+    oracles["media_phash_pairs"] = f"""
+        SELECT doc_a, doc_b, hamming
+        FROM read_parquet('{_STAGE_DIR}/media_phash_pairs.parquet')
     """
     oracles["rel_window_distinct_users"] = """
         SELECT date_trunc('hour', ts) AS window_start, event_type,

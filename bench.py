@@ -370,7 +370,7 @@ def main():
     from dfg_gepris_crawler_ray.ops.graph import person_projection_triangles
     timed("crawl_triangles", lambda: person_projection_triangles(SF_DIR).materialize())
     from dfg_gepris_crawler_ray.ops.multimodal import media_phash_pairs
-    timed("media_phash_pairs", lambda: media_phash_pairs(SF_DIR).materialize())
+    timed("media_phash_pairs", lambda: media_phash_pairs(SF_DIR))  # returns pa.Table
     timed("rel_window_distinct_hll",
           lambda: relational.window_distinct_users(SF_DIR, route="hll").materialize())
     from dfg_gepris_crawler_ray.ops.boilerplate import host_distinct_urls

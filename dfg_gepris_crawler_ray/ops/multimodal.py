@@ -432,7 +432,7 @@ def media_phash_pairs(
         .groupby("bucket")
         .map_groups(emit_bucket, batch_format="pandas")
     )
-    return (
+    out = (
         pairs.map_batches(
             lambda b: b.assign(
                 pair_bucket=((b["doc_a"] * 1_000_003 + b["doc_b"]) % 64).astype("int32")
@@ -445,3 +445,16 @@ def media_phash_pairs(
         )
         .map_batches(lambda b: b[["doc_a", "doc_b", "hamming"]], batch_format="pandas")
     )
+    # materialise with an explicit schema: on an all-unique corpus the
+    # result is EMPTY, and Dataset.to_pandas drops columns on zero
+    # blocks — the pair set is near-dup-bounded, so this collect is
+    # tiny by the same argument that makes the banding exchange cheap
+    schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int32())]
+    )
+    tables = [
+        t.select(["doc_a", "doc_b", "hamming"]).cast(schema)
+        for t in ray.get(out.to_arrow_refs())
+        if t.num_columns
+    ] or [schema.empty_table()]
+    return pa.concat_tables(tables)
