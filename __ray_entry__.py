@@ -1075,6 +1075,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H-Q22-style dormant rich customers (scalar-subquery
         # broadcast + recency-filtered bucketed anti-join)
         "rel_rich_dormant": relational.rich_idle_customers,
+        # vocabulary-growth signal: distinct tokens first minted per
+        # doc (in-batch dedup → one token-hash exchange → doc sum)
+        "text_token_novelty": textstats.token_novelty,
+        # exact global ntile(10) by length WITHOUT a global sort
+        # (length-histogram scan + tie-rank keyed exchange)
+        "text_length_deciles": textstats.length_deciles,
     }
 
 
@@ -2301,6 +2307,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN 0 ELSE 1 END)::BIGINT AS n_ontime
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1
+    """
+    oracles["text_token_novelty"] = """
+        WITH toks AS (SELECT DISTINCT doc_id, tok FROM
+            (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+        firsts AS (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY 1)
+        SELECT doc_id, count(*)::BIGINT AS n_first_tokens
+        FROM firsts GROUP BY 1
+    """
+    oracles["text_length_deciles"] = """
+        SELECT doc_id, n_chars,
+               ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT AS decile
+        FROM documents
     """
     oracles["rel_rich_dormant"] = """
         SELECT c_mktsegment, count(*)::BIGINT AS n_custs,

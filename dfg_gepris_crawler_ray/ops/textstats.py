@@ -1271,3 +1271,144 @@ def cooccurrence_topk(
             "n_docs": pa.array(top["n"].to_numpy().astype(np.int64)),
         }
     )
+
+
+def token_novelty(sf_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """(doc_id, n_first_tokens) — for each document, how many distinct
+    tokens make their corpus-wide FIRST appearance (min doc_id) in it:
+    the vocabulary-growth / content-novelty signal a curation pipeline
+    uses to spot duplicative tails (a boilerplate-heavy doc introduces
+    nothing; a novel doc mints vocabulary). Docs that introduce no
+    token are absent by definition (their count is zero).
+
+    Shape: per-batch DISTINCT (doc_id, token) pairs (in-batch dedup
+    shrinks the exchange to per-doc vocabulary, not token stream), ONE
+    token-hash bucket exchange, per-bucket ``min(doc_id)`` per token,
+    per-bucket partial counts per winning doc, then a tiny doc-keyed
+    sum. Token strings never leave their bucket a second time — the
+    second aggregate carries only (doc_id, partial_count).
+    """
+    import ray
+
+    from ..kernels.hashing import stable_hash64_array
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        d_out: list = []
+        t_out: list = []
+        for d, t in zip(doc_ids, texts):
+            toks = set(t.split(" "))
+            d_out.extend([d] * len(toks))
+            t_out.extend(toks)
+        h = stable_hash64_array(t_out)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "token": pa.array(t_out, type=pa.string()),
+                "_b": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32), type=pa.int32()
+                ),
+            }
+        )
+
+    def bucket_firsts(g: pd.DataFrame) -> pd.DataFrame:
+        firsts = g.groupby("token", as_index=False)["doc_id"].min()
+        out = firsts.groupby("doc_id", as_index=False).size()
+        out.columns = ["doc_id", "n_first_tokens"]
+        out["n_first_tokens"] = out["n_first_tokens"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(bucket_firsts, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n_first_tokens", alias_name="n_first_tokens"))
+    )
+
+
+def length_deciles(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """(doc_id, n_chars, decile) — SQL's ``ntile(k) OVER (ORDER BY
+    n_chars, doc_id)``: exact global ranking buckets without a global
+    sort. The curation use is length-stratified sampling/packing where
+    every stratum must hold exactly ⌈N/k⌉ or ⌊N/k⌋ docs (a quantile
+    APPROXIMATION can't promise that; this op is exact).
+
+    Shape — rank = (docs with smaller n_chars) + (tie rank by doc_id):
+
+    1. one scan emits per-batch value counts of ``n_chars``; a tiny
+       groupby reduces them to the global length histogram, collected
+       to the driver (distinct-length-bounded — n_chars of real text
+       spans ~10^4 values whatever the corpus size) and turned into an
+       exclusive cumulative table, broadcast via ``ray.put``;
+    2. ONE n_chars-keyed exchange co-locates equal-length docs;
+       per-group mergesort by doc_id gives the tie rank; global rank =
+       cum_below[n_chars] + tie_rank, and the ntile bucket follows
+       from (rank, N, k) arithmetic row-locally.
+
+    Skew note: a degenerate corpus where most docs share ONE length
+    sends that length to one task — salt by doc_id ranges inside the
+    group if that ever binds (lengths here are naturally spread).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def length_counts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("n_chars", as_index=False).size()
+        g.columns = ["n_chars", "cnt"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        ds.map_batches(length_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_chars")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct-length-bounded, NOT row-bounded
+        .sort_values("n_chars")
+    )
+    total = int(hist["cnt"].sum())
+    cum_below = dict(
+        zip(hist["n_chars"].astype(int),
+            (hist["cnt"].cumsum() - hist["cnt"]).astype(int))
+    )
+    cum_ref = ray.put(cum_below)
+
+    base = total // k
+    rem = total % k
+    big_span = rem * (base + 1)  # first `rem` buckets hold base+1 rows
+
+    def per_length(g: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(cum_ref)
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort").copy()
+        tie_rank = g.groupby("n_chars", sort=False).cumcount()
+        rank = g["n_chars"].map(lookup).to_numpy() + tie_rank.to_numpy()
+        decile = np.where(
+            rank < big_span,
+            rank // (base + 1),
+            rem + (rank - big_span) // max(base, 1),
+        ).astype("int64") + 1
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].astype("int64"),
+             "n_chars": g["n_chars"].astype("int64"),
+             "decile": decile}
+        )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_b=(df["n_chars"] % 64).astype("int32"))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(per_length, batch_format="pandas")
+    )

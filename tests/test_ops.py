@@ -2625,3 +2625,55 @@ def test_event_transitions_match_per_user_walk():
     assert got_map == dict(want)
     # sanity: a tiny dense matrix, every count positive
     assert all(v > 0 for v in got_map.values()) and len(got_map) > 1
+
+
+def test_length_deciles_exact_ntile_with_heavy_ties():
+    """The histogram+tie-rank route equals SQL ntile even when one
+    length value dominates (the skew case the docstring flags) and N
+    is not divisible by k."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from dfg_gepris_crawler_ray.ops.textstats import length_deciles
+
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="gepris_deciles_")
+    # 97 docs (97 % 10 != 0), 60 of them sharing one length
+    n = 97
+    lengths = [50] * 60 + list(range(100, 100 + (n - 60)))
+    df = pd.DataFrame({
+        "doc_id": range(n),
+        "text": ["x" * 3] * n,
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+        "n_chars": lengths,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    got = length_deciles(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = duckdb.sql(
+        f"SELECT doc_id, n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT AS decile "
+        f"FROM read_parquet('{d}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert got.astype(str).equals(exp.astype(str))
+    # bucket sizes exactly ceil/floor(N/k)
+    sizes = got["decile"].value_counts()
+    assert set(sizes.tolist()) <= {9, 10} and sizes.sum() == n
+
+
+def test_token_novelty_counts_are_a_partition_of_vocab():
+    """Every distinct corpus token is minted exactly once: the novelty
+    counts sum to the global vocabulary size."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.textstats import token_novelty
+
+    got = token_novelty(SF).to_pandas()
+    vocab = set()
+    for t in pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column("text").to_pylist():
+        vocab.update(t.split(" "))
+    assert int(got["n_first_tokens"].sum()) == len(vocab)
+    assert (got["n_first_tokens"] > 0).all()
