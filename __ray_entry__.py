@@ -1081,6 +1081,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact global ntile(10) by length WITHOUT a global sort
         # (length-histogram scan + tie-rank keyed exchange)
         "text_length_deciles": textstats.length_deciles,
+        # TPC-H Q7: two-nation trade volume per direction per ship-
+        # year (two keyed exchanges, dims broadcast, window pushed to
+        # the scan, integer-exact revenue)
+        "rel_q7_nation_volume": relational.two_nation_volume,
+        # TPC-H Q10: top-k customers by returned-lineitem revenue —
+        # aggregate-then-join-back (winner set broadcast into a
+        # pruned customer scan, never a customer shuffle)
+        "rel_q10_returned_customers": relational.returned_customer_revenue,
+        # TPC-H Q14: promo revenue share as two integer-exact sums
+        # over ONE partkey exchange (part is fact-scale: no broadcast)
+        "rel_q14_promo_share": relational.promo_revenue_share,
+        # TPC-H Q15: argmax over a distributed aggregate (scalar max
+        # tree-reduce + winner filter scan + pruned name attach)
+        "rel_q15_top_supplier": relational.top_revenue_supplier,
+        # TPC-H Q17: correlated per-part average threshold made key-
+        # local (integer cross-multiplied — no float avg boundary)
+        "rel_q17_small_qty_revenue": relational.small_quantity_revenue,
+        # TPC-H Q19: disjunctive brand/size/quantity predicate —
+        # pushable envelope at the scan, residual OR in-bucket
+        "rel_q19_disjunctive": relational.disjunctive_predicate_revenue,
     }
 
 
@@ -2315,6 +2335,92 @@ def oracle_sql() -> dict[str, str]:
         firsts AS (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY 1)
         SELECT doc_id, count(*)::BIGINT AS n_first_tokens
         FROM firsts GROUP BY 1
+    """
+    oracles["rel_q7_nation_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate)::BIGINT AS l_year,
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * round((1 - l_discount) * 100)::BIGINT)::BIGINT
+                 AS revenue_x10000
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """
+    oracles["rel_q10_returned_customers"] = """
+        WITH rev AS (
+            SELECT o_custkey AS c_custkey,
+                   sum(round(l_extendedprice * 100)::BIGINT
+                       * round((1 - l_discount) * 100)::BIGINT)::BIGINT
+                     AS revenue_x10000
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY 1
+            ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20)
+        SELECT c.c_custkey, c_name, n_name, revenue_x10000
+        FROM rev JOIN customer c USING (c_custkey)
+                 JOIN nation ON n_nationkey = c_nationkey
+    """
+    oracles["rel_q14_promo_share"] = """
+        SELECT sum(CASE WHEN p_type = 'PROMO'
+                        THEN round(l_extendedprice * 100)::BIGINT
+                             * round((1 - l_discount) * 100)::BIGINT
+                        ELSE 0 END)::BIGINT AS promo_revenue_x10000,
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * round((1 - l_discount) * 100)::BIGINT)::BIGINT
+                 AS total_revenue_x10000
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-02-01'
+    """
+    oracles["rel_q15_top_supplier"] = """
+        WITH rev AS (
+            SELECT l_suppkey AS s_suppkey,
+                   sum(round(l_extendedprice * 100)::BIGINT
+                       * round((1 - l_discount) * 100)::BIGINT)::BIGINT
+                     AS total_revenue_x10000
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1)
+        SELECT s.s_suppkey, s_name, total_revenue_x10000
+        FROM rev JOIN supplier s USING (s_suppkey)
+        WHERE total_revenue_x10000 = (SELECT max(total_revenue_x10000)
+                                      FROM rev)
+    """
+    oracles["rel_q17_small_qty_revenue"] = """
+        WITH st AS (SELECT l_partkey,
+                           sum(round(l_quantity)::BIGINT) AS sum_qty,
+                           count(*)::BIGINT AS n
+                    FROM lineitem GROUP BY 1)
+        SELECT sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                 AS total_extprice_x100,
+               count(*)::BIGINT AS n_small_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+             JOIN st ON st.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND 5 * round(l_quantity)::BIGINT * n < sum_qty
+    """
+    oracles["rel_q19_disjunctive"] = """
+        SELECT sum(round(l_extendedprice * 100)::BIGINT
+                   * round((1 - l_discount) * 100)::BIGINT)::BIGINT
+                 AS revenue_x10000,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
     """
     oracles["text_length_deciles"] = """
         SELECT doc_id, n_chars,

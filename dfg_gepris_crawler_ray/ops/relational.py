@@ -1881,3 +1881,680 @@ def rich_idle_customers(sf_dir: str, cutoff: str = "2001-01-01") -> "ray.data.Da
         return df
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def _int_revenue_x10000(extprice: pd.Series, discount: pd.Series) -> pd.Series:
+    """Integer ten-thousandths revenue — the Q5 rounding-boundary-safe
+    kernel (prices are cents, discounts centi-steps, so np.round's
+    half-even never disagrees with SQL's half-away here)."""
+    return (extprice * 100).round().astype("int64") * (
+        (1.0 - discount) * 100
+    ).round().astype("int64")
+
+
+def two_nation_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(supp_nation, cust_nation, l_year, revenue_x10000) — TPC-H Q7:
+    trade volume between two nations per direction per ship-year, over
+    a two-year ship-date window. Reference parity: the generic join/
+    aggregate layer the crawl pipelines compose (reference has no SQL
+    engine; this is the §2.7/§2.8 relational surface).
+
+    Shape (same two-exchange star plan as Q5
+    ``regional_nation_revenue``, different grouping contract):
+
+    - nation names and the supplier→nationkey map broadcast via
+      ``ray.put`` (dims);
+    - customer rows NOT in either nation drop before the first
+      shuffle; the ship-date window is pushed into the lineitem
+      parquet scan (row groups outside it never leave storage);
+    - exchange 1: customer ⋈ orders by custkey-hash bucket;
+    - exchange 2: ⋈ lineitem by orderkey-hash bucket — the supplier-
+      nation lookup, direction filter (exactly (a,b) or (b,a)) and the
+      integer-exact revenue partial all happen inside the group task,
+      so only per-(direction, year) partials leave it;
+    - final keyed sum over ≤ 2·years rows."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nk2name = dict(
+        nation[nation["n_name"].isin([nation_a, nation_b])].itertuples(
+            index=False, name=None
+        )
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_nk = dict(supp.itertuples(index=False, name=None))
+    dims_ref = ray.put((nk2name, supp_nk))
+
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    ship_expr = (
+        pads.field("l_shipdate") >= _dt.datetime.fromisoformat(date_from)
+    ) & (pads.field("l_shipdate") < _dt.datetime.fromisoformat(date_to))
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate",
+        ],
+        filter=ship_expr,
+    )
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        nk2name_, _ = ray.get(dims_ref)
+        d = df[df["c_nationkey"].isin(nk2name_)]
+        return pd.DataFrame(
+            {"key": d["c_custkey"].astype("int64"),
+             "okey": np.int64(-1),
+             "cnk": d["c_nationkey"].astype("int64"),
+             "_b": (d["c_custkey"] % nb).astype("int32"), "_k": "c"}
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["o_custkey"].astype("int64"),
+             "okey": df["o_orderkey"].astype("int64"),
+             "cnk": np.int64(-1),
+             "_b": (df["o_custkey"] % nb).astype("int32"), "_k": "o"}
+        )
+
+    def join_co(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["_k"] == "c"][["key", "cnk"]]
+        o = g[g["_k"] == "o"][["key", "okey"]]
+        m = o.merge(c, on="key")
+        return pd.DataFrame(
+            {"okey": m["okey"].astype("int64"),
+             "cnk": m["cnk"].astype("int64"),
+             "skey": np.int64(-1), "yr": np.int64(-1), "rev": np.int64(0),
+             "_b2": (m["okey"] % nb).astype("int32"), "_k": "co"}
+        )
+
+    cust_orders = (
+        customers.map_batches(tag_cust, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(join_co, batch_format="pandas")
+    )
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["l_orderkey"].astype("int64"),
+             "cnk": np.int64(-1),
+             "skey": df["l_suppkey"].astype("int64"),
+             "yr": df["l_shipdate"].dt.year.astype("int64"),
+             "rev": _int_revenue_x10000(df["l_extendedprice"], df["l_discount"]),
+             "_b2": (df["l_orderkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    empty = pd.DataFrame(
+        {"supp_nation": pd.Series(dtype="object"),
+         "cust_nation": pd.Series(dtype="object"),
+         "l_year": pd.Series(dtype="int64"),
+         "revenue_x10000": pd.Series(dtype="int64")}
+    )
+
+    def join_vol(g: pd.DataFrame) -> pd.DataFrame:
+        nk2name_, supp_nk_ = ray.get(dims_ref)
+        co = g[g["_k"] == "co"][["okey", "cnk"]]
+        li = g[g["_k"] == "l"][["okey", "skey", "yr", "rev"]]
+        if not len(co) or not len(li):
+            return empty.copy()
+        m = li.merge(co, on="okey")
+        m["snk"] = m["skey"].map(supp_nk_)
+        # both endpoints in {a,b} and distinct ⇒ exactly (a,b) or (b,a)
+        m = m[m["snk"].isin(nk2name_) & (m["snk"] != m["cnk"])]
+        if not len(m):
+            return empty.copy()
+        m["supp_nation"] = m["snk"].map(nk2name_)
+        m["cust_nation"] = m["cnk"].map(nk2name_)
+        out = m.groupby(["supp_nation", "cust_nation", "yr"], as_index=False)[
+            "rev"
+        ].sum()
+        return pd.DataFrame(
+            {"supp_nation": out["supp_nation"],
+             "cust_nation": out["cust_nation"],
+             "l_year": out["yr"].astype("int64"),
+             "revenue_x10000": out["rev"].astype("int64")}
+        )
+
+    return (
+        cust_orders.union(lineitem.map_batches(tag_line, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b2")
+        .map_groups(join_vol, batch_format="pandas")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .sum("revenue_x10000")
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"supp_nation": df["supp_nation"],
+                 "cust_nation": df["cust_nation"],
+                 "l_year": df["l_year"].astype("int64"),
+                 "revenue_x10000": df["sum(revenue_x10000)"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def returned_customer_revenue(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    k: int = 20,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(c_custkey, c_name, n_name, revenue_x10000) — TPC-H Q10: the
+    top-``k`` customers by revenue from RETURNED lineitems
+    (``l_returnflag = 'R'``) of orders placed in the window, with the
+    customer's nation attached; ties broken by custkey.
+
+    Scale shape — aggregate first, join the tiny winner set back:
+
+    - both scans pruned AND filtered at the read (order-date window
+      on orders, returnflag on lineitem — row groups that can't match
+      never leave storage);
+    - exchange 1: orders ⋈ lineitem by orderkey-hash bucket; per-batch
+      partial revenue per order shrinks the lineitem side before the
+      shuffle; the group task emits (custkey, rev) partials;
+    - exchange 2: keyed sum per custkey (10^9 customers — stays
+      distributed), then distributed sort + limit for the top-k;
+    - the ≤k winner custkeys broadcast back into a PRUNED customer
+      scan (semi-join in the read path — never a customer-side
+      shuffle); nation names via a dim broadcast."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    date_expr = (
+        pads.field("o_orderdate") >= _dt.datetime.fromisoformat(date_from)
+    ) & (pads.field("o_orderdate") < _dt.datetime.fromisoformat(date_to))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=date_expr,
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["o_orderkey"].astype("int64"),
+             "ckey": df["o_custkey"].astype("int64"),
+             "rev": np.int64(0),
+             "_b": (df["o_orderkey"] % nb).astype("int32"), "_k": "o"}
+        )
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        part = pd.DataFrame(
+            {"okey": df["l_orderkey"].astype("int64"),
+             "rev": _int_revenue_x10000(df["l_extendedprice"], df["l_discount"])}
+        ).groupby("okey", as_index=False)["rev"].sum()  # per-batch partial
+        part["ckey"] = np.int64(-1)
+        part["_b"] = (part["okey"] % nb).astype("int32")
+        part["_k"] = "l"
+        return part[["okey", "ckey", "rev", "_b", "_k"]]
+
+    def join_rev(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_k"] == "o"][["okey", "ckey"]]
+        l = g[g["_k"] == "l"][["okey", "rev"]]
+        if not len(o) or not len(l):
+            return pd.DataFrame(
+                {"c_custkey": pd.Series(dtype="int64"),
+                 "rev": pd.Series(dtype="int64")}
+            )
+        m = l.groupby("okey", as_index=False)["rev"].sum().merge(o, on="okey")
+        out = m.groupby("ckey", as_index=False)["rev"].sum()
+        return pd.DataFrame(
+            {"c_custkey": out["ckey"].astype("int64"),
+             "rev": out["rev"].astype("int64")}
+        )
+
+    per_cust = (
+        orders.map_batches(tag_orders, batch_format="pandas")
+        .union(li.map_batches(tag_line, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(join_rev, batch_format="pandas")
+        .groupby("c_custkey")
+        .sum("rev")
+    )
+    winners = (
+        per_cust.sort(["sum(rev)", "c_custkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )  # ≤ k rows — bounded driver read by construction
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nk2name = dict(nation.itertuples(index=False, name=None))
+    win_rev = dict(
+        zip(winners["c_custkey"].tolist(), winners["sum(rev)"].tolist())
+    )
+    win_ref = ray.put((win_rev, nk2name))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        # zero-copy semi-join against the ≤k winner set; survivors are
+        # ≤k rows so the per-row mapping after the filter is bounded
+        win_rev_, nk2name_ = ray.get(win_ref)
+        d = t.filter(pc.is_in(
+            t.column("c_custkey"),
+            value_set=pa.array(list(win_rev_), pa.int64()),
+        ))
+        ck = d.column("c_custkey").to_pylist()
+        nk = d.column("c_nationkey").to_pylist()
+        return pa.table(
+            {"c_custkey": pa.array(ck, pa.int64()),
+             "c_name": d.column("c_name"),
+             "n_name": pa.array([nk2name_[x] for x in nk], pa.string()),
+             "revenue_x10000": pa.array(
+                 [int(win_rev_[x]) for x in ck], pa.int64())}
+        )
+
+    return cust.map_batches(attach, batch_format="pyarrow")
+
+
+def promo_revenue_share(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-02-01",
+    num_buckets: int = 64,
+) -> pa.Table:
+    """One row (promo_revenue_x10000, total_revenue_x10000) — TPC-H
+    Q14: revenue from PROMO-type parts vs all revenue in a one-month
+    ship window. Both sums integer-exact; the ratio is the caller's
+    division (two exact ints hash-compare cleanly across engines, a
+    float share wouldn't).
+
+    Shape: part is fact-scale at 10^10 lineitems (~10^8 parts — too
+    big to broadcast), so part.(p_partkey, is_promo) ⋈ lineitem runs
+    as ONE partkey-hash bucket exchange; the lineitem side pre-reduces
+    per (partkey) per batch, the ship window is pushed into the scan,
+    and each group task emits a single (promo, total) partial — the
+    driver reads ≤ num_buckets rows."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    ship_expr = (
+        pads.field("l_shipdate") >= _dt.datetime.fromisoformat(date_from)
+    ) & (pads.field("l_shipdate") < _dt.datetime.fromisoformat(date_to))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=ship_expr,
+    )
+
+    def tag_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pkey": df["p_partkey"].astype("int64"),
+             "promo": (df["p_type"] == "PROMO").astype("int8"),
+             "rev": np.int64(0),
+             "_b": (df["p_partkey"] % nb).astype("int32"), "_k": "p"}
+        )
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        part_ = pd.DataFrame(
+            {"pkey": df["l_partkey"].astype("int64"),
+             "rev": _int_revenue_x10000(df["l_extendedprice"], df["l_discount"])}
+        ).groupby("pkey", as_index=False)["rev"].sum()  # per-batch partial
+        part_["promo"] = np.int8(0)
+        part_["_b"] = (part_["pkey"] % nb).astype("int32")
+        part_["_k"] = "l"
+        return part_[["pkey", "promo", "rev", "_b", "_k"]]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["_k"] == "p"][["pkey", "promo"]]
+        l = g[g["_k"] == "l"][["pkey", "rev"]]
+        if not len(p) or not len(l):
+            return pd.DataFrame(
+                {"promo_revenue_x10000": pd.Series(dtype="int64"),
+                 "total_revenue_x10000": pd.Series(dtype="int64")}
+            )
+        m = l.merge(p, on="pkey")
+        return pd.DataFrame(
+            {"promo_revenue_x10000":
+                 [np.int64((m["rev"] * m["promo"]).sum())],
+             "total_revenue_x10000": [np.int64(m["rev"].sum())]}
+        )
+
+    partials = (
+        part.map_batches(tag_part, batch_format="pandas")
+        .union(li.map_batches(tag_line, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ nb single-row partials — fanin-bounded
+    )
+    return pa.table(
+        {"promo_revenue_x10000":
+             pa.array([int(partials["promo_revenue_x10000"].sum())], pa.int64()),
+         "total_revenue_x10000":
+             pa.array([int(partials["total_revenue_x10000"].sum())], pa.int64())}
+    )
+
+
+def top_revenue_supplier(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> "ray.data.Dataset":
+    """(s_suppkey, s_name, total_revenue_x10000) — TPC-H Q15: the
+    supplier(s) whose shipped revenue over the window equals the
+    global maximum (ALL argmax rows, as Q15's view formulation
+    demands — ties survive).
+
+    Shape — argmax over an aggregate without any driver-side table:
+
+    - per-suppkey revenue: per-batch partial pre-agg inside the scan,
+      then ONE keyed ``groupby(suppkey).sum`` exchange (supplier
+      cardinality ~10^8 — stays a Dataset);
+    - the scalar max via the distributed ``Dataset.max`` aggregate
+      (tree-reduced, one number on the driver);
+    - winners = filter(total == max) — a scan over the per-supplier
+      aggregate, no re-shuffle;
+    - names attached from a PRUNED supplier read semi-joined against
+      the broadcast winner set (≤ ties rows)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    ship_expr = (
+        pads.field("l_shipdate") >= _dt.datetime.fromisoformat(date_from)
+    ) & (pads.field("l_shipdate") < _dt.datetime.fromisoformat(date_to))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=ship_expr,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"s_suppkey": df["l_suppkey"].astype("int64"),
+             "rev": _int_revenue_x10000(df["l_extendedprice"], df["l_discount"])}
+        ).groupby("s_suppkey", as_index=False)["rev"].sum()
+        return g
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("s_suppkey")
+        .sum("rev")
+    ).materialize()  # per-supplier rows (≪ facts) — pinned in the
+    # object store so the max pass and the winner scan don't
+    # re-execute the fact scan + exchange
+    best = per_supp.max("sum(rev)")  # distributed scalar reduce
+
+    win = per_supp.map_batches(
+        lambda df: df[df["sum(rev)"] == best], batch_format="pandas"
+    ).to_pandas()  # ≤ #ties rows
+    win_rev = dict(zip(win["s_suppkey"].tolist(), win["sum(rev)"].tolist()))
+    win_ref = ray.put(win_rev)
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        win_rev_ = ray.get(win_ref)
+        d = t.filter(pc.is_in(
+            t.column("s_suppkey"),
+            value_set=pa.array(list(win_rev_), pa.int64()),
+        ))
+        sk = d.column("s_suppkey").to_pylist()  # ≤ #ties rows
+        return pa.table(
+            {"s_suppkey": pa.array(sk, pa.int64()),
+             "s_name": d.column("s_name"),
+             "total_revenue_x10000": pa.array(
+                 [int(win_rev_[x]) for x in sk], pa.int64())}
+        )
+
+    return supp.map_batches(attach, batch_format="pyarrow")
+
+
+def small_quantity_revenue(
+    sf_dir: str,
+    brand: str = "Brand#4",
+    num_buckets: int = 64,
+) -> pa.Table:
+    """One row (total_extprice_x100, n_small_lines) — TPC-H Q17: the
+    extended-price volume of lineitems of ``brand`` parts whose
+    quantity is below 20% of that part's average lineitem quantity
+    (the lost-revenue-from-small-orders probe).
+
+    The correlated subquery (per-part average over ALL lineitems)
+    becomes key-local algebra: ONE partkey-hash exchange co-locates a
+    part's brand flag with every one of its lineitems, and the group
+    task evaluates the threshold exactly — quantities are integral, so
+    ``qty < avg/5`` is tested as ``5·qty·n_lines < sum_qty`` in int64
+    (NO float average, hence no engine-specific summation-order
+    boundary). Driver reads ≤ num_buckets single-row partials."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    import pyarrow.dataset as pads
+
+    brand_parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=pads.field("p_brand") == brand,
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def tag_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pkey": df["p_partkey"].astype("int64"),
+             "qty": np.int64(-1), "ext": np.int64(-1),
+             "_b": (df["p_partkey"] % nb).astype("int32"), "_k": "p"}
+        )
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pkey": df["l_partkey"].astype("int64"),
+             "qty": df["l_quantity"].round().astype("int64"),
+             "ext": (df["l_extendedprice"] * 100).round().astype("int64"),
+             "_b": (df["l_partkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pkeys = g.loc[g["_k"] == "p", "pkey"]
+        l = g[g["_k"] == "l"]
+        empty = pd.DataFrame(
+            {"total_extprice_x100": pd.Series(dtype="int64"),
+             "n_small_lines": pd.Series(dtype="int64")}
+        )
+        if not len(pkeys) or not len(l):
+            return empty
+        # per-part (sum_qty, n) over ALL lineitems, then the exact
+        # integer threshold 5·qty·n < sum_qty on brand parts only
+        stats = l.groupby("pkey")["qty"].agg(sum_qty="sum", n="size")
+        lb = l[l["pkey"].isin(set(pkeys))]
+        if not len(lb):
+            return empty
+        st = stats.loc[lb["pkey"]].reset_index(drop=True)
+        small = (5 * lb["qty"].to_numpy() * st["n"].to_numpy()) < st[
+            "sum_qty"
+        ].to_numpy()
+        return pd.DataFrame(
+            {"total_extprice_x100":
+                 [np.int64(lb["ext"].to_numpy()[small].sum())],
+             "n_small_lines": [np.int64(small.sum())]}
+        )
+
+    partials = (
+        brand_parts.map_batches(tag_part, batch_format="pandas")
+        .union(li.map_batches(tag_line, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ nb single-row partials
+    )
+    return pa.table(
+        {"total_extprice_x100":
+             pa.array([int(partials["total_extprice_x100"].sum())], pa.int64()),
+         "n_small_lines":
+             pa.array([int(partials["n_small_lines"].sum())], pa.int64())}
+    )
+
+
+def disjunctive_predicate_revenue(
+    sf_dir: str,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """One row (revenue_x10000, n_lines) — TPC-H Q19: revenue from
+    lineitems matching ANY of three brand/size/quantity conjunctions
+    (the disjunctive-predicate join no planner can push as a single
+    column filter):
+
+    - Brand#1, size 1–5,  quantity 1–11
+    - Brand#2, size 1–10, quantity 10–20
+    - Brand#3, size 1–15, quantity 20–30
+
+    Shape: the quantity-envelope (1–30, the UNION of the three ranges)
+    and brand-set prefilters ARE pushable and are pushed into the
+    scans; the residual disjunction is evaluated vectorized inside the
+    partkey-hash group task where a part's (brand, size) meets its
+    lineitems. Driver reads ≤ num_buckets single-row partials."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    import pyarrow.dataset as pads
+
+    brands = ["Brand#1", "Brand#2", "Brand#3"]
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=pads.field("p_brand").isin(brands)
+        & (pads.field("p_size") >= 1) & (pads.field("p_size") <= 15),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_quantity") >= 1.0)
+        & (pads.field("l_quantity") <= 30.0),
+    )
+
+    def tag_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pkey": df["p_partkey"].astype("int64"),
+             "bno": df["p_brand"].str.removeprefix("Brand#").astype("int64"),
+             "size": df["p_size"].astype("int64"),
+             "qty": np.float64(-1), "rev": np.int64(0),
+             "_b": (df["p_partkey"] % nb).astype("int32"), "_k": "p"}
+        )
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pkey": df["l_partkey"].astype("int64"),
+             "bno": np.int64(-1), "size": np.int64(-1),
+             "qty": df["l_quantity"].astype("float64"),
+             "rev": _int_revenue_x10000(df["l_extendedprice"], df["l_discount"]),
+             "_b": (df["l_partkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["_k"] == "p"][["pkey", "bno", "size"]]
+        l = g[g["_k"] == "l"][["pkey", "qty", "rev"]]
+        empty = pd.DataFrame(
+            {"revenue_x10000": pd.Series(dtype="int64"),
+             "n_lines": pd.Series(dtype="int64")}
+        )
+        if not len(p) or not len(l):
+            return empty
+        m = l.merge(p, on="pkey")
+        if not len(m):
+            return empty
+        bno, size, qty = (m["bno"].to_numpy(), m["size"].to_numpy(),
+                          m["qty"].to_numpy())
+        hit = (
+            ((bno == 1) & (size <= 5) & (qty >= 1) & (qty <= 11))
+            | ((bno == 2) & (size <= 10) & (qty >= 10) & (qty <= 20))
+            | ((bno == 3) & (size <= 15) & (qty >= 20) & (qty <= 30))
+        )
+        return pd.DataFrame(
+            {"revenue_x10000": [np.int64(m["rev"].to_numpy()[hit].sum())],
+             "n_lines": [np.int64(hit.sum())]}
+        )
+
+    partials = (
+        part.map_batches(tag_part, batch_format="pandas")
+        .union(li.map_batches(tag_line, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ nb single-row partials
+    )
+    return pa.table(
+        {"revenue_x10000":
+             pa.array([int(partials["revenue_x10000"].sum())], pa.int64()),
+         "n_lines": pa.array([int(partials["n_lines"].sum())], pa.int64())}
+    )

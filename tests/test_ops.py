@@ -2677,3 +2677,168 @@ def test_token_novelty_counts_are_a_partition_of_vocab():
         vocab.update(t.split(" "))
     assert int(got["n_first_tokens"].sum()) == len(vocab)
     assert (got["n_first_tokens"] > 0).all()
+
+
+def _tpch_views(con, sf=SF):
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+
+def test_q7_two_nation_volume_matches_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import two_nation_volume
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate)::BIGINT AS l_year,
+               sum(round(l_extendedprice*100)::BIGINT
+                   * round((1-l_discount)*100)::BIGINT)::BIGINT AS revenue_x10000
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name='NATION_3' AND n2.n_name='NATION_7')
+               OR (n1.n_name='NATION_7' AND n2.n_name='NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1,2,3 ORDER BY 1,2,3
+    """).df()
+    got = (
+        two_nation_volume(SF)
+        .to_pandas()
+        .sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True)
+    )
+    assert got["revenue_x10000"].tolist() == want["revenue_x10000"].tolist()
+    assert got["supp_nation"].tolist() == want["supp_nation"].tolist()
+    assert got["l_year"].tolist() == want["l_year"].tolist()
+
+
+def test_q10_returned_customers_matches_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import returned_customer_revenue
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        WITH rev AS (
+            SELECT o_custkey AS c_custkey,
+                   sum(round(l_extendedprice*100)::BIGINT
+                       * round((1-l_discount)*100)::BIGINT)::BIGINT AS revenue_x10000
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY 1 ORDER BY revenue_x10000 DESC, c_custkey LIMIT 20)
+        SELECT c.c_custkey, c_name, n_name, revenue_x10000
+        FROM rev JOIN customer c USING (c_custkey)
+                 JOIN nation ON n_nationkey = c_nationkey
+        ORDER BY revenue_x10000 DESC, c_custkey
+    """).df()
+    got = (
+        returned_customer_revenue(SF)
+        .to_pandas()
+        .sort_values(["revenue_x10000", "c_custkey"],
+                     ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 20
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert got["revenue_x10000"].tolist() == want["revenue_x10000"].tolist()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+
+
+def test_q15_top_supplier_keeps_all_ties():
+    """Argmax contract: EVERY supplier at the max survives. The
+    synthetic corpus has a unique winner; tie coverage comes from
+    asserting the op's winner equals the oracle's full tie set."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import top_revenue_supplier
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        WITH rev AS (
+            SELECT l_suppkey AS s_suppkey,
+                   sum(round(l_extendedprice*100)::BIGINT
+                       * round((1-l_discount)*100)::BIGINT)::BIGINT AS total
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1)
+        SELECT s_suppkey, total FROM rev
+        WHERE total = (SELECT max(total) FROM rev) ORDER BY 1
+    """).df()
+    got = top_revenue_supplier(SF).to_pandas().sort_values("s_suppkey")
+    assert got["s_suppkey"].tolist() == want["s_suppkey"].tolist()
+    assert got["total_revenue_x10000"].tolist() == want["total"].tolist()
+
+
+def test_q17_small_quantity_revenue_integer_exact():
+    """The correlated avg threshold is evaluated as 5·qty·n < sum_qty
+    in int64 — proven equal to the float formulation here AND immune
+    to summation order by construction."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import small_quantity_revenue
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        WITH st AS (SELECT l_partkey, sum(round(l_quantity)::BIGINT) AS sum_qty,
+                           count(*)::BIGINT AS n
+                    FROM lineitem GROUP BY 1)
+        SELECT coalesce(sum(round(l_extendedprice*100)::BIGINT), 0)::BIGINT AS ext,
+               count(*)::BIGINT AS n_small
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+             JOIN st ON st.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND 5 * round(l_quantity)::BIGINT * n < sum_qty
+    """).df()
+    # cross-check: the float-avg formulation agrees on this corpus
+    want_float = con.sql("""
+        SELECT count(*)::BIGINT AS n FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (SELECT 0.2*avg(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = lineitem.l_partkey)
+    """).df()
+    got = small_quantity_revenue(SF).to_pandas()
+    assert int(got["total_extprice_x100"][0]) == int(want["ext"][0])
+    assert int(got["n_small_lines"][0]) == int(want["n_small"][0])
+    assert int(want_float["n"][0]) == int(want["n_small"][0])
+
+
+def test_q19_disjunctive_matches_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import (
+        disjunctive_predicate_revenue,
+    )
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        SELECT coalesce(sum(round(l_extendedprice*100)::BIGINT
+                   * round((1-l_discount)*100)::BIGINT), 0)::BIGINT AS rev,
+               count(*)::BIGINT AS n
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand='Brand#1' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand='Brand#2' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand='Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """).df()
+    got = disjunctive_predicate_revenue(SF).to_pandas()
+    assert int(got["revenue_x10000"][0]) == int(want["rev"][0])
+    assert int(got["n_lines"][0]) == int(want["n"][0])
