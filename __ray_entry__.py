@@ -787,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         decontaminate,
         dedup,
         embedder,
+        graph,
         multimodal,
         pii,
         relational,
@@ -1101,6 +1102,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q19: disjunctive brand/size/quantity predicate —
         # pushable envelope at the scan, residual OR in-bucket
         "rel_q19_disjunctive": relational.disjunctive_predicate_revenue,
+        # distributed BFS crawl tiers: min hops from the seed list
+        # over the symmetrized reference graph (per round ONE src-hash
+        # expansion exchange + ONE node-hash dedup/anti-join exchange;
+        # no driver-resident node set) — recursive-CTE oracle
+        "crawl_bfs_tiers": graph.reference_graph_bfs_depth,
     }
 
 
@@ -2408,6 +2414,26 @@ def oracle_sql() -> dict[str, str]:
              JOIN st ON st.l_partkey = lineitem.l_partkey
         WHERE p_brand = 'Brand#4'
           AND 5 * round(l_quantity)::BIGINT * n < sum_qty
+    """
+    oracles["crawl_bfs_tiers"] = """
+        WITH RECURSIVE nd AS (SELECT count(*) AS n_docs FROM documents),
+        e0 AS (
+          SELECT CAST(1000 + d.doc_id AS BIGINT) AS u,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS v
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        seeds AS (SELECT CAST(1000 + doc_id AS BIGINT) AS node
+                  FROM documents WHERE doc_id % 30 = 0),
+        reach(node, hops) AS (
+          SELECT node, 0 FROM seeds
+          UNION
+          SELECT e.v, reach.hops + 1 FROM reach
+          JOIN edges e ON e.u = reach.node WHERE reach.hops < 6
+        )
+        SELECT node, min(hops)::BIGINT AS depth FROM reach GROUP BY node
     """
     oracles["rel_q19_disjunctive"] = """
         SELECT sum(round(l_extendedprice * 100)::BIGINT

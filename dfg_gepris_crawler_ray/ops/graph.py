@@ -580,3 +580,164 @@ def person_projection_triangles(
             }
         )
     )
+
+
+def bfs_depth_ds(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    max_depth: int = 6,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(node, depth) — breadth-first minimum hop distance from a seed
+    set along directed ``(src, dst)`` edges, capped at ``max_depth``:
+    the crawl-frontier expansion loop itself (reference parity: the J5
+    frontier anti-join, `spiders/details.py` discovered-id fan-out),
+    made a first-class operator. A tier-N crawl = "fetch everything
+    within N hops of the seed list"; the depth label is the tier.
+
+    Scale shape — the textbook distributed BFS, no driver-resident
+    node set anywhere:
+
+    - edges are bucket-tagged by ``src`` ONCE and pinned (reused every
+      round — the loop never re-reads or re-shuffles the raw edges
+      beyond the per-round keyed exchange);
+    - per round: frontier ⋈ edges by src-hash bucket (ONE exchange;
+      per-bucket vectorized ``isin`` + in-bucket dst dedup), then the
+      dtype-safe bucketed anti-join against the visited set (second
+      exchange) keeps only first-time nodes;
+    - visited grows by union of materialized per-round deltas with
+      ``cut_lineage`` re-rooting (constant-depth plans — the
+      label-propagation discipline);
+    - the ONLY driver value per round is the new-node count (the stop
+      test a real crawler logs anyway)."""
+    from ..kernels.partitioning import adaptive_buckets, cut_lineage
+
+    edges = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"key": df["src"].astype("int64"),
+             "dst": df["dst"].astype("int64")}
+        ).assign(_b=lambda d: (d["key"] % num_buckets).astype("int32"),
+                 _k="e"),
+        batch_format="pandas",
+    ).materialize()
+    nb = adaptive_buckets(edges.count(), requested=num_buckets)
+    if nb != num_buckets:
+        edges = edges.map_batches(
+            lambda df: df.assign(_b=(df["key"] % nb).astype("int32")),
+            batch_format="pandas",
+        ).materialize()
+
+    visited = seeds.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64")}
+        ).drop_duplicates().assign(depth=np.int64(0)),
+        batch_format="pandas",
+    ).materialize()
+    frontier = visited
+
+    def tag_frontier(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["node"].astype("int64"), "dst": np.int64(-1)}
+        ).assign(_b=lambda d: (d["key"] % nb).astype("int32"), _k="f")
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        fr = g.loc[g["_k"] == "f", "key"].unique()
+        e = g[g["_k"] == "e"]
+        if not len(fr) or not len(e):
+            return pd.DataFrame({"node": pd.Series(dtype="int64")})
+        hit = e.loc[e["key"].isin(fr), "dst"].unique()
+        return pd.DataFrame({"node": pd.Series(hit, dtype="int64")})
+
+    def tag_nbr(df: pd.DataFrame) -> pd.DataFrame:
+        d_ = df.drop_duplicates("node")
+        return pd.DataFrame({"node": d_["node"].astype("int64")}).assign(
+            _ab=lambda x: (x["node"] % nb).astype("int32"), _s="n"
+        )
+
+    def tag_vis(df: pd.DataFrame) -> pd.DataFrame:
+        d_ = df[["node"]].drop_duplicates()
+        return pd.DataFrame({"node": d_["node"].astype("int64")}).assign(
+            _ab=lambda x: (x["node"] % nb).astype("int32"), _s="v"
+        )
+
+    for d in range(1, max_depth + 1):
+        nbrs = (
+            frontier.map_batches(tag_frontier, batch_format="pandas")
+            .union(edges)
+            .repartition(nb)
+            .groupby("_b")
+            .map_groups(expand, batch_format="pandas")
+        )
+        # anti-join + GLOBAL dedup in one node-hash exchange: every
+        # copy of a node (one per src bucket that reached it) lands in
+        # the same group as any visited record of it
+        depth_now = np.int64(d)
+
+        def new_nodes(g: pd.DataFrame, _d=depth_now) -> pd.DataFrame:
+            vn = g.loc[g["_s"] == "v", "node"].to_numpy()
+            n = g.loc[g["_s"] == "n", "node"].unique()
+            out = np.setdiff1d(n, vn)
+            return pd.DataFrame(
+                {"node": pd.Series(out, dtype="int64"),
+                 "depth": np.full(len(out), _d, dtype="int64")}
+            )
+
+        new = (
+            nbrs.map_batches(tag_nbr, batch_format="pandas")
+            .union(visited.map_batches(tag_vis, batch_format="pandas"))
+            .repartition(nb)
+            .groupby("_ab")
+            .map_groups(new_nodes, batch_format="pandas")
+        )
+        new = cut_lineage(new.materialize())
+        if new.count() == 0:
+            break
+        visited = cut_lineage(visited.union(new).materialize())
+        frontier = new
+    return visited
+
+
+def reference_graph_bfs_depth(
+    sf_dir: str, max_depth: int = 6, seed_stride: int = 30
+) -> "ray.data.Dataset":
+    """(node, depth) — crawl tiers over the symmetrized projekt↔person
+    reference graph: minimum hops from the seed list (projekt nodes
+    whose doc_id is a multiple of ``seed_stride`` — the deterministic
+    stand-in for a curated seed file), capped at ``max_depth``. This
+    is the tier-crawl contract: depth 0 = seeds, depth N = pages first
+    discoverable N link-follows later; a production frontier fetches
+    tiers in order (reference: `spiders/details.py` discovered-id
+    fan-out + J5 anti-join, iterated)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edge_rows(batch) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        src, dst = [], []
+        for dd in ids:
+            for k in (1, 2, 3, 4):
+                p = person_ref(dd, k, n_docs)
+                src += [1000 + dd, p]  # symmetrized: crawl follows
+                dst += [p, 1000 + dd]  # links in both page directions
+        return pd.DataFrame(
+            {"src": pd.Series(src, dtype="int64"),
+             "dst": pd.Series(dst, dtype="int64")}
+        )
+
+    def seed_rows(batch) -> pd.DataFrame:
+        ids = [
+            1000 + int(i)
+            for i in batch.column("doc_id").to_pylist()
+            if i % seed_stride == 0
+        ]
+        return pd.DataFrame({"node": pd.Series(ids, dtype="int64")})
+
+    edges = docs.map_batches(edge_rows, batch_format="pyarrow")
+    seeds = docs.map_batches(seed_rows, batch_format="pyarrow")
+    return bfs_depth_ds(edges, seeds, max_depth=max_depth)

@@ -2842,3 +2842,49 @@ def test_q19_disjunctive_matches_duckdb():
     got = disjunctive_predicate_revenue(SF).to_pandas()
     assert int(got["revenue_x10000"][0]) == int(want["rev"][0])
     assert int(got["n_lines"][0]) == int(want["n"][0])
+
+
+def test_bfs_depth_matches_brute_and_caps():
+    """Distributed BFS tiers vs a driver-side brute BFS over the same
+    synthetic graph — exact (node → min-hop) equality, plus the
+    max_depth cap contract."""
+    import pyarrow.parquet as pq
+
+    from collections import deque
+
+    from dfg_gepris_crawler_ray.ops.graph import reference_graph_bfs_depth
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    adj: dict[int, set] = {}
+    for d in range(n_docs):
+        if d % 3:
+            continue
+        for k in (1, 2, 3, 4):
+            p = person_ref(d, k, n_docs)
+            adj.setdefault(1000 + d, set()).add(p)
+            adj.setdefault(p, set()).add(1000 + d)
+    seeds = [1000 + d for d in range(0, n_docs, 30)]
+
+    def brute(max_depth):
+        depth = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            if depth[u] >= max_depth:
+                continue
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = depth[u] + 1
+                    q.append(v)
+        return depth
+
+    for cap in (2, 6):
+        want = brute(cap)
+        got = dict(
+            reference_graph_bfs_depth(SF, max_depth=cap)
+            .to_pandas()
+            .itertuples(index=False, name=None)
+        )
+        assert got == want, (cap, len(got), len(want))
+    assert max(brute(6).values()) <= 6
