@@ -790,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph,
         multimodal,
         pii,
+        recrawl,
         relational,
         similarity,
         textstats,
@@ -1107,6 +1108,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # expansion exchange + ONE node-hash dedup/anti-join exchange;
         # no driver-resident node set) — recursive-CTE oracle
         "crawl_bfs_tiers": graph.reference_graph_bfs_depth,
+        # per-key inter-arrival gap quantiles, INDEX-SELECTED in pure
+        # integer arithmetic (no float quantile interpolation drift):
+        # the adaptive-politeness cadence estimator, windowed-SQL
+        # oracle over the events stream
+        "rel_user_gap_quantiles": recrawl.user_event_gap_quantiles,
+        # the same kernel over the crawl corpus (string host key):
+        # per-host fetch cadence → per-host crawl delay. Staged
+        # brute-census oracle (pages are generated, not a gate view)
+        "crawl_host_fetch_gaps": _q_host_fetch_gaps,
     }
 
 
@@ -1360,6 +1370,54 @@ def _q_cdc_chunks(sf_dir: str):
 
     out = cdc_chunk_stats(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_host_fetch_gaps(sf_dir: str):
+    """Per-host fetch-cadence quantiles (ops/recrawl.py::
+    host_fetch_gap_quantiles). Value-checked via a staged brute
+    census: the gap multiset is a deterministic function of the page
+    timestamps, and the brute path (driver pandas over the raw
+    parquet, per-host python sort + integer index-select) shares no
+    code with the distributed exchange."""
+    import glob as _glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.recrawl import host_fetch_gap_quantiles
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(sf_dir)
+    files = sorted(_glob.glob(f"{pages_dir}/**/*.parquet", recursive=True))
+    frames = [
+        pq.read_table(f, columns=["url", "warc_ts"]).to_pandas() for f in files
+    ]
+    allp = pd.concat(frames, ignore_index=True)
+    allp["host"] = allp["url"].str.split("/").str[2]
+    rows = []
+    for host, grp in allp.groupby("host"):
+        ts = sorted(grp["warc_ts"].astype("datetime64[us]").astype("int64"))
+        gaps = sorted(b - a for a, b in zip(ts, ts[1:]))
+        m = len(gaps)
+        if not m:
+            continue
+        rows.append(
+            {"host": host, "n_events": m + 1,
+             "gap_p50_us": gaps[(m + 1) // 2 - 1],
+             "gap_p90_us": gaps[(9 * m + 9) // 10 - 1]}
+        )
+    truth = pd.DataFrame(rows)
+    truth[["n_events", "gap_p50_us", "gap_p90_us"]] = truth[
+        ["n_events", "gap_p50_us", "gap_p90_us"]
+    ].astype("int64")
+    _stage_truth("crawl_host_fetch_gaps", truth)
+
+    return (
+        host_fetch_gap_quantiles(pages_dir)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -2414,6 +2472,29 @@ def oracle_sql() -> dict[str, str]:
              JOIN st ON st.l_partkey = lineitem.l_partkey
         WHERE p_brand = 'Brand#4'
           AND 5 * round(l_quantity)::BIGINT * n < sum_qty
+    """
+    oracles["rel_user_gap_quantiles"] = """
+        WITH g AS (
+          SELECT user_id,
+                 date_diff('microsecond',
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                           ts) AS gap
+          FROM events),
+        gg AS (SELECT user_id, gap,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY gap) AS rk,
+                      count(*) OVER (PARTITION BY user_id) AS m
+               FROM g WHERE gap IS NOT NULL)
+        SELECT user_id, any_value(m)::BIGINT + 1 AS n_events,
+               max(CASE WHEN rk = (m + 1) // 2 THEN gap END)::BIGINT
+                 AS gap_p50_us,
+               max(CASE WHEN rk = (9 * m + 9) // 10 THEN gap END)::BIGINT
+                 AS gap_p90_us
+        FROM gg GROUP BY user_id
+    """
+    oracles["crawl_host_fetch_gaps"] = f"""
+        SELECT host, n_events, gap_p50_us, gap_p90_us
+        FROM read_parquet('{_STAGE_DIR}/crawl_host_fetch_gaps.parquet')
     """
     oracles["crawl_bfs_tiers"] = """
         WITH RECURSIVE nd AS (SELECT count(*) AS n_docs FROM documents),

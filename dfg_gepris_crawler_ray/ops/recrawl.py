@@ -164,3 +164,127 @@ def recrawl_schedule(
         .groupby("_hb")
         .map_groups(schedule_bucket, batch_format="pandas")
     )
+
+
+def key_gap_quantiles(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(key, n_events, gap_p50_us, gap_p90_us) — per-key inter-arrival
+    gap statistics over an event stream: the adaptive-politeness
+    estimator (observe a host's historical fetch cadence, derive the
+    crawl delay to respect) and, over user events, the engagement-
+    cadence profile. Keys with <2 events drop (no gap exists).
+
+    Quantiles are INDEX-SELECTED elements of the sorted gap multiset —
+    k = ceil(q·m) computed in INTEGER arithmetic ((9m+9)//10 for p90)
+    — so the result is an exact integer and two engines can never
+    drift on interpolation or float-times-m boundary behavior.
+    Tie-order between equal timestamps is immaterial by construction:
+    the sorted-gap multiset of a timestamp multiset is order-free.
+
+    Shape: pruned 2-column scan → ONE key-hash exchange (string keys
+    hash-bucket; integer keys bucket by value) → per-bucket fully
+    vectorized kernel (sort by (key, ts), per-key shifted diff, sort
+    by (key, gap), offset+index fancy-select — NO per-key Python
+    loop)."""
+    from ..kernels.hashing import stable_hash64_array
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        import pandas.api.types as ptypes
+
+        out = pd.DataFrame({"key": df[key_col], "ts": df[ts_col]})
+        if ptypes.is_integer_dtype(out["key"]):
+            b = (out["key"].astype("int64") % num_buckets).astype("int32")
+        else:
+            h = stable_hash64_array([str(v) for v in out["key"].tolist()])
+            b = pd.Series(
+                (h % np.uint64(num_buckets)).astype("int32"), index=out.index
+            )
+        return out.assign(_b=b)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"key": pd.Series(dtype=g["key"].dtype),
+             "n_events": pd.Series(dtype="int64"),
+             "gap_p50_us": pd.Series(dtype="int64"),
+             "gap_p90_us": pd.Series(dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        d = g.sort_values(["key", "ts"], kind="mergesort")
+        ts = d["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        key = d["key"].to_numpy()
+        same = np.empty(len(d), dtype=bool)
+        same[0] = False
+        same[1:] = key[1:] == key[:-1]
+        gap = np.empty(len(d), dtype="int64")
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        gd = pd.DataFrame({"key": key[same], "gap": gap[same]})
+        if not len(gd):
+            return empty
+        s = gd.sort_values(["key", "gap"], kind="mergesort")
+        sizes = s.groupby("key", sort=True).size()  # m gaps per key
+        m = sizes.to_numpy().astype("int64")
+        start = np.concatenate(([0], np.cumsum(m)[:-1]))
+        gaps_sorted = s["gap"].to_numpy()
+        k50 = (m + 1) // 2          # ceil(m/2), pure integers
+        k90 = (9 * m + 9) // 10     # ceil(0.9·m), pure integers
+        return pd.DataFrame(
+            {"key": sizes.index.to_numpy(),
+             "n_events": m + 1,
+             "gap_p50_us": gaps_sorted[start + k50 - 1],
+             "gap_p90_us": gaps_sorted[start + k90 - 1]}
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def user_event_gap_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user inter-event cadence over the events stream (the
+    key_gap_quantiles kernel on an integer key) — windowed-SQL
+    oracle."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    out = key_gap_quantiles(ds, "user_id", "ts")
+    return out.map_batches(
+        lambda df: df.rename(columns={"key": "user_id"}),
+        batch_format="pandas",
+    )
+
+
+def host_fetch_gap_quantiles(pages_dir: str) -> "ray.data.Dataset":
+    """Per-host fetch-cadence profile over the crawl corpus (string
+    key): what an adaptive politeness layer derives its per-host crawl
+    delay from — hosts whose observed p50 gap is large get a laxer
+    token bucket, dense hosts a stricter one (the reference fixes one
+    global 10 s delay + AutoThrottle, settings.py:119-126; this is the
+    per-host generalization)."""
+    from ..sources.pages import read_pages
+
+    ds = read_pages(pages_dir, columns=["url", "warc_ts"])
+
+    def with_host(batch: pa.Table) -> pd.DataFrame:
+        urls = batch.column("url").to_pylist()
+        return pd.DataFrame(
+            {"host": [u.split("/")[2] for u in urls],
+             "warc_ts": batch.column("warc_ts").to_pandas()}
+        )
+
+    hosted = ds.map_batches(with_host, batch_format="pyarrow")
+    out = key_gap_quantiles(hosted, "host", "warc_ts")
+    return out.map_batches(
+        lambda df: df.rename(columns={"key": "host"}),
+        batch_format="pandas",
+    )

@@ -2888,3 +2888,47 @@ def test_bfs_depth_matches_brute_and_caps():
         )
         assert got == want, (cap, len(got), len(want))
     assert max(brute(6).values()) <= 6
+
+
+def test_key_gap_quantiles_matches_brute_with_ties():
+    """Synthetic stream with duplicate timestamps, a 2-event key and a
+    1-event key (dropped) vs a brute python kernel."""
+    import pandas as pd
+
+    import ray.data
+
+    from dfg_gepris_crawler_ray.ops.recrawl import key_gap_quantiles
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    for key, n in [("a", 50), ("b", 2), ("c", 1), ("d", 9)]:
+        ts = np.sort(rng.integers(0, 10_000_000, size=n))
+        ts[n // 2:] = ts[n // 2]  # heavy ties in the upper half
+        for t in ts:
+            rows.append({"k": key, "t": base + t})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=3)  # shuffled input
+
+    got = (
+        key_gap_quantiles(ray.data.from_pandas(df), "k", "t", num_buckets=8)
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+
+    want = []
+    for key, grp in df.groupby("k"):
+        ts = sorted(grp["t"].astype("datetime64[us]").astype("int64"))
+        gaps = sorted(b - a for a, b in zip(ts, ts[1:]))
+        m = len(gaps)
+        if not m:
+            continue
+        want.append((key, m + 1, gaps[(m + 1) // 2 - 1],
+                     gaps[(9 * m + 9) // 10 - 1]))
+    want_df = pd.DataFrame(
+        want, columns=["key", "n_events", "gap_p50_us", "gap_p90_us"]
+    ).sort_values("key").reset_index(drop=True)
+    assert "c" not in got["key"].tolist()
+    assert got["key"].tolist() == want_df["key"].tolist()
+    for c in ["n_events", "gap_p50_us", "gap_p90_us"]:
+        assert got[c].tolist() == want_df[c].tolist(), c
