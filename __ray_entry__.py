@@ -839,6 +839,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "knn_lsh": lambda sf: similarity.knn_lsh(sf),
         "knn_ivf": lambda sf: similarity.knn_ivf(sf),
+        # PQ/ADC + exact re-rank (Jégou 2011): codes-only shortlist
+        # pass, candidate-set exact pass; rows-only (recall pinned in
+        # test_knn_pq_recall_vs_brute, like knn_lsh / knn_ivf)
+        "knn_pq": lambda sf: similarity.knn_pq(sf),
         "text_token_stats": textstats.token_stats,
         "text_fingerprints": lambda sf: textstats.fingerprints(sf).select_columns(
             ["doc_id", "content_md5"]

@@ -657,3 +657,205 @@ def pca_project(sf_dir: str, n_components: int = 4):
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_train(
+    sf_dir: str,
+    n_subspaces: int = 16,
+    n_codes: int = 256,
+    n_iters: int = 3,
+) -> np.ndarray:
+    """(n_subspaces, n_codes, sub_dim) product-quantization codebooks
+    trained distributed over the (L2-normalized) embeddings table —
+    the memory-compression scale path for ANN (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): a 64-dim
+    float32 vector becomes ``n_subspaces`` uint8 codes (16× smaller
+    at the canonical 16×256 configuration),
+    so 10^10 vectors fit in cluster RAM where raw vectors cannot.
+
+    Training = independent k-means per subspace, all subspaces in the
+    SAME pass: per batch, per subspace, assign each subvector to its
+    nearest codeword and emit (centroid_id = sub·n_codes + code,
+    vec_sum, count) partials — the identical mergeable-accumulator
+    shape as :func:`spherical_kmeans`, reduced by the same
+    fanin-bounded :func:`_reduce_centroid_partials` (driver I/O
+    independent of block count). Deterministic init: subvectors of the
+    ``n_codes`` lowest vec_ids."""
+    init = _load_queries(sf_dir, list(range(n_codes)))
+    init = init / np.clip(np.linalg.norm(init, axis=1, keepdims=True), 1e-12, None)
+    dim = init.shape[1]
+    assert dim % n_subspaces == 0, (dim, n_subspaces)
+    sd = dim // n_subspaces
+    # (n_sub, n_codes, sub_dim)
+    books = np.stack(
+        [init[:, m * sd:(m + 1) * sd] for m in range(n_subspaces)]
+    ).astype(np.float64)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+
+    for _ in range(n_iters):
+        books_ref = ray.put(books)
+
+        def partials(batch: pa.Table) -> "pd.DataFrame":
+            import pandas as pd
+
+            bk = ray.get(books_ref)
+            mat = _as_matrix_arrow(batch.column("embedding"))
+            mat = mat / np.clip(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None
+            )
+            out = {"centroid_id": [], "vec_sum": [], "count": []}
+            for m in range(n_subspaces):
+                sub = mat[:, m * sd:(m + 1) * sd]
+                # L2 assignment: argmin |x-c|² = argmax (x·c - |c|²/2)
+                scores = sub @ bk[m].T - 0.5 * (bk[m] ** 2).sum(axis=1)
+                code = np.argmax(scores, axis=1)
+                for c in np.unique(code):
+                    sel = sub[code == c]
+                    out["centroid_id"].append(int(m * n_codes + c))
+                    out["vec_sum"].append(sel.sum(axis=0))
+                    out["count"].append(int(len(sel)))
+            return pd.DataFrame(out)
+
+        merged = _reduce_centroid_partials(
+            ds.map_batches(partials, batch_format="pyarrow", batch_size=4096)
+        )
+        new = books.copy()
+        for cid, vs, ct in zip(
+            merged["centroid_id"], merged["vec_sum"], merged["count"]
+        ):
+            if ct > 0:
+                m, c = divmod(int(cid), n_codes)
+                new[m, c] = np.asarray(vs) / ct
+        books = new
+    return books
+
+
+def knn_pq(
+    sf_dir: str,
+    query_ids=(0, 1, 2, 3, 4),
+    k: int = 10,
+    n_subspaces: int = 16,
+    n_codes: int = 256,
+    n_iters: int = 3,
+    rerank: int = 50,
+) -> pa.Table:
+    """Approximate top-k via PQ asymmetric distance computation (ADC)
+    plus exact re-rank — the IVFADC-R recipe (Jégou et al. 2011 §V):
+
+    1. each database vector is encoded to its per-subspace codes; the
+       query stays exact, and the approximate score is the sum of
+       per-subspace lookups q_m · c_{m,code_m(x)} — never a
+       full-dimension multiply per candidate. At scale the encode runs
+       ONCE at ingest (codes stored as uint8 columns, 16× smaller than
+       the vectors at the canonical 16×256 configuration) and the
+       shortlist pass touches only the codes;
+    2. the global ADC top-``rerank`` shortlist per query (partial
+       top-R per batch + the same tree reduce as ``knn_brute``) is
+       broadcast back into ONE column-pruned scan that exact-scores
+       ONLY shortlist members (≤ rerank full-dim dots per query
+       total — the ``knn_label_vote`` candidate-set pattern).
+
+    ``rerank=0`` returns the raw ADC ranking. Columns match
+    ``knn_brute``; recall pinned in tests (rows-only gate entry, like
+    knn_lsh / knn_ivf)."""
+    query_ids = list(query_ids)
+    books = pq_train(sf_dir, n_subspaces, n_codes, n_iters)
+    sd = books.shape[2]
+
+    q = _load_queries(sf_dir, query_ids)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    # per-query ADC lookup tables: (n_query, n_sub, n_codes)
+    lut = np.stack(
+        [qn[:, m * sd:(m + 1) * sd] @ books[m].T for m in range(n_subspaces)],
+        axis=1,
+    )
+    state_ref = ray.put((books, lut))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        bk, lut_ = ray.get(state_ref)
+        ids = _i64(batch.column("vec_id"))
+        mat = _as_matrix_arrow(batch.column("embedding"))
+        mat = mat / np.clip(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None
+        )
+        n = len(ids)
+        approx = np.zeros((lut_.shape[0], n), dtype=np.float64)
+        for m in range(bk.shape[0]):
+            sub = mat[:, m * sd:(m + 1) * sd]
+            scores = sub @ bk[m].T - 0.5 * (bk[m] ** 2).sum(axis=1)
+            code = np.argmax(scores, axis=1)  # encode
+            approx += lut_[:, m, code]        # ADC lookup, all queries
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi, qid in enumerate(query_ids):
+            mask = ids != qid
+            cand_ids = ids[mask]
+            scores = approx[qi][mask]
+            top = _batch_topk_idx(scores, cand_ids, k)
+            rows["query_id"].extend([qid] * len(top))
+            rows["neighbor_id"].extend(cand_ids[top].tolist())
+            rows["cosine"].extend(scores[top].tolist())
+        return pa.table(
+            {"query_id": pa.array(rows["query_id"], type=pa.int64()),
+             "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+             "cosine": pa.array(rows["cosine"], type=pa.float64())}
+        )
+
+    shortlist_k = max(k, rerank) if rerank else k
+    partials = _reduce_topk(
+        ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096),
+        shortlist_k,
+    )
+    adc = _merge_topk(partials, query_ids, shortlist_k)
+    if not rerank:
+        return adc
+
+    # exact re-rank: ≤ rerank candidates per query, broadcast once
+    adc_df = adc.to_pandas()
+    cand = {
+        int(qid): set(grp["neighbor_id"].tolist())
+        for qid, grp in adc_df.groupby("query_id")
+    }
+    qn2 = _load_queries(sf_dir, query_ids)
+    qn2 = qn2 / np.clip(np.linalg.norm(qn2, axis=1, keepdims=True), 1e-12, None)
+    cand_ref = ray.put((qn2, cand))
+
+    def exact_topk(batch: pa.Table) -> pa.Table:
+        qm, cand_ = ray.get(cand_ref)
+        ids = _i64(batch.column("vec_id"))
+        mat = _as_matrix_arrow(batch.column("embedding"))
+        mn = mat / np.clip(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None
+        )
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi, qid in enumerate(query_ids):
+            mask = np.fromiter(
+                (int(i) in cand_[qid] for i in ids), dtype=bool, count=len(ids)
+            )
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            scores = qm[qi] @ mn[mask].T
+            top = _batch_topk_idx(scores, cand_ids, k)
+            rows["query_id"].extend([qid] * len(top))
+            rows["neighbor_id"].extend(cand_ids[top].tolist())
+            rows["cosine"].extend(scores[top].tolist())
+        return pa.table(
+            {"query_id": pa.array(rows["query_id"], type=pa.int64()),
+             "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
+             "cosine": pa.array(rows["cosine"], type=pa.float64())}
+        )
+
+    ds2 = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = _reduce_topk(
+        ds2.map_batches(exact_topk, batch_format="pyarrow", batch_size=4096), k
+    )
+    return _merge_topk(exact, query_ids, k)

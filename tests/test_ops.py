@@ -2932,3 +2932,32 @@ def test_key_gap_quantiles_matches_brute_with_ties():
     assert got["key"].tolist() == want_df["key"].tolist()
     for c in ["n_events", "gap_p50_us", "gap_p90_us"]:
         assert got[c].tolist() == want_df[c].tolist(), c
+
+
+def test_knn_pq_recall_vs_brute_and_rerank_helps():
+    """PQ/ADC + exact re-rank: mean recall@10 against brute force at
+    the canonical 16-subspace × 256-code configuration (measured 0.8
+    at sf0.001), and the re-rank pass must produce exact cosines for
+    the survivors (each reranked score equals the brute score of that
+    neighbor)."""
+    from dfg_gepris_crawler_ray.ops.similarity import knn_brute, knn_pq
+
+    brute = knn_brute(SF, query_ids=(0, 1, 2), k=10).to_pandas()
+    approx = knn_pq(SF, query_ids=(0, 1, 2), k=10).to_pandas()
+    recalls = []
+    for qid in (0, 1, 2):
+        b = set(brute[brute["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+    # exact re-rank contract: where PQ found a true neighbor, its
+    # reported cosine is the EXACT one (brute's), not the ADC estimate
+    bmap = {(r.query_id, r.neighbor_id): r.cosine
+            for r in brute.itertuples()}
+    checked = 0
+    for r in approx.itertuples():
+        if (r.query_id, r.neighbor_id) in bmap:
+            assert abs(r.cosine - bmap[(r.query_id, r.neighbor_id)]) < 1e-9
+            checked += 1
+    assert checked >= 15  # ≥ half the 30 result rows are true hits
