@@ -380,6 +380,21 @@ def main():
           lambda: host_distinct_urls(pages_dir).materialize())
     timed("text_cooccurrence_topk", lambda: textstats.cooccurrence_topk(SF_DIR))
     timed("text_cms_counts", lambda: textstats.cms_token_counts(SF_DIR))
+    timed("rel_q7_nation_volume",
+          lambda: relational.two_nation_volume(SF_DIR).materialize())
+    timed("rel_q10_returned_customers",
+          lambda: relational.returned_customer_revenue(SF_DIR).materialize())
+    timed("rel_q15_top_supplier",
+          lambda: relational.top_revenue_supplier(SF_DIR).materialize())
+    timed("rel_q19_disjunctive",
+          lambda: relational.disjunctive_predicate_revenue(SF_DIR))
+    from dfg_gepris_crawler_ray.ops.graph import reference_graph_bfs_depth
+    timed("crawl_bfs_tiers",
+          lambda: reference_graph_bfs_depth(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.recrawl import user_event_gap_quantiles
+    timed("rel_user_gap_quantiles",
+          lambda: user_event_gap_quantiles(SF_DIR).materialize())
+    timed("knn_pq", lambda: similarity.knn_pq(SF_DIR))
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big
