@@ -1121,6 +1121,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host fetch cadence → per-host crawl delay. Staged
         # brute-census oracle (pages are generated, not a gate view)
         "crawl_host_fetch_gaps": _q_host_fetch_gaps,
+        # TPC-H Q8: national market share per order year, returned as
+        # its two integer-exact components (num, den) — two-exchange
+        # star, filtered-part keyset broadcast
+        "rel_q8_market_share": relational.nation_market_share,
+        # TPC-H Q13: LEFT-JOIN-COUNT distribution incl. the zero
+        # bucket, as two count-aggregation exchanges (customer rows
+        # seed zero partials — no driver scalar arithmetic)
+        "rel_q13_order_distribution": relational.customer_order_distribution,
+        # TPC-H Q16 (partsupp-free): distinct shipped suppliers per
+        # (brand, type, size) with complaint suppliers excluded —
+        # pair dedup before exchange 1, triple-hash dedup in exchange 2
+        "rel_q16_supplier_variety": relational.part_supplier_variety,
+        # TPC-H Q11 (partsupp-free): global-threshold HAVING — per-part
+        # value exchange reused for both the total and the filter pass,
+        # integer-rational threshold compare
+        "rel_q11_important_parts": relational.important_parts,
     }
 
 
@@ -2499,6 +2515,59 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_host_fetch_gaps"] = f"""
         SELECT host, n_events, gap_p50_us, gap_p90_us
         FROM read_parquet('{_STAGE_DIR}/crawl_host_fetch_gaps.parquet')
+    """
+    oracles["rel_q8_market_share"] = """
+        SELECT year(o_orderdate)::BIGINT AS o_year,
+               sum(CASE WHEN s_nationkey =
+                        (SELECT n_nationkey FROM nation
+                         WHERE n_name = 'NATION_3')
+                        THEN round(l_extendedprice * 100)::BIGINT
+                             * round((1 - l_discount) * 100)::BIGINT
+                        ELSE 0 END)::BIGINT AS nation_revenue_x10000,
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * round((1 - l_discount) * 100)::BIGINT)::BIGINT
+                 AS total_revenue_x10000
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+             JOIN nation cn ON cn.n_nationkey = c_nationkey
+             JOIN region ON r_regionkey = cn.n_regionkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN part ON p_partkey = l_partkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """
+    oracles["rel_q13_order_distribution"] = """
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+              FROM customer LEFT JOIN orders
+                ON o_custkey = c_custkey
+               AND o_orderpriority <> 'PRIORITY_1'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """
+    oracles["rel_q16_supplier_variety"] = """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+             JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 3, 5, 7)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """
+    oracles["rel_q11_important_parts"] = """
+        WITH v AS (
+            SELECT l_partkey,
+                   sum(round(l_extendedprice * 100)::BIGINT
+                       * round(l_quantity)::BIGINT)::BIGINT AS value_x100
+            FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_2'
+            GROUP BY 1)
+        SELECT l_partkey, value_x100 FROM v
+        WHERE value_x100 * 1000 > (SELECT sum(value_x100) * 1 FROM v)
     """
     oracles["crawl_bfs_tiers"] = """
         WITH RECURSIVE nd AS (SELECT count(*) AS n_docs FROM documents),

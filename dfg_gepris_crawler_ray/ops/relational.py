@@ -2558,3 +2558,474 @@ def disjunctive_predicate_revenue(
              pa.array([int(partials["revenue_x10000"].sum())], pa.int64()),
          "n_lines": pa.array([int(partials["n_lines"].sum())], pa.int64())}
     )
+
+
+def nation_market_share(
+    sf_dir: str,
+    supp_nation: str = "NATION_3",
+    cust_region: str = "EUROPE",
+    part_type: str = "PROMO",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(o_year, nation_revenue_x10000, total_revenue_x10000) — TPC-H Q8
+    adapted to this schema (no ``partsupp``): within orders placed by
+    customers of one region in a two-year window, on lineitems of one
+    part type, the per-order-year revenue delivered by suppliers of one
+    nation vs the total.  The share is returned as its two integer-
+    exact components (numerator, denominator) so the gate hashes exact
+    values instead of a float division.  Reference parity: §2.7/§2.8
+    relational surface (the reference has no SQL engine).
+
+    Scale shape (same two-exchange star as Q5/Q7):
+
+    - dims broadcast once via ``ray.put``: the region's nationkey set,
+      the supplier→nationkey map, the target nationkey, and the
+      filtered-part keyset (only parts of ``part_type`` — at 100 TB
+      this is the type's share of partkeys; if that outgrows a
+      broadcast, swap for the Q16 partkey-bucket tag-join — same
+      in-bucket kernel);
+    - order-date window pushed into the orders parquet scan; customers
+      outside the region drop before exchange 1; lineitems of other
+      part types drop before exchange 2;
+    - exchange 1 (custkey buckets): customer ⋈ orders → (okey, year);
+    - exchange 2 (orderkey buckets): ⋈ lineitem — supplier-nation
+      lookup and both integer revenue partials happen in the group
+      task, so only per-year (num, den) partials leave it;
+    - final keyed sum over ≤ years rows."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(region.loc[region["r_name"] == cust_region, "r_regionkey"].iloc[0])
+    region_nks = frozenset(
+        nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+    target_nk = int(nation.loc[nation["n_name"] == supp_nation, "n_nationkey"].iloc[0])
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_nk = dict(supp.itertuples(index=False, name=None))
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    part_keys = np.sort(
+        part.loc[part["p_type"] == part_type, "p_partkey"].to_numpy(np.int64)
+    )
+    dims_ref = ray.put((region_nks, supp_nk, part_keys))
+
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    date_expr = (
+        pads.field("o_orderdate") >= _dt.datetime.fromisoformat(date_from)
+    ) & (pads.field("o_orderdate") < _dt.datetime.fromisoformat(date_to))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=date_expr,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        region_nks_, _, _ = ray.get(dims_ref)
+        d = df[df["c_nationkey"].isin(region_nks_)]
+        return pd.DataFrame(
+            {"key": d["c_custkey"].astype("int64"), "okey": np.int64(-1),
+             "yr": np.int64(-1),
+             "_b": (d["c_custkey"] % nb).astype("int32"), "_k": "c"}
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["o_custkey"].astype("int64"),
+             "okey": df["o_orderkey"].astype("int64"),
+             "yr": df["o_orderdate"].dt.year.astype("int64"),
+             "_b": (df["o_custkey"] % nb).astype("int32"), "_k": "o"}
+        )
+
+    def join_co(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["_k"] == "c"][["key"]]
+        o = g[g["_k"] == "o"][["key", "okey", "yr"]]
+        m = o.merge(c, on="key")
+        return pd.DataFrame(
+            {"okey": m["okey"].astype("int64"), "yr": m["yr"].astype("int64"),
+             "skey": np.int64(-1), "rev": np.int64(0),
+             "_b2": (m["okey"] % nb).astype("int32"), "_k": "co"}
+        )
+
+    cust_orders = (
+        customers.map_batches(tag_cust, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(join_co, batch_format="pandas")
+    )
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, part_keys_ = ray.get(dims_ref)
+        d = df[np.isin(df["l_partkey"].to_numpy(np.int64), part_keys_)]
+        return pd.DataFrame(
+            {"okey": d["l_orderkey"].astype("int64"), "yr": np.int64(-1),
+             "skey": d["l_suppkey"].astype("int64"),
+             "rev": _int_revenue_x10000(d["l_extendedprice"], d["l_discount"]),
+             "_b2": (d["l_orderkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    empty = pd.DataFrame(
+        {"o_year": pd.Series(dtype="int64"),
+         "nation_revenue_x10000": pd.Series(dtype="int64"),
+         "total_revenue_x10000": pd.Series(dtype="int64")}
+    )
+
+    def join_share(g: pd.DataFrame) -> pd.DataFrame:
+        _, supp_nk_, _ = ray.get(dims_ref)
+        co = g[g["_k"] == "co"][["okey", "yr"]]
+        li = g[g["_k"] == "l"][["okey", "skey", "rev"]]
+        if not len(co) or not len(li):
+            return empty.copy()
+        m = li.merge(co, on="okey")
+        if not len(m):
+            return empty.copy()
+        m["is_target"] = (
+            m["skey"].map(supp_nk_).to_numpy() == target_nk
+        )
+        m["num"] = np.where(m["is_target"], m["rev"], 0).astype("int64")
+        out = m.groupby("yr", as_index=False).agg(
+            nation_revenue_x10000=("num", "sum"),
+            total_revenue_x10000=("rev", "sum"),
+        )
+        return pd.DataFrame(
+            {"o_year": out["yr"].astype("int64"),
+             "nation_revenue_x10000":
+                 out["nation_revenue_x10000"].astype("int64"),
+             "total_revenue_x10000":
+                 out["total_revenue_x10000"].astype("int64")}
+        )
+
+    return (
+        cust_orders.union(lineitem.map_batches(tag_line, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b2")
+        .map_groups(join_share, batch_format="pandas")
+        .groupby("o_year")
+        .aggregate(Sum("nation_revenue_x10000"), Sum("total_revenue_x10000"))
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"o_year": df["o_year"].astype("int64"),
+                 "nation_revenue_x10000":
+                     df["sum(nation_revenue_x10000)"].astype("int64"),
+                 "total_revenue_x10000":
+                     df["sum(total_revenue_x10000)"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def customer_order_distribution(
+    sf_dir: str,
+    exclude_priority: str = "PRIORITY_1",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(c_count, custdist) — TPC-H Q13: the distribution of per-
+    customer order counts (how many customers placed exactly N
+    qualifying orders), INCLUDING the zero bucket, with one order
+    class excluded (adapted predicate: ``o_orderpriority <>
+    exclude_priority`` — this schema has no ``o_comment``).
+
+    Scale shape — LEFT JOIN COUNT as a two-level count aggregation,
+    no driver-side scalar arithmetic:
+
+    - per-batch partial counts: every customer row emits
+      (custkey, 0); every qualifying order batch emits its per-custkey
+      partial count — so exchange 1 (custkey-hash buckets) carries
+      customer-cardinality + per-(batch × custkey) count rows, never
+      raw orders;
+    - per-bucket sum gives each customer's exact order count (the
+      customer-side zero row guarantees LEFT JOIN semantics: customers
+      with no orders surface as count 0);
+    - per-bucket histogram partials (count rows per c_count) feed a
+      final small keyed sum over ≤ buckets × distinct-counts rows."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") != exclude_priority,
+    )
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["c_custkey"].astype("int64"), "n": np.int64(0),
+             "_b": (df["c_custkey"] % nb).astype("int32")}
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).size()
+        return pd.DataFrame(
+            {"key": g["o_custkey"].astype("int64"),
+             "n": g["size"].astype("int64"),
+             "_b": (g["o_custkey"] % nb).astype("int32")}
+        )
+
+    def bucket_hist(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.groupby("key", as_index=False)["n"].sum()
+        hist = per_cust.groupby("n", as_index=False).size()
+        return pd.DataFrame(
+            {"c_count": hist["n"].astype("int64"),
+             "custdist": hist["size"].astype("int64")}
+        )
+
+    return (
+        customers.map_batches(tag_cust, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(bucket_hist, batch_format="pandas")
+        .groupby("c_count")
+        .sum("custdist")
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"c_count": df["c_count"].astype("int64"),
+                 "custdist": df["sum(custdist)"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def part_supplier_variety(
+    sf_dir: str,
+    exclude_brand: str = "Brand#1",
+    sizes: tuple = (1, 3, 5, 7),
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(p_brand, p_type, p_size, supplier_cnt) — TPC-H Q16 adapted to
+    this schema: for every (brand, type, size) combination of interest,
+    how many DISTINCT suppliers have actually shipped such a part —
+    with one brand excluded, sizes restricted to a set, and
+    "complaint" suppliers (adapted: ``s_acctbal < 0``; no ``s_comment``
+    here) removed.  The part-supplier pairing comes from lineitem
+    (this schema has no ``partsupp``).
+
+    Scale shape — dedup early, join small, dedup again on the group
+    key:
+
+    - per-batch distinct (partkey, suppkey) BEFORE the first exchange
+      (lineitem rows collapse to the pair universe per batch);
+    - excluded-supplier keyset broadcast via ``ray.put`` (complaint
+      sets are tiny by construction);
+    - exchange 1 (partkey buckets): pair rows ⋈ filtered part-attr
+      rows, in-bucket pair dedup — emits distinct (brand, type, size,
+      suppkey) rows only;
+    - exchange 2 (attr-triple hash buckets): cross-part supplier dedup
+      and the final count — each group task owns whole triples, so
+      the count is exact with no driver collection."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..kernels.hashing import stable_hash64_array
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).to_pandas()
+    bad_keys = np.sort(
+        supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy(np.int64)
+    )
+    bad_ref = ray.put(bad_keys)
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(pads.field("p_brand") != exclude_brand)
+        & pads.field("p_size").isin(list(sizes)),
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        bad = ray.get(bad_ref)
+        d = df.drop_duplicates()
+        d = d[~np.isin(d["l_suppkey"].to_numpy(np.int64), bad)]
+        return pd.DataFrame(
+            {"pkey": d["l_partkey"].astype("int64"),
+             "skey": d["l_suppkey"].astype("int64"),
+             "brand": "", "ptype": "", "size": np.int64(-1),
+             "_b": (d["l_partkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    def tag_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pkey": df["p_partkey"].astype("int64"), "skey": np.int64(-1),
+             "brand": df["p_brand"].astype(str),
+             "ptype": df["p_type"].astype(str),
+             "size": df["p_size"].astype("int64"),
+             "_b": (df["p_partkey"] % nb).astype("int32"), "_k": "p"}
+        )
+
+    triple_empty = pd.DataFrame(
+        {"p_brand": pd.Series(dtype="object"),
+         "p_type": pd.Series(dtype="object"),
+         "p_size": pd.Series(dtype="int64"),
+         "skey": pd.Series(dtype="int64"),
+         "_b2": pd.Series(dtype="int32")}
+    )
+
+    def join_attrs(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["_k"] == "p"][["pkey", "brand", "ptype", "size"]]
+        l = g[g["_k"] == "l"][["pkey", "skey"]].drop_duplicates()
+        if not len(p) or not len(l):
+            return triple_empty.copy()
+        m = l.merge(p, on="pkey")
+        if not len(m):
+            return triple_empty.copy()
+        m = m[["brand", "ptype", "size", "skey"]].drop_duplicates()
+        h = stable_hash64_array(
+            [f"{b}\x00{t}\x00{s}" for b, t, s in
+             zip(m["brand"], m["ptype"], m["size"])]
+        )
+        return pd.DataFrame(
+            {"p_brand": m["brand"], "p_type": m["ptype"],
+             "p_size": m["size"].astype("int64"),
+             "skey": m["skey"].astype("int64"),
+             "_b2": (h % np.uint64(nb)).astype(np.int32)}
+        )
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["p_brand", "p_type", "p_size", "skey"]].drop_duplicates()
+        out = d.groupby(["p_brand", "p_type", "p_size"], as_index=False).size()
+        return pd.DataFrame(
+            {"p_brand": out["p_brand"], "p_type": out["p_type"],
+             "p_size": out["p_size"].astype("int64"),
+             "supplier_cnt": out["size"].astype("int64")}
+        )
+
+    return (
+        lineitem.map_batches(tag_pairs, batch_format="pandas")
+        .union(part.map_batches(tag_part, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(join_attrs, batch_format="pandas")
+        .repartition(nb)
+        .groupby("_b2")
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+
+
+def important_parts(
+    sf_dir: str,
+    supp_nation: str = "NATION_2",
+    fraction_num: int = 1,
+    fraction_den: int = 1000,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(l_partkey, value_x100) — TPC-H Q11 adapted to this schema
+    (no ``partsupp``): per-part shipped value (``Σ extprice_x100 ×
+    qty``) restricted to one supplier nation, keeping only parts whose
+    value exceeds ``fraction`` of the nation's total — the global-
+    threshold HAVING shape.  The threshold compare is integer-rational
+    (``value × den > total × num``) so no float crosses the gate.
+
+    Scale shape:
+
+    - supplier→nation filter is a broadcast keyset (suppliers of one
+      nation); non-matching lineitems drop in the scan task;
+    - per-batch partial (partkey, value) sums BEFORE the exchange, so
+      the keyed sum sees per-(batch × partkey) partials, not rows;
+    - ONE partkey exchange produces exact per-part values; the global
+      total is the Sum aggregate of that same dataset — a scalar, the
+      only thing the driver reads before the final distributed filter."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nk = int(nation.loc[nation["n_name"] == supp_nation, "n_nationkey"].iloc[0])
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nation_supp = np.sort(
+        supp.loc[supp["s_nationkey"] == nk, "s_suppkey"].to_numpy(np.int64)
+    )
+    supp_ref = ray.put(nation_supp)
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial_values(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(supp_ref)
+        d = df[np.isin(df["l_suppkey"].to_numpy(np.int64), keep)]
+        val = (d["l_extendedprice"] * 100).round().astype("int64") * d[
+            "l_quantity"
+        ].round().astype("int64")
+        g = pd.DataFrame(
+            {"l_partkey": d["l_partkey"].astype("int64"), "value_x100": val}
+        ).groupby("l_partkey", as_index=False)["value_x100"].sum()
+        g["_b"] = (g["l_partkey"] % nb).astype("int32")
+        return g
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_partkey", as_index=False)["value_x100"].sum()
+        return pd.DataFrame(
+            {"l_partkey": out["l_partkey"].astype("int64"),
+             "value_x100": out["value_x100"].astype("int64")}
+        )
+
+    per_part_ds = (
+        lineitem.map_batches(partial_values, batch_format="pandas")
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(per_part, batch_format="pandas")
+        .materialize()  # reused by the total pass and the filter pass
+    )
+    total = per_part_ds.sum("value_x100") or 0
+    threshold_num = int(total) * fraction_num  # value*den > total*num
+
+    def keep_important(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["value_x100"] * fraction_den > threshold_num]
+
+    return per_part_ds.map_batches(keep_important, batch_format="pandas")
