@@ -1137,6 +1137,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value exchange reused for both the total and the filter pass,
         # integer-rational threshold compare
         "rel_q11_important_parts": relational.important_parts,
+        # TPC-H Q9 (retailprice as the supplycost proxy): per-nation
+        # per-year profit — filtered part-price map broadcast, money
+        # computed in the scan task, ONE orderkey exchange
+        "rel_q9_nation_profit": relational.nation_year_profit,
+        # TPC-H Q2: correlated per-part min with all ties kept —
+        # region-supplier attrs broadcast, part rows tag-joined in the
+        # partkey exchange, per-bucket top-k prune under the final order
+        "rel_q2_min_cost_supplier": relational.min_cost_supplier,
+        # TPC-H Q21: the only-late-supplier EXISTS/NOT-EXISTS pair
+        # vectorized per order inside ONE orderkey exchange, then a
+        # supplier-cardinality count exchange + top-k prune
+        "rel_q21_sole_late_supplier": relational.sole_late_supplier,
     }
 
 
@@ -2556,6 +2568,57 @@ def oracle_sql() -> dict[str, str]:
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                 WHERE s_acctbal < 0)
         GROUP BY 1, 2, 3
+    """
+    oracles["rel_q9_nation_profit"] = """
+        SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+               sum(round(l_extendedprice * 100)::BIGINT
+                   * round((1 - l_discount) * 100)::BIGINT
+                   - round(p_retailprice * 100)::BIGINT * 100
+                     * round(l_quantity)::BIGINT)::BIGINT AS profit_x10000
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """
+    oracles["rel_q2_min_cost_supplier"] = """
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        cand AS (
+            SELECT round(s_acctbal * 100)::BIGINT AS s_acctbal_x100,
+                   s_name, n_name, p_partkey
+            FROM pairs JOIN part ON p_partkey = l_partkey
+                 JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN nation ON n_nationkey = s_nationkey
+                 JOIN region ON r_regionkey = n_regionkey
+            WHERE p_size = 5 AND p_type = 'SMALL' AND r_name = 'ASIA'
+              AND s_acctbal = (
+                  SELECT min(s2.s_acctbal)
+                  FROM pairs p2 JOIN supplier s2 ON s2.s_suppkey = p2.l_suppkey
+                       JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                       JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                  WHERE p2.l_partkey = pairs.l_partkey AND r2.r_name = 'ASIA'))
+        SELECT * FROM cand
+        ORDER BY s_acctbal_x100 DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """
+    oracles["rel_q21_sole_late_supplier"] = """
+        WITH j AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'),
+        per AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS ns,
+                   count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+                   max(CASE WHEN late THEN l_suppkey END) AS lsup
+            FROM j GROUP BY 1)
+        SELECT s_name, count(*)::BIGINT AS numwait
+        FROM per JOIN supplier ON s_suppkey = lsup
+             JOIN nation ON n_nationkey = s_nationkey
+        WHERE ns >= 2 AND nl = 1 AND n_name = 'NATION_3'
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
     """
     oracles["rel_q11_important_parts"] = """
         WITH v AS (

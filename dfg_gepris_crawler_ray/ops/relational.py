@@ -3029,3 +3029,392 @@ def important_parts(
         return df[df["value_x100"] * fraction_den > threshold_num]
 
     return per_part_ds.map_batches(keep_important, batch_format="pandas")
+
+
+def nation_year_profit(
+    sf_dir: str,
+    name_word: str = "red",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(n_name, o_year, profit_x10000) — TPC-H Q9 adapted to this
+    schema (no ``partsupp``): per supplier-nation per order-year profit
+    on parts whose name contains ``name_word``, with the part's retail
+    price standing in for ``ps_supplycost`` (``profit = extprice ×
+    (1-disc) − retailprice × qty``), all in integer ten-thousandths so
+    the gate hashes exact values.  Profit may legitimately be negative.
+
+    Scale shape:
+
+    - dims broadcast once via ``ray.put``: the filtered partkey →
+      retailprice_x100 map (one part-name word's share of the part
+      table), supplier→nationkey, nationkey→name;
+    - lineitems of non-matching parts drop in the scan task, which
+      also computes both integer money partials — the exchange never
+      carries part or price columns;
+    - ONE orderkey exchange joins the order year in; supplier-nation
+      mapping and per-(nation, year) partial sums happen in the group
+      task, so only ≤ nations × years rows per bucket leave it;
+    - final keyed sum over ≤ nations × years rows."""
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nk2name = dict(nation.itertuples(index=False, name=None))
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    supp_nk = dict(supp.itertuples(index=False, name=None))
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    ).to_pandas()
+    sel = part[part["p_name"].str.contains(name_word, regex=False)]
+    retail_x100 = dict(
+        zip(sel["p_partkey"].astype(int),
+            (sel["p_retailprice"] * 100).round().astype("int64"))
+    )
+    dims_ref = ray.put((nk2name, supp_nk, retail_x100))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["o_orderkey"].astype("int64"),
+             "yr": df["o_orderdate"].dt.year.astype("int64"),
+             "skey": np.int64(-1), "profit": np.int64(0),
+             "_b": (df["o_orderkey"] % nb).astype("int32"), "_k": "o"}
+        )
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, retail_ = ray.get(dims_ref)
+        cost_unit = df["l_partkey"].map(retail_)
+        d = df[cost_unit.notna()]
+        rev = _int_revenue_x10000(d["l_extendedprice"], d["l_discount"])
+        # retail is per-unit cents → ×100 matches the rev scale, ×qty
+        cost = (
+            cost_unit[cost_unit.notna()].astype("int64") * 100
+            * d["l_quantity"].round().astype("int64")
+        )
+        return pd.DataFrame(
+            {"okey": d["l_orderkey"].astype("int64"), "yr": np.int64(-1),
+             "skey": d["l_suppkey"].astype("int64"),
+             "profit": (rev - cost).astype("int64"),
+             "_b": (d["l_orderkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    empty = pd.DataFrame(
+        {"n_name": pd.Series(dtype="object"),
+         "o_year": pd.Series(dtype="int64"),
+         "profit_x10000": pd.Series(dtype="int64")}
+    )
+
+    def join_profit(g: pd.DataFrame) -> pd.DataFrame:
+        nk2name_, supp_nk_, _ = ray.get(dims_ref)
+        o = g[g["_k"] == "o"][["okey", "yr"]]
+        li = g[g["_k"] == "l"][["okey", "skey", "profit"]]
+        if not len(o) or not len(li):
+            return empty.copy()
+        m = li.merge(o, on="okey")
+        if not len(m):
+            return empty.copy()
+        m["n_name"] = m["skey"].map(supp_nk_).map(nk2name_)
+        out = m.groupby(["n_name", "yr"], as_index=False)["profit"].sum()
+        return pd.DataFrame(
+            {"n_name": out["n_name"], "o_year": out["yr"].astype("int64"),
+             "profit_x10000": out["profit"].astype("int64")}
+        )
+
+    return (
+        orders.map_batches(tag_orders, batch_format="pandas")
+        .union(lineitem.map_batches(tag_line, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(join_profit, batch_format="pandas")
+        .groupby(["n_name", "o_year"])
+        .sum("profit_x10000")
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"n_name": df["n_name"], "o_year": df["o_year"].astype("int64"),
+                 "profit_x10000": df["sum(profit_x10000)"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def min_cost_supplier(
+    sf_dir: str,
+    region: str = "ASIA",
+    size: int = 5,
+    part_type: str = "SMALL",
+    k: int = 100,
+) -> "pa.Table":
+    """(s_acctbal_x100, s_name, n_name, p_partkey) — TPC-H Q2 adapted
+    to this schema: for parts of one size and type, the region
+    suppliers that actually shipped the part (pairing from lineitem —
+    no ``partsupp``) holding the part's MINIMUM account balance
+    (``s_acctbal`` standing in for ``ps_supplycost``; ties keep every
+    minimal supplier, exactly as Q2's correlated-min keeps all), top-k
+    by (acctbal desc, n_name, s_name, p_partkey).
+
+    Scale shape:
+
+    - per-batch distinct (partkey, suppkey) before the exchange;
+    - region-supplier attribute map (suppkey → acctbal_x100, name,
+      nation name) broadcast once via ``ray.put`` — supplier is the
+      smallest fact (10k rows/SF); non-region suppliers drop in the
+      scan task;
+    - filtered part rows tagged into the SAME partkey exchange (no
+      part-table broadcast — the Q16 pattern);
+    - in-bucket: pair dedup, attr join, per-part correlated min, then
+      a per-bucket top-k prune under the FINAL total order, so the
+      driver assembles the answer from ≤ buckets × k rows."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=64, rows_per_bucket=4096,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    regiont = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(regiont.loc[regiont["r_name"] == region, "r_regionkey"].iloc[0])
+    rnat = nation[nation["n_regionkey"] == rkey]
+    nk2name = dict(zip(rnat["n_nationkey"].astype(int), rnat["n_name"]))
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nk2name)]
+    supp_attrs = {
+        int(r.s_suppkey): (
+            int(round(r.s_acctbal * 100)), r.s_name, nk2name[int(r.s_nationkey)]
+        )
+        for r in supp.itertuples(index=False)
+    }
+    attrs_ref = ray.put(supp_attrs)
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=(pads.field("p_size") == size)
+        & (pads.field("p_type") == part_type),
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        attrs = ray.get(attrs_ref)
+        d = df.drop_duplicates()
+        d = d[d["l_suppkey"].isin(attrs)]
+        return pd.DataFrame(
+            {"pkey": d["l_partkey"].astype("int64"),
+             "skey": d["l_suppkey"].astype("int64"),
+             "_b": (d["l_partkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    def tag_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pkey": df["p_partkey"].astype("int64"), "skey": np.int64(-1),
+             "_b": (df["p_partkey"] % nb).astype("int32"), "_k": "p"}
+        )
+
+    empty = pd.DataFrame(
+        {"s_acctbal_x100": pd.Series(dtype="int64"),
+         "s_name": pd.Series(dtype="object"),
+         "n_name": pd.Series(dtype="object"),
+         "p_partkey": pd.Series(dtype="int64")}
+    )
+
+    def per_part_min(g: pd.DataFrame) -> pd.DataFrame:
+        attrs = ray.get(attrs_ref)
+        p = g[g["_k"] == "p"][["pkey"]]
+        l = g[g["_k"] == "l"][["pkey", "skey"]].drop_duplicates()
+        if not len(p) or not len(l):
+            return empty.copy()
+        m = l.merge(p, on="pkey")
+        if not len(m):
+            return empty.copy()
+        trip = m["skey"].map(attrs)
+        m = m.assign(
+            bal=[t[0] for t in trip],
+            s_name=[t[1] for t in trip],
+            n_name=[t[2] for t in trip],
+        )
+        part_min = m.groupby("pkey")["bal"].transform("min")
+        m = m[m["bal"] == part_min]
+        # per-bucket prune under the final total order (acctbal desc,
+        # nation, supplier, part — unique within a bucket)
+        m = m.sort_values(
+            ["bal", "n_name", "s_name", "pkey"],
+            ascending=[False, True, True, True], kind="mergesort",
+        ).head(k)
+        return pd.DataFrame(
+            {"s_acctbal_x100": m["bal"].astype("int64"),
+             "s_name": m["s_name"], "n_name": m["n_name"],
+             "p_partkey": m["pkey"].astype("int64")}
+        )
+
+    finalists = (
+        lineitem.map_batches(tag_pairs, batch_format="pandas")
+        .union(part.map_batches(tag_part, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(per_part_min, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × k pruned rows
+    )
+    out = finalists.sort_values(
+        ["s_acctbal_x100", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True], kind="mergesort",
+    ).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sole_late_supplier(
+    sf_dir: str,
+    supp_nation: str = "NATION_3",
+    grace_days: int = 60,
+    k: int = 20,
+) -> "pa.Table":
+    """(s_name, numwait) — TPC-H Q21 adapted to this schema: suppliers
+    of one nation who were the ONLY late supplier on a finalized
+    multi-supplier order, counted per supplier, top-k by (numwait
+    desc, s_name).  "Late" is ``l_shipdate > o_orderdate +
+    grace_days`` (this schema has no commit/receipt dates — the same
+    adaptation ``late_shipment_counts`` documents).
+
+    Scale shape:
+
+    - finalized orders only (``o_orderstatus = 'F'``) pushed into the
+      scan; ONE orderkey exchange co-locates each order's lineitems
+      with its date row;
+    - the whole per-order EXISTS/NOT-EXISTS pair is vectorized inside
+      the group task (distinct-supplier count ≥ 2, distinct-late == 1)
+      and collapses to per-(bucket × suppkey) count partials;
+    - final keyed sum over supplier-cardinality partials, nation
+      filter by broadcast map, then per-bucket top-k prune → the
+      driver assembles from ≤ buckets × k rows."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=64, rows_per_bucket=4096,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nk = int(nation.loc[nation["n_name"] == supp_nation, "n_nationkey"].iloc[0])
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"] == nk]
+    name_map = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    names_ref = ray.put(name_map)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        filter=pads.field("o_orderstatus") == "F",
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["o_orderkey"].astype("int64"),
+             "skey": np.int64(-1),
+             "ts": df["o_orderdate"],
+             "_b": (df["o_orderkey"] % nb).astype("int32"), "_k": "o"}
+        )
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["l_orderkey"].astype("int64"),
+             "skey": df["l_suppkey"].astype("int64"),
+             "ts": df["l_shipdate"],
+             "_b": (df["l_orderkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    empty = pd.DataFrame(
+        {"skey": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64")}
+    )
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_k"] == "o"][["okey", "ts"]].rename(columns={"ts": "odate"})
+        l = g[g["_k"] == "l"][["okey", "skey", "ts"]]
+        if not len(o) or not len(l):
+            return empty.copy()
+        m = l.merge(o, on="okey")
+        if not len(m):
+            return empty.copy()
+        m["late"] = m["ts"] > (m["odate"] + pd.Timedelta(days=grace_days))
+        per = m.groupby("okey")["skey"].nunique().to_frame("ns")
+        late = m[m["late"]]
+        nl = late.groupby("okey")["skey"].nunique()
+        lsup = late.groupby("okey")["skey"].max()
+        per["nl"] = nl.reindex(per.index, fill_value=0)
+        per["lsup"] = lsup.reindex(per.index, fill_value=-1)
+        hit = per[(per["ns"] >= 2) & (per["nl"] == 1)]
+        if not len(hit):
+            return empty.copy()
+        out = hit.groupby("lsup", as_index=False).size()
+        return pd.DataFrame(
+            {"skey": out["lsup"].astype("int64"),
+             "cnt": out["size"].astype("int64")}
+        )
+
+    def topk_prune(df: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(names_ref)
+        d = df[df["skey"].isin(names)].copy()
+        d["s_name"] = d["skey"].map(names)
+        d = d.sort_values(
+            ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return d[["s_name", "numwait"]]
+
+    pruned = (
+        orders.map_batches(tag_orders, batch_format="pandas")
+        .union(lineitem.map_batches(tag_line, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(per_order, batch_format="pandas")
+        .groupby("skey")
+        .sum("cnt")
+        .map_batches(
+            lambda df: df.rename(columns={"sum(cnt)": "numwait"}),
+            batch_format="pandas",
+        )
+        .map_batches(topk_prune, batch_format="pandas")
+        .to_pandas()  # ≤ blocks × k pruned rows
+    )
+    out = pruned.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    out["numwait"] = out["numwait"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -3108,3 +3108,106 @@ def test_q11_important_parts_threshold_is_global_and_exact():
     assert set(tighter.to_pandas()["l_partkey"]) <= set(got["l_partkey"])
     # a nation with no suppliers yields the empty relation, not an error
     assert important_parts(SF, supp_nation="NATION_2").count() == 0
+
+
+def test_q9_nation_profit_matches_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import nation_year_profit
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+               sum(round(l_extendedprice*100)::BIGINT
+                   * round((1-l_discount)*100)::BIGINT
+                   - round(p_retailprice*100)::BIGINT * 100
+                     * round(l_quantity)::BIGINT)::BIGINT AS profit_x10000
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             JOIN part ON p_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    got = (
+        nation_year_profit(SF)
+        .to_pandas()
+        .sort_values(["n_name", "o_year"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    assert got["o_year"].tolist() == want["o_year"].tolist()
+    assert got["profit_x10000"].tolist() == want["profit_x10000"].tolist()
+
+
+def test_q2_min_cost_supplier_keeps_ties_and_orders():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import min_cost_supplier
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        cand AS (
+            SELECT round(s_acctbal * 100)::BIGINT AS s_acctbal_x100,
+                   s_name, n_name, p_partkey
+            FROM pairs JOIN part ON p_partkey = l_partkey
+                 JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN nation ON n_nationkey = s_nationkey
+                 JOIN region ON r_regionkey = n_regionkey
+            WHERE p_size = 1 AND p_type = 'ECONOMY' AND r_name = 'ASIA'
+              AND s_acctbal = (
+                  SELECT min(s2.s_acctbal)
+                  FROM pairs p2 JOIN supplier s2 ON s2.s_suppkey = p2.l_suppkey
+                       JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+                       JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+                  WHERE p2.l_partkey = pairs.l_partkey
+                    AND r2.r_name = 'ASIA'))
+        SELECT * FROM cand
+        ORDER BY s_acctbal_x100 DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """).df()
+    got = min_cost_supplier(SF, size=1, part_type="ECONOMY").to_pandas()
+    assert len(got) > 0
+    for c in ["s_acctbal_x100", "s_name", "n_name", "p_partkey"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    # the correlated min is over REGION suppliers of the part, so every
+    # returned balance is that part's min among its returned rows
+    assert (
+        got.groupby("p_partkey")["s_acctbal_x100"].transform("min")
+        == got["s_acctbal_x100"]
+    ).all()
+
+
+def test_q21_sole_late_supplier_matches_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import sole_late_supplier
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        WITH j AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderstatus = 'F'),
+        per AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS ns,
+                   count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+                   max(CASE WHEN late THEN l_suppkey END) AS lsup
+            FROM j GROUP BY 1)
+        SELECT s_name, count(*)::BIGINT AS numwait
+        FROM per JOIN supplier ON s_suppkey = lsup
+             JOIN nation ON n_nationkey = s_nationkey
+        WHERE ns >= 2 AND nl = 1 AND n_name = 'NATION_19'
+        GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+    """).df()
+    got = sole_late_supplier(SF, supp_nation="NATION_19").to_pandas()
+    assert len(got) > 0
+    assert got["s_name"].tolist() == want["s_name"].tolist()
+    assert got["numwait"].tolist() == want["numwait"].tolist()
