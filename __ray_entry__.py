@@ -1149,6 +1149,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectorized per order inside ONE orderkey exchange, then a
         # supplier-cardinality count exchange + top-k prune
         "rel_q21_sole_late_supplier": relational.sole_late_supplier,
+        # the materialized politeness-bound fetch schedule: exact
+        # within-host row_number (changed-first, stalest-first) via the
+        # two-level rank pattern, cut into per-host quota waves —
+        # window-function oracle over the derived page inventory
+        "crawl_fetch_waves": recrawl.fetch_waves,
     }
 
 
@@ -2253,6 +2258,15 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_recrawl_delta"] = (
         "WITH " + _inventory_ctes
         + " SELECT url, n_snapshots, changed, latest_ts_us FROM allpages"
+    )
+    oracles["crawl_fetch_waves"] = (
+        "WITH " + _inventory_ctes
+        + """ SELECT url, split_part(url, '/', 3) AS host,
+               ((row_number() OVER (
+                     PARTITION BY split_part(url, '/', 3)
+                     ORDER BY changed DESC, latest_ts_us, url) - 1)
+                // 10 + 1)::BIGINT AS wave
+           FROM allpages"""
     )
     # adaptive refresh plan: same inventory + the integer-exact policy
     # (interval = base/2 if changed else base*2, halved again on a hot

@@ -288,3 +288,119 @@ def host_fetch_gap_quantiles(pages_dir: str) -> "ray.data.Dataset":
         lambda df: df.rename(columns={"key": "host"}),
         batch_format="pandas",
     )
+
+
+def fetch_waves(
+    sf_dir: str,
+    quota: int = 10,
+    replicate: int = 1,
+    ts_buckets: int = 1024,
+    num_groups: int = 64,
+) -> "ray.data.Dataset":
+    """(url, host, wave) — the MATERIALIZED fetch schedule a politeness-
+    bound frontier executes: within each host, URLs are ordered
+    changed-first then stalest-first (``changed DESC, latest_ts_us,
+    url`` — the same priority contract as the reference's J1 frontier
+    query, reference ``database.py`` get_ids ordering), and the host's
+    queue is cut into waves of ``quota`` fetches (one wave ≈ one
+    politeness window).  SQL equivalent: ``(row_number() OVER
+    (PARTITION BY host ORDER BY ...) - 1) // quota + 1``.
+
+    Exact per-host row_number WITHOUT a per-host global sort (the
+    70%-hot host would funnel into one sort task otherwise) — the
+    two-level rank pattern shared with ``textstats.length_deciles``:
+
+    1. ``recrawl_delta`` gives one (url, changed, latest_ts_us) row per
+       URL (HTML never leaves that scan);
+    2. ts range (2 scalars) → a monotone ts→bucket map; a per-(host,
+       changed, ts_bucket) histogram reduces to ≤ hosts × 2 ×
+       ``ts_buckets`` rows on the driver — bounded by the bucket
+       geometry, independent of URL count — and prefix-sums IN THE
+       ORDER KEY'S ORDER into an exclusive cum-below table, broadcast
+       via ``ray.put``;
+    3. ONE exchange keyed on hash(host, changed, ts_bucket): each
+       group sorts its slice by (ts, url) — the within-bucket residual
+       of the order key — so rank = cum_below + position, and the wave
+       follows row-locally.  The hot host spreads across
+       2 × ``ts_buckets`` groups instead of one."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    delta = recrawl_delta(sf_dir, replicate)
+
+    def add_host(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"url": df["url"],
+             "host": df["url"].str.split("/").str[2],
+             "changed": df["changed"].astype(bool),
+             "ts_us": df["latest_ts_us"].astype("int64")}
+        )
+
+    per_url = delta.map_batches(add_host, batch_format="pandas").materialize()
+
+    rng = per_url.aggregate(Min("ts_us"), Max("ts_us"))
+    tmin, tmax = int(rng["min(ts_us)"]), int(rng["max(ts_us)"])
+    span = max(tmax - tmin + 1, 1)
+
+    def tsb(ts: np.ndarray) -> np.ndarray:
+        return ((ts - tmin) * ts_buckets // span).astype("int64")
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(tsb=tsb(df["ts_us"].to_numpy()))
+        g = d.groupby(["host", "changed", "tsb"], as_index=False).size()
+        g["size"] = g["size"].astype("int64")
+        return g.rename(columns={"size": "cnt"})
+
+    hist = (
+        per_url.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["host", "changed", "tsb"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # ≤ hosts × 2 × ts_buckets rows by construction
+    )
+    # exclusive cumsum per host in the ORDER KEY's order:
+    # changed DESC, ts_bucket ASC
+    hist = hist.sort_values(
+        ["host", "changed", "tsb"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    cum = hist.groupby("host", sort=False)["cnt"].cumsum() - hist["cnt"]
+    cum_below = {
+        (h, bool(c), int(b)): int(v)
+        for h, c, b, v in zip(hist["host"], hist["changed"], hist["tsb"], cum)
+    }
+    cum_ref = ray.put(cum_below)
+
+    from ..kernels.hashing import stable_hash64_array
+
+    def tag_group(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(tsb=tsb(df["ts_us"].to_numpy()))
+        h = stable_hash64_array(
+            [f"{host}\x00{int(c)}\x00{b}" for host, c, b in
+             zip(d["host"], d["changed"], d["tsb"])]
+        )
+        d["_g"] = (h % np.uint64(num_groups)).astype(np.int32)
+        return d
+
+    def rank_waves(g: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(cum_ref)
+        # residual order inside one (host, changed, tsb) cell: ts, url
+        g = g.sort_values(
+            ["host", "changed", "tsb", "ts_us", "url"],
+            ascending=[True, False, True, True, True], kind="mergesort",
+        )
+        pos = g.groupby(["host", "changed", "tsb"], sort=False).cumcount()
+        base = np.fromiter(
+            (lookup[(h, bool(c), int(b))] for h, c, b in
+             zip(g["host"], g["changed"], g["tsb"])),
+            dtype=np.int64, count=len(g),
+        )
+        rank = base + pos.to_numpy()
+        return pd.DataFrame(
+            {"url": g["url"], "host": g["host"],
+             "wave": (rank // quota + 1).astype("int64")}
+        )
+
+    return (
+        per_url.map_batches(tag_group, batch_format="pandas")
+        .groupby("_g")
+        .map_groups(rank_waves, batch_format="pandas")
+    )

@@ -3211,3 +3211,39 @@ def test_q21_sole_late_supplier_matches_duckdb():
     assert len(got) > 0
     assert got["s_name"].tolist() == want["s_name"].tolist()
     assert got["numwait"].tolist() == want["numwait"].tolist()
+
+
+def test_fetch_waves_matches_brute_rank_and_spreads_hot_host():
+    from dfg_gepris_crawler_ray.ops.recrawl import fetch_waves, recrawl_delta
+
+    got = (
+        fetch_waves(SF, quota=7)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    # brute: global pandas rank per host under the same order key
+    delta = recrawl_delta(SF).to_pandas()
+    delta["host"] = delta["url"].str.split("/").str[2]
+    delta = delta.sort_values(
+        ["host", "changed", "latest_ts_us", "url"],
+        ascending=[True, False, True, True], kind="mergesort",
+    )
+    delta["rank"] = delta.groupby("host", sort=False).cumcount()
+    delta["wave"] = (delta["rank"] // 7 + 1).astype("int64")
+    want = delta.sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == want["url"].tolist()
+    assert got["host"].tolist() == want["host"].tolist()
+    assert got["wave"].tolist() == want["wave"].tolist()
+    # every wave below a host's last is exactly full (quota rows)
+    sizes = got.groupby(["host", "wave"]).size().reset_index(name="n")
+    last = sizes.groupby("host")["wave"].transform("max")
+    assert (sizes.loc[sizes["wave"] != last, "n"] == 7).all()
+    # skew treatment: the dominant host's URLs must occupy >1 rank cell
+    # (i.e. the two-level rank actually partitions it, not one group)
+    hot = delta["host"].value_counts().idxmax()
+    hot_rows = delta[delta["host"] == hot]
+    cells = set(
+        zip(hot_rows["changed"],
+            hot_rows["latest_ts_us"].rank(method="dense")))
+    assert len(cells) > 1
