@@ -1154,6 +1154,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-level rank pattern, cut into per-host quota waves —
         # window-function oracle over the derived page inventory
         "crawl_fetch_waves": recrawl.fetch_waves,
+        # TPC-H Q4: per-order EXISTS collapsed inside one orderkey
+        # exchange, orders (not lines) counted per priority
+        "rel_q4_priority_counts": relational.priority_order_counts,
+        # TPC-H Q6: everything pushed into the scan (date window,
+        # centi-step discount band, quantity cap), single-row partials
+        "rel_q6_forecast_revenue": relational.forecast_revenue_change,
+        # TPC-H Q20 (availqty-free): threshold-aggregated semi-join
+        # chain — pair partials before ONE pair-keyed exchange
+        "rel_q20_excess_shippers": relational.excess_shippers,
     }
 
 
@@ -2582,6 +2591,42 @@ def oracle_sql() -> dict[str, str]:
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
                                 WHERE s_acctbal < 0)
         GROUP BY 1, 2, 3
+    """
+    oracles["rel_q4_priority_counts"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY 1
+    """
+    oracles["rel_q6_forecast_revenue"] = """
+        SELECT sum(round(l_extendedprice * 100)::BIGINT
+                   * round(l_discount * 100)::BIGINT)::BIGINT
+                 AS revenue_x10000,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND round(l_discount * 100) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """
+    oracles["rel_q20_excess_shippers"] = """
+        WITH agg AS (
+            SELECT l_suppkey, l_partkey,
+                   sum(round(l_quantity)::BIGINT) AS qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE '%red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2)
+        SELECT s_name, count(*)::BIGINT AS n_parts
+        FROM agg JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation ON n_nationkey = s_nationkey
+        WHERE qty > 20 AND n_name = 'NATION_9'
+        GROUP BY 1
     """
     oracles["rel_q9_nation_profit"] = """
         SELECT n_name, year(o_orderdate)::BIGINT AS o_year,

@@ -395,6 +395,23 @@ def main():
     timed("rel_user_gap_quantiles",
           lambda: user_event_gap_quantiles(SF_DIR).materialize())
     timed("knn_pq", lambda: similarity.knn_pq(SF_DIR))
+    timed("rel_q8_market_share",
+          lambda: relational.nation_market_share(SF_DIR).materialize())
+    timed("rel_q9_nation_profit",
+          lambda: relational.nation_year_profit(SF_DIR).materialize())
+    timed("rel_q13_order_distribution",
+          lambda: relational.customer_order_distribution(SF_DIR).materialize())
+    timed("rel_q16_supplier_variety",
+          lambda: relational.part_supplier_variety(SF_DIR).materialize())
+    timed("rel_q11_important_parts",
+          lambda: relational.important_parts(SF_DIR).materialize())
+    timed("rel_q2_min_cost_supplier",
+          lambda: relational.min_cost_supplier(SF_DIR))
+    timed("rel_q21_sole_late_supplier",
+          lambda: relational.sole_late_supplier(SF_DIR))
+    from dfg_gepris_crawler_ray.ops.recrawl import fetch_waves
+    timed("crawl_fetch_waves",
+          lambda: fetch_waves(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

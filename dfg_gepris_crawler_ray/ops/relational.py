@@ -3418,3 +3418,264 @@ def sole_late_supplier(
     ).head(k).reset_index(drop=True)
     out["numwait"] = out["numwait"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def priority_order_counts(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    grace_days: int = 90,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(o_orderpriority, order_count) — TPC-H Q4: orders placed in the
+    window counted per priority IF at least one of their lineitems
+    shipped late (EXISTS semi-join; "late" is ``l_shipdate >
+    o_orderdate + grace_days`` — the commit/receipt-date-free
+    adaptation ``late_shipment_priority`` documents).  Q4 counts
+    ORDERS, not lines — the per-order EXISTS collapses before anything
+    is counted.
+
+    Scale shape: order-date window pushed into the scan; ONE orderkey
+    exchange co-locates each order's lines with its (date, priority)
+    row; the EXISTS and the per-priority partial count happen in the
+    group task, so only ≤ priorities rows per bucket leave it."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+
+    date_expr = (
+        pads.field("o_orderdate") >= _dt.datetime.fromisoformat(date_from)
+    ) & (pads.field("o_orderdate") < _dt.datetime.fromisoformat(date_to))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=date_expr,
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["o_orderkey"].astype("int64"),
+             "prio": df["o_orderpriority"].astype(str),
+             "ts": df["o_orderdate"],
+             "_b": (df["o_orderkey"] % nb).astype("int32"), "_k": "o"}
+        )
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["l_orderkey"].astype("int64"), "prio": "",
+             "ts": df["l_shipdate"],
+             "_b": (df["l_orderkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    empty = pd.DataFrame(
+        {"o_orderpriority": pd.Series(dtype="object"),
+         "order_count": pd.Series(dtype="int64")}
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_k"] == "o"][["okey", "prio", "ts"]].rename(
+            columns={"ts": "odate"}
+        )
+        l = g[g["_k"] == "l"][["okey", "ts"]]
+        if not len(o) or not len(l):
+            return empty.copy()
+        m = l.merge(o[["okey", "odate"]], on="okey")
+        late_ok = m.loc[
+            m["ts"] > m["odate"] + pd.Timedelta(days=grace_days), "okey"
+        ].unique()
+        hit = o[o["okey"].isin(late_ok)]
+        if not len(hit):
+            return empty.copy()
+        out = hit.groupby("prio", as_index=False).size()
+        return pd.DataFrame(
+            {"o_orderpriority": out["prio"],
+             "order_count": out["size"].astype("int64")}
+        )
+
+    return (
+        orders.map_batches(tag_orders, batch_format="pandas")
+        .union(lineitem.map_batches(tag_line, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .sum("order_count")
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"o_orderpriority": df["o_orderpriority"],
+                 "order_count": df["sum(order_count)"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def forecast_revenue_change(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: int = 24,
+) -> "pa.Table":
+    """(revenue_x10000, n_lines) — TPC-H Q6: the revenue that would be
+    recovered by dropping small discounts on low-quantity lines in one
+    ship-year (``Σ extprice × discount``), integer ten-thousandths.
+    The simplest distributed shape in the suite — and the benchmark
+    that everything is pushed INTO THE SCAN: the date window, the
+    discount band (in exact centi-steps) and the quantity cap are all
+    parquet row-group predicates; what's left is a single-row partial
+    per batch and a tree-sum."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    lo, hi = round(disc_lo * 100), round(disc_hi * 100)
+    expr = (
+        (pads.field("l_shipdate") >= _dt.datetime.fromisoformat(date_from))
+        & (pads.field("l_shipdate") < _dt.datetime.fromisoformat(date_to))
+        & (pads.field("l_discount") >= (lo - 0.5) / 100)
+        & (pads.field("l_discount") <= (hi + 0.5) / 100)
+        & (pads.field("l_quantity") < max_qty)
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=expr,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        disc_c = (df["l_discount"] * 100).round().astype("int64")
+        keep = (disc_c >= lo) & (disc_c <= hi)  # exact residual band
+        rev = (
+            (df.loc[keep, "l_extendedprice"] * 100).round().astype("int64")
+            * disc_c[keep]
+        )
+        return pd.DataFrame(
+            {"revenue_x10000": [np.int64(rev.sum())],
+             "n_lines": [np.int64(keep.sum())]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pa.table(
+        {"revenue_x10000":
+             pa.array([int(parts["revenue_x10000"].sum())], pa.int64()),
+         "n_lines": pa.array([int(parts["n_lines"].sum())], pa.int64())}
+    )
+
+
+def excess_shippers(
+    sf_dir: str,
+    supp_nation: str = "NATION_9",
+    name_word: str = "red",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    min_qty: int = 20,
+) -> "ray.data.Dataset":
+    """(s_name, n_parts) — TPC-H Q20 adapted to this schema (no
+    ``partsupp.availqty``): suppliers of one nation who shipped MORE
+    than ``min_qty`` units of some name-filtered part within the
+    window, with how many such parts each qualified on.  The
+    semi-join chain (supplier ⋉ part-filtered, threshold-aggregated
+    lineitem) is Q20's shape; the fixed threshold stands in for
+    ``0.5 × availqty``.
+
+    Scale shape: the filtered partkey set and the nation's
+    suppkey→name map broadcast once; date window pushed into the
+    scan; per-batch (suppkey, partkey, qty) partials collapse lines
+    before ONE pair-keyed exchange; the threshold filter and per-
+    supplier count happen per bucket, leaving supplier-cardinality
+    rows for the final keyed sum."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=64, rows_per_bucket=4096,
+    )
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nk = int(nation.loc[nation["n_name"] == supp_nation, "n_nationkey"].iloc[0])
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"] == nk]
+    name_map = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    part_keys = np.sort(
+        part.loc[part["p_name"].str.contains(name_word, regex=False),
+                 "p_partkey"].to_numpy(np.int64)
+    )
+    dims_ref = ray.put((name_map, part_keys))
+
+    date_expr = (
+        pads.field("l_shipdate") >= _dt.datetime.fromisoformat(date_from)
+    ) & (pads.field("l_shipdate") < _dt.datetime.fromisoformat(date_to))
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=date_expr,
+    )
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        names, pkeys = ray.get(dims_ref)
+        d = df[
+            df["l_suppkey"].isin(names)
+            & np.isin(df["l_partkey"].to_numpy(np.int64), pkeys)
+        ]
+        g = pd.DataFrame(
+            {"skey": d["l_suppkey"].astype("int64"),
+             "pkey": d["l_partkey"].astype("int64"),
+             "qty": d["l_quantity"].round().astype("int64")}
+        ).groupby(["skey", "pkey"], as_index=False)["qty"].sum()
+        g["_b"] = ((g["skey"] * 1_000_003 + g["pkey"]) % nb).astype("int32")
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["skey", "pkey"], as_index=False)["qty"].sum()
+        hit = s[s["qty"] > min_qty]
+        out = hit.groupby("skey", as_index=False).size()
+        return pd.DataFrame(
+            {"skey": out["skey"].astype("int64"),
+             "n_parts": out["size"].astype("int64")}
+        )
+
+    def attach_name(df: pd.DataFrame) -> pd.DataFrame:
+        names, _ = ray.get(dims_ref)
+        return pd.DataFrame(
+            {"s_name": df["skey"].map(names),
+             "n_parts": df["n_parts"].astype("int64")}
+        )
+
+    return (
+        lineitem.map_batches(pair_partials, batch_format="pandas")
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("skey")
+        .sum("n_parts")
+        .map_batches(
+            lambda df: df.rename(columns={"sum(n_parts)": "n_parts"}),
+            batch_format="pandas",
+        )
+        .map_batches(attach_name, batch_format="pandas")
+    )

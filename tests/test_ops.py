@@ -3247,3 +3247,92 @@ def test_fetch_waves_matches_brute_rank_and_spreads_hot_host():
         zip(hot_rows["changed"],
             hot_rows["latest_ts_us"].rank(method="dense")))
     assert len(cells) > 1
+
+
+def test_q4_priority_counts_counts_orders_not_lines():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import priority_order_counts
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    got = (
+        priority_order_counts(SF)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got["o_orderpriority"].tolist() == want["o_orderpriority"].tolist()
+    assert got["order_count"].tolist() == want["order_count"].tolist()
+    # EXISTS, not COUNT: the total can never exceed the window's orders
+    n_orders = con.sql("""
+        SELECT count(*) FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'""").fetchone()[0]
+    assert int(got["order_count"].sum()) <= n_orders
+
+
+def test_q6_forecast_revenue_integer_exact():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import forecast_revenue_change
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        SELECT sum(round(l_extendedprice*100)::BIGINT
+                   * round(l_discount*100)::BIGINT)::BIGINT AS revenue_x10000,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND round(l_discount*100) BETWEEN 5 AND 7
+          AND l_quantity < 24
+    """).df()
+    got = forecast_revenue_change(SF).to_pandas()
+    assert int(got["revenue_x10000"].iloc[0]) == int(want["revenue_x10000"].iloc[0])
+    assert int(got["n_lines"].iloc[0]) == int(want["n_lines"].iloc[0])
+    assert int(got["n_lines"].iloc[0]) > 0
+
+
+def test_q20_excess_shippers_matches_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import excess_shippers
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        WITH agg AS (
+            SELECT l_suppkey, l_partkey,
+                   sum(round(l_quantity)::BIGINT) AS qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE '%red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2)
+        SELECT s_name, count(*)::BIGINT AS n_parts
+        FROM agg JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation ON n_nationkey = s_nationkey
+        WHERE qty > 5 AND n_name = 'NATION_19'
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    got = (
+        excess_shippers(SF, supp_nation="NATION_19", min_qty=5)
+        .to_pandas()
+        .sort_values("s_name")
+        .reset_index(drop=True)
+    )
+    assert got["s_name"].tolist() == want["s_name"].tolist()
+    assert got["n_parts"].tolist() == want["n_parts"].tolist()
