@@ -1121,6 +1121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-host fetch cadence → per-host crawl delay. Staged
         # brute-census oracle (pages are generated, not a gate view)
         "crawl_host_fetch_gaps": _q_host_fetch_gaps,
+        # inbound anchor-text index: per-target top-3 link terms —
+        # one extraction scan (HTML never leaves it) + one target-hash
+        # exchange with per-target top-k prune; staged brute-census
+        # oracle (pages are generated, not a gate view)
+        "crawl_anchor_terms": _q_anchor_terms,
         # TPC-H Q8: national market share per order year, returned as
         # its two integer-exact components (num, den) — two-exchange
         # star, filtered-part keyset broadcast
@@ -1462,6 +1467,55 @@ def _q_host_fetch_gaps(sf_dir: str):
         host_fetch_gap_quantiles(pages_dir)
         .to_pandas()
         .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+
+def _q_anchor_terms(sf_dir: str):
+    """Inbound anchor-text index (ops/boilerplate.py::
+    anchor_term_index): per link target, the top-3 terms the corpus
+    uses when linking to it. Value-checked via a staged brute census —
+    driver pandas + Counter over the raw page parquet, per-target
+    python sort — which shares the link-format regex (the SPEC) but
+    none of the exchange/prune machinery with the distributed path."""
+    import glob as _glob
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.boilerplate import (
+        _anchor_pairs,
+        anchor_term_index,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(sf_dir)
+    files = sorted(_glob.glob(f"{pages_dir}/**/*.parquet", recursive=True))
+    cnt: Counter = Counter()
+    for f in files:
+        for html in pq.read_table(f, columns=["html"]).column("html").to_pylist():
+            for href, text in _anchor_pairs(html):
+                for term in text.split():
+                    cnt[(href, term)] += 1
+    rows = sorted(
+        ((t, w, n) for (t, w), n in cnt.items()),
+        key=lambda r: (r[0], -r[2], r[1]),
+    )
+    out, seen, kept = [], None, 0
+    for t, w, n in rows:
+        if t != seen:
+            seen, kept = t, 0
+        if kept < 3:
+            out.append({"target": t, "term": w, "cnt": n})
+            kept += 1
+    truth = pd.DataFrame(out)
+    truth["cnt"] = truth["cnt"].astype("int64")
+    _stage_truth("crawl_anchor_terms", truth)
+
+    return (
+        anchor_term_index(pages_dir)
+        .to_pandas()
+        .sort_values(["target", "term"])
         .reset_index(drop=True)
     )
 
@@ -2550,6 +2604,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_host_fetch_gaps"] = f"""
         SELECT host, n_events, gap_p50_us, gap_p90_us
         FROM read_parquet('{_STAGE_DIR}/crawl_host_fetch_gaps.parquet')
+    """
+    oracles["crawl_anchor_terms"] = f"""
+        SELECT target, term, cnt
+        FROM read_parquet('{_STAGE_DIR}/crawl_anchor_terms.parquet')
     """
     oracles["rel_q8_market_share"] = """
         SELECT year(o_orderdate)::BIGINT AS o_year,

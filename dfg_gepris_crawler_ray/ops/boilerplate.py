@@ -203,3 +203,93 @@ def host_distinct_urls(
         .groupby("host")
         .aggregate(Sum("n", alias_name="distinct_urls"))
     )
+
+
+_ANCHOR_RE = None
+
+
+def _anchor_pairs(html: bytes) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs of one page — the link-format spec
+    both the distributed path and the brute census share (the
+    AGGREGATION machinery is what differs between them)."""
+    global _ANCHOR_RE
+    import re
+
+    if _ANCHOR_RE is None:
+        _ANCHOR_RE = re.compile(rb'<a href="([^"]+)">([^<]*)</a>')
+    return [
+        (h.decode("utf-8", "replace"), t.decode("utf-8", "replace"))
+        for h, t in _ANCHOR_RE.findall(html)
+        if h != b"#"
+    ]
+
+
+def anchor_term_index(
+    pages_dir: str, k: int = 3, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(target, term, cnt) — the INBOUND ANCHOR-TEXT index: for every
+    link target, the top-``k`` terms other pages use when linking to
+    it (count desc, term asc).  Anchor text is the classic off-page
+    relevance signal (it describes the TARGET, not the source — the
+    original PageRank paper's anchor file, used by every major web
+    index since); a crawler feeds it back as both a ranking feature
+    and a frontier-prioritization hint for unfetched URLs.
+
+    Distributed shape — one scan, one target-keyed exchange:
+
+    1. **extraction scan**: per page, regex-extract (href, text)
+       pairs, tokenize on whitespace, and pre-aggregate per-batch
+       (target, term) counts — HTML never leaves the scan and the
+       exchange carries distinct (target, term) partials, not link
+       occurrences;
+    2. **target-hash exchange** (vectorized pandas per bucket): exact
+       per-(target, term) totals, then the per-target top-k prune —
+       output is ≤ targets × k rows.
+
+    Self-links count too (the generator's language-switch links) —
+    the census and the pytest pin the same contract."""
+    from ..kernels.hashing import stable_hash64_array
+    from ..sources.pages import read_pages
+
+    ds = read_pages(pages_dir, columns=["url", "html"])
+
+    def extract(batch: pa.Table) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        for html in batch.column("html").to_pylist():
+            for href, text in _anchor_pairs(html):
+                for term in text.split():
+                    cnt[(href, term)] += 1
+        if not cnt:
+            return pd.DataFrame(
+                {"target": pd.Series(dtype="object"),
+                 "term": pd.Series(dtype="object"),
+                 "cnt": pd.Series(dtype="int64"),
+                 "_b": pd.Series(dtype="int32")}
+            )
+        targets = [t for (t, _), _ in cnt.items()]
+        terms = [w for (_, w), _ in cnt.items()]
+        h = stable_hash64_array(targets)
+        return pd.DataFrame(
+            {"target": targets, "term": terms,
+             "cnt": np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt)),
+             "_b": (h % np.uint64(num_buckets)).astype(np.int32)}
+        )
+
+    def per_target_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["target", "term"], as_index=False)["cnt"].sum()
+        s = s.sort_values(
+            ["target", "cnt", "term"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        s = s.groupby("target", sort=False).head(k)
+        return pd.DataFrame(
+            {"target": s["target"], "term": s["term"],
+             "cnt": s["cnt"].astype("int64")}
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(per_target_topk, batch_format="pandas")
+    )

@@ -3336,3 +3336,46 @@ def test_q20_excess_shippers_matches_duckdb():
     )
     assert got["s_name"].tolist() == want["s_name"].tolist()
     assert got["n_parts"].tolist() == want["n_parts"].tolist()
+
+
+def test_anchor_term_index_topk_and_ties(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.boilerplate import anchor_term_index
+
+    def page(links):
+        return (
+            "<html><body>"
+            + "".join(f'<a href="{h}">{t}</a>' for h, t in links)
+            + '<a href="#">skip me</a></body></html>'
+        ).encode()
+
+    rows = {
+        "url": [f"https://h.example.org/p{i}" for i in range(4)],
+        "html": [
+            page([("/t/alpha", "red widget"), ("/t/alpha", "red gear")]),
+            page([("/t/alpha", "red bolt"), ("/t/beta", "one two")]),
+            page([("/t/alpha", "blue widget")]),
+            page([("/t/beta", "two three")]),
+        ],
+    }
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "part-0.parquet"))
+
+    got = (
+        anchor_term_index(str(d), k=2)
+        .to_pandas()
+        .sort_values(["target", "cnt", "term"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    alpha = got[got["target"] == "/t/alpha"]
+    # counts: red=3, widget=2, gear/bolt/blue=1 → top-2 is red, widget
+    assert alpha[["term", "cnt"]].values.tolist() == [["red", 3], ["widget", 2]]
+    beta = got[got["target"] == "/t/beta"]
+    # counts: two=2, one/three=1 → tie at 1 broken term-asc: 'one'
+    assert beta[["term", "cnt"]].values.tolist() == [["two", 2], ["one", 1]]
+    # href="#" anchors never become targets
+    assert "#" not in set(got["target"])
