@@ -291,3 +291,132 @@ def test_retention_bucket_kernel_matches_reference(rows):
         for d in days:
             want[(c, d - c)] = want.get((c, d - c), 0) + 1
     assert got == want
+
+
+@given(
+    st.lists(
+        # (orderkey, suppkey, ship_offset_days)
+        st.tuples(st.integers(0, 12), st.integers(0, 5), st.integers(0, 180)),
+        min_size=0,
+        max_size=120,
+    ),
+    st.sampled_from([30, 60, 90]),
+)
+@settings(max_examples=60, deadline=None)
+def test_sole_late_supplier_kernel_matches_reference_walk(rows, grace):
+    """The vectorized only-late-supplier test (distinct suppliers ≥ 2,
+    distinct LATE suppliers == 1) equals a per-order reference walk on
+    arbitrary line soups — including single-supplier orders, all-late
+    orders, duplicate (order, supplier) lines and boundary ship dates
+    (strictly-greater-than contract at exactly +grace days)."""
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01")
+    m = pd.DataFrame(
+        {
+            "okey": pd.Series([o for o, _, _ in rows], dtype="int64"),
+            "skey": pd.Series([s for _, s, _ in rows], dtype="int64"),
+            "ts": pd.Series(
+                [base + pd.Timedelta(days=d) for _, _, d in rows],
+                dtype="datetime64[ns]",
+            ),
+        }
+    )
+    m["odate"] = base  # one shared order date: offsets carry the signal
+
+    # vectorized kernel (mirrors ops/relational.py::sole_late_supplier)
+    got: dict[int, int] = {}
+    if len(m):
+        m["late"] = m["ts"] > (m["odate"] + pd.Timedelta(days=grace))
+        per = m.groupby("okey")["skey"].nunique().to_frame("ns")
+        late = m[m["late"]]
+        nl = late.groupby("okey")["skey"].nunique()
+        lsup = late.groupby("okey")["skey"].max()
+        per["nl"] = nl.reindex(per.index, fill_value=0)
+        per["lsup"] = lsup.reindex(per.index, fill_value=-1)
+        hit = per[(per["ns"] >= 2) & (per["nl"] == 1)]
+        got = hit.groupby("lsup").size().to_dict()
+
+    # reference walk, one order at a time
+    want: dict[int, int] = {}
+    for o in sorted(set(r[0] for r in rows)):
+        lines = [(s, d) for (ok, s, d) in rows if ok == o]
+        supps = set(s for s, _ in lines)
+        late_supps = set(s for s, d in lines if d > grace)
+        if len(supps) >= 2 and len(late_supps) == 1:
+            (s,) = late_supps
+            want[s] = want.get(s, 0) + 1
+    assert got == want
+
+
+@given(
+    st.lists(
+        # (host, changed, ts, url-suffix)
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.booleans(),
+            st.integers(0, 9),  # heavy ts ties on purpose
+            st.integers(0, 500),
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda r: (r[0], r[3]),  # unique url per host
+    ),
+    st.sampled_from([1, 3, 7]),
+    st.sampled_from([1, 2, 4]),  # ts_buckets — including degenerate 1
+)
+@settings(max_examples=60, deadline=None)
+def test_two_level_rank_kernel_equals_global_sort(rows, quota, nb):
+    """The fetch-waves rank composition (exclusive cum-below per
+    (host, changed, ts-bucket) cell in order-key order + within-cell
+    position) equals the rank of a plain global per-host sort, on
+    arbitrary soups with heavy ts ties and any bucket geometry —
+    including ts_buckets=1 (everything in one cell)."""
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "host": [h for h, _, _, _ in rows],
+            "changed": [c for _, c, _, _ in rows],
+            "ts_us": pd.Series([t for _, _, t, _ in rows], dtype="int64"),
+            "url": [f"{h}/u{u}" for h, _, _, u in rows],
+        }
+    )
+
+    # reference: global per-host sort rank
+    ref = df.sort_values(
+        ["host", "changed", "ts_us", "url"],
+        ascending=[True, False, True, True], kind="mergesort",
+    ).copy()
+    ref["rank"] = ref.groupby("host", sort=False).cumcount()
+    ref["wave"] = ref["rank"] // quota + 1
+    want = ref.set_index("url")["wave"].to_dict()
+
+    # kernel (mirrors ops/recrawl.py::fetch_waves): bounded histogram →
+    # order-key-ordered exclusive cumsum → within-cell position
+    tmin, tmax = int(df["ts_us"].min()), int(df["ts_us"].max())
+    span = max(tmax - tmin + 1, 1)
+    df["tsb"] = ((df["ts_us"] - tmin) * nb // span).astype("int64")
+    hist = df.groupby(["host", "changed", "tsb"], as_index=False).size()
+    hist = hist.sort_values(
+        ["host", "changed", "tsb"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    cum = hist.groupby("host", sort=False)["size"].cumsum() - hist["size"]
+    lookup = {
+        (h, bool(c), int(b)): int(v)
+        for h, c, b, v in zip(hist["host"], hist["changed"], hist["tsb"], cum)
+    }
+    g = df.sort_values(
+        ["host", "changed", "tsb", "ts_us", "url"],
+        ascending=[True, False, True, True, True], kind="mergesort",
+    )
+    pos = g.groupby(["host", "changed", "tsb"], sort=False).cumcount()
+    base = np.array(
+        [lookup[(h, bool(c), int(b))] for h, c, b in
+         zip(g["host"], g["changed"], g["tsb"])],
+        dtype=np.int64,
+    )
+    got = dict(zip(g["url"], (base + pos.to_numpy()) // quota + 1))
+    assert got == want
