@@ -1126,6 +1126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange with per-target top-k prune; staged brute-census
         # oracle (pages are generated, not a gate view)
         "crawl_anchor_terms": _q_anchor_terms,
+        # largest-remainder fetch-budget apportionment across hosts:
+        # salted distinct-URL weights, row-local floors, leftover +1s
+        # by global remainder rank — sums to the budget EXACTLY
+        "crawl_host_budget_allocation": _q_host_budget_allocation,
         # TPC-H Q8: national market share per order year, returned as
         # its two integer-exact components (num, den) — two-exchange
         # star, filtered-part keyset broadcast
@@ -1469,6 +1473,16 @@ def _q_host_fetch_gaps(sf_dir: str):
         .sort_values("host")
         .reset_index(drop=True)
     )
+
+
+def _q_host_budget_allocation(sf_dir: str):
+    """Largest-remainder apportionment of a global fetch budget across
+    hosts (ops/recrawl.py::host_budget_allocation) — Σ quota == budget
+    exactly; window-function oracle over the derived page inventory."""
+    from dfg_gepris_crawler_ray.ops.recrawl import host_budget_allocation
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return host_budget_allocation(ensure_pages(sf_dir), budget=1000)
 
 
 def _q_anchor_terms(sf_dir: str):
@@ -2312,6 +2326,23 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'https://gepris.example.org/gepris/OCTOPUS?task=showMonitor',
                  1, FALSE, 1704067200000000)
     """
+    oracles["crawl_host_budget_allocation"] = (
+        "WITH " + _inventory_ctes
+        + """, w AS (SELECT split_part(url, '/', 3) AS host,
+                      count(DISTINCT url)::BIGINT AS weight
+               FROM allpages GROUP BY 1),
+           tot AS (SELECT sum(weight)::BIGINT AS W FROM w),
+           f AS (SELECT host, weight,
+                        (1000 * weight) // W AS fl,
+                        (1000 * weight) % W AS rem
+                 FROM w CROSS JOIN tot),
+           lo AS (SELECT 1000 - sum(fl)::BIGINT AS leftover FROM f)
+           SELECT host, weight,
+                  (fl + CASE WHEN row_number() OVER
+                                  (ORDER BY rem DESC, host) <= leftover
+                              THEN 1 ELSE 0 END)::BIGINT AS quota
+           FROM f CROSS JOIN lo"""
+    )
     oracles["crawl_host_distinct_urls"] = (
         "WITH " + _inventory_ctes
         + """ SELECT split_part(url, '/', 3) AS host,

@@ -404,3 +404,75 @@ def fetch_waves(
         .groupby("_g")
         .map_groups(rank_waves, batch_format="pandas")
     )
+
+
+def host_budget_allocation(
+    pages_dir: str, budget: int = 1000, k_prune: int | None = None
+) -> "ray.data.Dataset":
+    """(host, weight, quota) — largest-remainder (Hamilton)
+    apportionment of a global per-cycle fetch budget across hosts,
+    weighted by each host's distinct-URL count: ``Σ quota == budget``
+    EXACTLY, every quota is ``floor(budget × w / W)`` plus at most 1,
+    and the +1s go to the largest remainders (ties broken host-asc).
+    This is the scheduler step between the frontier (what COULD be
+    fetched) and the fetch waves (in what ORDER): how many politeness
+    slots each host gets this cycle.
+
+    Scale shape:
+
+    - weights come from ``boilerplate.host_distinct_urls`` — the
+      salted exact distinct count (the hot host never funnels into one
+      reduce task);
+    - the total ``W`` is one scalar aggregate; floors and remainders
+      are then ROW-LOCAL (integer ``//`` and ``%`` against broadcast
+      scalars);
+    - the leftover ``budget − Σ floors`` is < #hosts by construction
+      (each host contributes < 1 of remainder); selecting WHICH hosts
+      get +1 is a global top-``leftover`` by (remainder desc, host
+      asc) — per-block prune to ``leftover`` rows first, so the
+      driver assembles from ≤ blocks × leftover rows, bounded by the
+      budget, never by host cardinality."""
+    from ..ops.boilerplate import host_distinct_urls
+
+    weights = host_distinct_urls(pages_dir).materialize()
+    total = int(weights.sum("distinct_urls") or 0)
+    if total == 0:
+        raise ValueError("empty corpus: no hosts to allocate over")
+
+    def floors(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["distinct_urls"].astype("int64")
+        return pd.DataFrame(
+            {"host": df["host"], "weight": w,
+             "fl": (budget * w) // total,
+             "rem": (budget * w) % total}
+        )
+
+    fl_ds = weights.map_batches(floors, batch_format="pandas").materialize()
+    leftover = budget - int(fl_ds.sum("fl") or 0)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if leftover <= 0:
+            return df.head(0)[["host", "rem"]]
+        d = df.sort_values(
+            ["rem", "host"], ascending=[False, True], kind="mergesort"
+        ).head(leftover)
+        return d[["host", "rem"]]
+
+    bonus_hosts: set = set()
+    if leftover > 0:
+        cand = fl_ds.map_batches(prune, batch_format="pandas").to_pandas()
+        cand = cand.sort_values(
+            ["rem", "host"], ascending=[False, True], kind="mergesort"
+        ).head(leftover)
+        bonus_hosts = set(cand["host"])
+    bonus_ref = ray.put(bonus_hosts)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        bonus = ray.get(bonus_ref)
+        return pd.DataFrame(
+            {"host": df["host"], "weight": df["weight"].astype("int64"),
+             "quota": (df["fl"]
+                       + df["host"].isin(bonus).astype("int64")).astype("int64")}
+        )
+
+    return fl_ds.map_batches(finalize, batch_format="pandas")

@@ -3379,3 +3379,26 @@ def test_anchor_term_index_topk_and_ties(tmp_path):
     assert beta[["term", "cnt"]].values.tolist() == [["two", 2], ["one", 1]]
     # href="#" anchors never become targets
     assert "#" not in set(got["target"])
+
+
+def test_host_budget_allocation_sums_exactly_and_orders_remainders():
+    from dfg_gepris_crawler_ray.ops.recrawl import host_budget_allocation
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    for budget in (7, 100, 1000):
+        got = host_budget_allocation(pages_dir, budget=budget).to_pandas()
+        assert int(got["quota"].sum()) == budget
+        total = int(got["weight"].sum())
+        fl = (budget * got["weight"]) // total
+        # every quota is its floor or floor+1
+        assert ((got["quota"] - fl).isin([0, 1])).all()
+        # the +1s go to the largest remainders (host-asc tie-break):
+        # no bonus host may have a strictly smaller remainder than a
+        # non-bonus one (equal remainders resolve by host name)
+        rem = (budget * got["weight"]) % total
+        bonus = got["quota"] - fl == 1
+        if bonus.any() and (~bonus).any():
+            worst_bonus = rem[bonus].min()
+            best_skipped = rem[~bonus].max()
+            assert worst_bonus >= best_skipped
