@@ -412,6 +412,12 @@ def main():
     from dfg_gepris_crawler_ray.ops.recrawl import fetch_waves
     timed("crawl_fetch_waves",
           lambda: fetch_waves(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.boilerplate import anchor_term_index
+    timed("crawl_anchor_terms",
+          lambda: anchor_term_index(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.recrawl import host_budget_allocation
+    timed("crawl_host_budget_allocation",
+          lambda: host_budget_allocation(pages_dir).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big
