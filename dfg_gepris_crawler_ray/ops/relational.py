@@ -3283,6 +3283,8 @@ def min_cost_supplier(
         .map_groups(per_part_min, batch_format="pandas")
         .to_pandas()  # ≤ buckets × k pruned rows
     )
+    if not len(finalists):
+        return pa.Table.from_pandas(empty, preserve_index=False)
     out = finalists.sort_values(
         ["s_acctbal_x100", "n_name", "s_name", "p_partkey"],
         ascending=[False, True, True, True], kind="mergesort",
@@ -3413,6 +3415,11 @@ def sole_late_supplier(
         .map_batches(topk_prune, batch_format="pandas")
         .to_pandas()  # ≤ blocks × k pruned rows
     )
+    if not len(pruned):
+        return pa.table(
+            {"s_name": pa.array([], pa.string()),
+             "numwait": pa.array([], pa.int64())}
+        )
     out = pruned.sort_values(
         ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
     ).head(k).reset_index(drop=True)
