@@ -3402,3 +3402,34 @@ def test_host_budget_allocation_sums_exactly_and_orders_remainders():
             worst_bonus = rem[bonus].min()
             best_skipped = rem[~bonus].max()
             assert worst_bonus >= best_skipped
+
+
+def test_plan_audit_pins_documented_shuffle_shapes():
+    """The logical-plan shuffle census (tools/planaudit.py) agrees
+    with the documented shapes: zero-shuffle scans have 0 all-to-all
+    operators, the single-exchange dedup has exactly 1, and the
+    bounded top-k/scalar ops return eager driver-assembled results."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from planaudit import audit_plan
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # zero-shuffle scan (token stats: per-batch partials only)
+    info = audit_plan(qs["text_token_stats"](SF))
+    assert info["alltoall"] == 0, info["ops"]
+
+    # exact dedup: ONE keyed exchange (md5-bucket keep-min)
+    info = audit_plan(qs["dedup_exact"](SF))
+    assert info["alltoall"] == 1, info["ops"]
+
+    # Q13: two count exchanges (custkey sum + histogram sum)
+    info = audit_plan(qs["rel_q13_order_distribution"](SF))
+    assert info["alltoall"] >= 2, info["ops"]
+
+    # bounded-result ops execute eagerly (driver rows ≤ buckets × k)
+    res = qs["rel_q6_forecast_revenue"](SF)
+    assert not hasattr(res, "_logical_plan")
