@@ -198,6 +198,10 @@ def host_distinct_urls(
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # coalesce per-block partials before the keyed shuffle: Ray's
+        # sort-shuffle pays a fixed cost per INPUT block (measured at
+        # sf0.1×256: 15.6 s → 4.6 s, same 17-host result)
+        .repartition(64)
         .groupby(["host", "salt"])
         .map_groups(count_shard, batch_format="pandas")
         .groupby("host")
