@@ -1130,6 +1130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # salted distinct-URL weights, row-local floors, leftover +1s
         # by global remainder rank — sums to the budget EXACTLY
         "crawl_host_budget_allocation": _q_host_budget_allocation,
+        # the two scheduler ops composed: apportioned per-host quotas
+        # drive each host's wave size (zero-quota hosts park in wave 0)
+        "crawl_fetch_waves_budgeted": _q_fetch_waves_budgeted,
         # TPC-H Q8: national market share per order year, returned as
         # its two integer-exact components (num, den) — two-exchange
         # star, filtered-part keyset broadcast
@@ -1473,6 +1476,24 @@ def _q_host_fetch_gaps(sf_dir: str):
         .sort_values("host")
         .reset_index(drop=True)
     )
+
+
+def _q_fetch_waves_budgeted(sf_dir: str):
+    """Budget-aware fetch waves: the composition of the two scheduler
+    ops — per-host quotas from the largest-remainder apportionment
+    (budget=1000) drive each host's wave size; zero-quota hosts park
+    in wave 0. The allocation table is hosts-cardinality (bounded),
+    read once and broadcast."""
+    from dfg_gepris_crawler_ray.ops.recrawl import (
+        fetch_waves,
+        host_budget_allocation,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(sf_dir)
+    alloc = host_budget_allocation(pages_dir, budget=1000).to_pandas()
+    qmap = dict(zip(alloc["host"], alloc["quota"].astype(int)))
+    return fetch_waves(sf_dir, quota_by_host=qmap)
 
 
 def _q_host_budget_allocation(sf_dir: str):
@@ -2342,6 +2363,33 @@ def oracle_sql() -> dict[str, str]:
                                   (ORDER BY rem DESC, host) <= leftover
                               THEN 1 ELSE 0 END)::BIGINT AS quota
            FROM f CROSS JOIN lo"""
+    )
+    oracles["crawl_fetch_waves_budgeted"] = (
+        "WITH " + _inventory_ctes
+        + """, w AS (SELECT split_part(url, '/', 3) AS host,
+                      count(DISTINCT url)::BIGINT AS weight
+               FROM allpages GROUP BY 1),
+           tot AS (SELECT sum(weight)::BIGINT AS W FROM w),
+           f AS (SELECT host, weight,
+                        (1000 * weight) // W AS fl,
+                        (1000 * weight) % W AS rem
+                 FROM w CROSS JOIN tot),
+           lo AS (SELECT 1000 - sum(fl)::BIGINT AS leftover FROM f),
+           alloc AS (SELECT host,
+                  (fl + CASE WHEN row_number() OVER
+                                  (ORDER BY rem DESC, host) <= leftover
+                              THEN 1 ELSE 0 END)::BIGINT AS quota
+                  FROM f CROSS JOIN lo),
+           r AS (SELECT url, split_part(url, '/', 3) AS host,
+                        row_number() OVER (
+                            PARTITION BY split_part(url, '/', 3)
+                            ORDER BY changed DESC, latest_ts_us, url) - 1
+                          AS rk
+                 FROM allpages)
+           SELECT url, r.host,
+                  (CASE WHEN quota > 0 THEN rk // quota + 1
+                        ELSE 0 END)::BIGINT AS wave
+           FROM r JOIN alloc ON alloc.host = r.host"""
     )
     oracles["crawl_host_distinct_urls"] = (
         "WITH " + _inventory_ctes

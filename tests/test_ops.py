@@ -3433,3 +3433,27 @@ def test_plan_audit_pins_documented_shuffle_shapes():
     # bounded-result ops execute eagerly (driver rows ≤ buckets × k)
     res = qs["rel_q6_forecast_revenue"](SF)
     assert not hasattr(res, "_logical_plan")
+
+
+def test_fetch_waves_budgeted_wave_sizes_follow_quotas():
+    from dfg_gepris_crawler_ray.ops.recrawl import (
+        fetch_waves,
+        host_budget_allocation,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    alloc = host_budget_allocation(pages_dir, budget=37).to_pandas()
+    qmap = dict(zip(alloc["host"], alloc["quota"].astype(int)))
+    got = fetch_waves(SF, quota_by_host=qmap).to_pandas()
+    sizes = got[got["wave"] > 0].groupby(["host", "wave"]).size()
+    for (host, wave), n in sizes.items():
+        q = qmap[host]
+        last = got.loc[got["host"] == host, "wave"].max()
+        assert n == q or wave == last, (host, wave, n, q)
+    # zero-quota hosts park every URL in wave 0
+    for host, q in qmap.items():
+        if q == 0:
+            hw = got.loc[got["host"] == host, "wave"]
+            assert (hw == 0).all()
+    assert (got["wave"] == 0).any()  # budget 37 over 17 hosts → zeros exist
