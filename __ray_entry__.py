@@ -1133,6 +1133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the two scheduler ops composed: apportioned per-host quotas
         # drive each host's wave size (zero-quota hosts park in wave 0)
         "crawl_fetch_waves_budgeted": _q_fetch_waves_budgeted,
+        # hreflang/alternate clustering: language twins collapse onto
+        # a canonical URL — one canonical-hash exchange
+        "crawl_language_variants": _q_language_variants,
         # TPC-H Q8: national market share per order year, returned as
         # its two integer-exact components (num, den) — two-exchange
         # star, filtered-part keyset broadcast
@@ -1476,6 +1479,19 @@ def _q_host_fetch_gaps(sf_dir: str):
         .sort_values("host")
         .reset_index(drop=True)
     )
+
+
+def _q_language_variants(sf_dir: str):
+    """Alternate-language clustering (ops/boilerplate.py::
+    language_variant_clusters): URLs differing only in language=de|en
+    collapse onto a canonical URL; inventory-CTE oracle with the same
+    regex canonicalization in SQL."""
+    from dfg_gepris_crawler_ray.ops.boilerplate import (
+        language_variant_clusters,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return language_variant_clusters(ensure_pages(sf_dir))
 
 
 def _q_fetch_waves_budgeted(sf_dir: str):
@@ -2390,6 +2406,17 @@ def oracle_sql() -> dict[str, str]:
                   (CASE WHEN quota > 0 THEN rk // quota + 1
                         ELSE 0 END)::BIGINT AS wave
            FROM r JOIN alloc ON alloc.host = r.host"""
+    )
+    oracles["crawl_language_variants"] = (
+        "WITH " + _inventory_ctes
+        + """ SELECT regexp_replace(url, '[?&]language=(de|en)', '')
+                 AS canonical,
+               count(DISTINCT url)::BIGINT AS n_variants,
+               array_to_string(list_sort(list(DISTINCT
+                   coalesce(nullif(regexp_extract(
+                       url, 'language=(de|en)', 1), ''), '-'))), ',')
+                 AS langs
+           FROM allpages GROUP BY 1"""
     )
     oracles["crawl_host_distinct_urls"] = (
         "WITH " + _inventory_ctes

@@ -297,3 +297,64 @@ def anchor_term_index(
         .groupby("_b")
         .map_groups(per_target_topk, batch_format="pandas")
     )
+
+
+_LANG_PARAM_RE = None
+
+
+def language_variant_clusters(
+    pages_dir: str, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(canonical, n_variants, langs) — alternate-language clustering:
+    URLs that differ only in their ``language=de|en`` query parameter
+    collapse onto one canonical URL (the hreflang/alternate contract a
+    crawler needs so language twins don't double-fetch, double-count,
+    or split their link signals; reference parity: the language-switch
+    links on every details page, `kernels/urls.py` canonical key
+    extractors).  ``langs`` is the sorted comma-joined distinct
+    language set ('-' marks a URL with no language parameter).
+
+    Distributed shape — one scan, one canonical-hash exchange:
+
+    - per batch: URL dedup, vectorized regex canonicalization +
+      language extraction (compiled once per process), pre-aggregated
+      to distinct (canonical, url, lang) rows;
+    - canonical-hash exchange: per-cluster distinct-variant count and
+      the sorted language-set join, both vectorized pandas."""
+    global _LANG_PARAM_RE
+    import re
+
+    from ..kernels.hashing import stable_hash64_array
+    from ..sources.pages import read_pages
+
+    if _LANG_PARAM_RE is None:
+        _LANG_PARAM_RE = re.compile(r"[?&]language=(de|en)")
+
+    ds = read_pages(pages_dir, columns=["url"])
+
+    def canon_rows(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"url": batch.column("url").to_pylist()}
+        ).drop_duplicates()
+        lang = df["url"].str.extract(_LANG_PARAM_RE, expand=False)
+        df["lang"] = lang.fillna("-")
+        df["canonical"] = df["url"].str.replace(_LANG_PARAM_RE, "", regex=True)
+        h = stable_hash64_array(df["canonical"].tolist())
+        df["_b"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return df[["canonical", "url", "lang", "_b"]]
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["canonical", "url", "lang"])
+        out = d.groupby("canonical").agg(
+            n_variants=("url", "nunique"),
+            langs=("lang", lambda s: ",".join(sorted(set(s)))),
+        ).reset_index()
+        out["n_variants"] = out["n_variants"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(canon_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(per_cluster, batch_format="pandas")
+    )

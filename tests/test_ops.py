@@ -3457,3 +3457,47 @@ def test_fetch_waves_budgeted_wave_sizes_follow_quotas():
             hw = got.loc[got["host"] == host, "wave"]
             assert (hw == 0).all()
     assert (got["wave"] == 0).any()  # budget 37 over 17 hosts → zeros exist
+
+
+def test_language_variant_clusters_match_brute():
+    import glob as _glob
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.boilerplate import language_variant_clusters
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    got = (
+        language_variant_clusters(pages_dir)
+        .to_pandas()
+        .sort_values("canonical")
+        .reset_index(drop=True)
+    )
+    # brute: driver pandas over the raw parquet
+    files = sorted(_glob.glob(f"{pages_dir}/**/*.parquet", recursive=True))
+    urls = pd.concat(
+        [pq.read_table(f, columns=["url"]).to_pandas() for f in files],
+        ignore_index=True,
+    )["url"].drop_duplicates()
+    rx = re.compile(r"[?&]language=(de|en)")
+    rows = {}
+    for u in urls:
+        m = rx.search(u)
+        canon = rx.sub("", u)
+        variants, langs = rows.setdefault(canon, (set(), set()))
+        variants.add(u)
+        langs.add(m.group(1) if m else "-")
+    want = pd.DataFrame(
+        [(c, len(v), ",".join(sorted(l))) for c, (v, l) in rows.items()],
+        columns=["canonical", "n_variants", "langs"],
+    ).sort_values("canonical").reset_index(drop=True)
+    assert got["canonical"].tolist() == want["canonical"].tolist()
+    assert got["n_variants"].tolist() == want["n_variants"].tolist()
+    assert got["langs"].tolist() == want["langs"].tolist()
+    # the de/en pairing actually exists in the corpus
+    assert (got["langs"] == "de,en").any()
+    # canonicals never retain the language parameter
+    assert not got["canonical"].str.contains("language=").any()
