@@ -420,3 +420,35 @@ def test_two_level_rank_kernel_equals_global_sort(rows, quota, nb):
     )
     got = dict(zip(g["url"], (base + pos.to_numpy()) // quota + 1))
     assert got == want
+
+
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=40),
+    st.integers(0, 2000),
+)
+@settings(max_examples=100, deadline=None)
+def test_largest_remainder_kernel_exact_and_ordered(weights, budget):
+    """The Hamilton-apportionment kernel (mirrors ops/recrawl.py::
+    host_budget_allocation): quotas sum to the budget EXACTLY, every
+    quota is floor or floor+1 of its proportional share, and no bonus
+    goes to a strictly smaller remainder than any non-bonus (ties by
+    host name) — on arbitrary weight vectors and budgets including 0."""
+    import pandas as pd
+
+    hosts = [f"h{i:02d}" for i in range(len(weights))]
+    total = sum(weights)
+    df = pd.DataFrame({"host": hosts, "weight": weights})
+    df["fl"] = (budget * df["weight"]) // total
+    df["rem"] = (budget * df["weight"]) % total
+    leftover = budget - int(df["fl"].sum())
+    assert 0 <= leftover < len(weights) or budget == 0
+    bonus_hosts = set(
+        df.sort_values(["rem", "host"], ascending=[False, True],
+                       kind="mergesort").head(max(leftover, 0))["host"]
+    )
+    df["quota"] = df["fl"] + df["host"].isin(bonus_hosts).astype(int)
+    assert int(df["quota"].sum()) == budget
+    assert ((df["quota"] - df["fl"]).isin([0, 1])).all()
+    bonus = df["host"].isin(bonus_hosts)
+    if bonus.any() and (~bonus).any():
+        assert df.loc[bonus, "rem"].min() >= df.loc[~bonus, "rem"].max()
