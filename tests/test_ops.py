@@ -3501,3 +3501,25 @@ def test_language_variant_clusters_match_brute():
     assert (got["langs"] == "de,en").any()
     # canonicals never retain the language parameter
     assert not got["canonical"].str.contains("language=").any()
+
+
+def test_fetch_waves_uniform_budget_equals_fixed_quota():
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.recrawl import fetch_waves
+
+    fixed = (
+        fetch_waves(SF, quota=5)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    hosts = set(fixed["host"])
+    budgeted = (
+        fetch_waves(SF, quota_by_host={h: 5 for h in hosts})
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert fixed["url"].tolist() == budgeted["url"].tolist()
+    assert fixed["wave"].tolist() == budgeted["wave"].tolist()
