@@ -324,7 +324,7 @@ def fetch_waves(
        of the order key — so rank = cum_below + position, and the wave
        follows row-locally.  The hot host spreads across
        2 × ``ts_buckets`` groups instead of one."""
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Max, Min
 
     delta = recrawl_delta(sf_dir, replicate)
 
@@ -336,7 +336,13 @@ def fetch_waves(
              "ts_us": df["latest_ts_us"].astype("int64")}
         )
 
-    per_url = delta.map_batches(add_host, batch_format="pandas").materialize()
+    # restore full width: delta's output inherits its 8-bucket block
+    # layout, which would cap every downstream stage at 8 tasks
+    per_url = (
+        delta.map_batches(add_host, batch_format="pandas")
+        .repartition(64)
+        .materialize()
+    )
 
     rng = per_url.aggregate(Min("ts_us"), Max("ts_us"))
     tmin, tmax = int(rng["min(ts_us)"]), int(rng["max(ts_us)"])
@@ -351,12 +357,21 @@ def fetch_waves(
         g["size"] = g["size"].astype("int64")
         return g.rename(columns={"size": "cnt"})
 
+    def merge_cells(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["host", "changed", "tsb"], as_index=False)[
+            "cnt"
+        ].sum()
+
+    # fanin-bounded pre-reduce instead of a Ray sort-aggregate (the
+    # string-keyed Aggregate measured 62.6 s to produce 22k rows at
+    # 1.9M URLs; this shape: 2.4 s). Driver reads ≤ 8 × cells rows.
     hist = (
         per_url.map_batches(hist_partial, batch_format="pandas")
-        .groupby(["host", "changed", "tsb"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()  # ≤ hosts × 2 × ts_buckets rows by construction
+        .repartition(8)
+        .map_batches(merge_cells, batch_format="pandas")
+        .to_pandas()
     )
+    hist = hist.groupby(["host", "changed", "tsb"], as_index=False)["cnt"].sum()
     # exclusive cumsum per host in the ORDER KEY's order:
     # changed DESC, ts_bucket ASC
     hist = hist.sort_values(
@@ -364,20 +379,19 @@ def fetch_waves(
         kind="mergesort",
     )
     cum = hist.groupby("host", sort=False)["cnt"].cumsum() - hist["cnt"]
-    cum_below = {
-        (h, bool(c), int(b)): int(v)
-        for h, c, b, v in zip(hist["host"], hist["changed"], hist["tsb"], cum)
-    }
-    cum_ref = ray.put(cum_below)
-
-    from ..kernels.hashing import stable_hash64_array
+    cum_tbl = pd.DataFrame(
+        {"host": hist["host"].to_numpy(), "changed": hist["changed"].astype(bool),
+         "tsb": hist["tsb"].astype("int64"), "cum": cum.astype("int64").to_numpy()}
+    )
+    cum_ref = ray.put(cum_tbl)
 
     def tag_group(df: pd.DataFrame) -> pd.DataFrame:
         d = df.assign(tsb=tsb(df["ts_us"].to_numpy()))
-        h = stable_hash64_array(
-            [f"{host}\x00{int(c)}\x00{b}" for host, c, b in
-             zip(d["host"], d["changed"], d["tsb"])]
-        )
+        # vectorized deterministic cell hash (C-speed, fixed hash key —
+        # identical cells co-locate across batches and processes)
+        key = d["host"] + "\x00" + d["changed"].astype(int).astype(str) \
+            + "\x00" + d["tsb"].astype(str)
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
         d["_g"] = (h % np.uint64(num_groups)).astype(np.int32)
         return d
 
@@ -391,11 +405,10 @@ def fetch_waves(
             ascending=[True, False, True, True, True], kind="mergesort",
         )
         pos = g.groupby(["host", "changed", "tsb"], sort=False).cumcount()
-        base = np.fromiter(
-            (lookup[(h, bool(c), int(b))] for h, c, b in
-             zip(g["host"], g["changed"], g["tsb"])),
-            dtype=np.int64, count=len(g),
-        )
+        # vectorized cum-below attach (merge preserves g's sorted order)
+        base = g.merge(lookup, on=["host", "changed", "tsb"], how="left")[
+            "cum"
+        ].to_numpy(dtype=np.int64)
         rank = base + pos.to_numpy()
         if quota_ref is not None:
             # budget-aware waves: each host's wave size is ITS quota
