@@ -829,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact banding guarantee → staged brute-census oracle
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_containment": dedup.containment_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_embedding_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, threshold=0.35),
         "dedup_embedding_ivf": lambda sf: dedup.embedding_neardup_pairs(
@@ -2067,6 +2068,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_a, doc_b, inter * 1000000 // uni AS jaccard_ppm
             FROM p WHERE uni > 0 AND 2 * inter >= uni
+        """,
+        "dedup_containment": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS grams
+              FROM documents
+            ),
+            p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.grams, b.grams)) AS inter,
+                     len(a.grams) AS sa, len(b.grams) AS sb
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+            ),
+            dirs AS (
+              SELECT doc_a AS inner_doc, doc_b AS outer_doc, inter, sa AS sz FROM p
+              UNION ALL
+              SELECT doc_b, doc_a, inter, sb FROM p
+            )
+            SELECT inner_doc, outer_doc,
+                   inter * 1000000 // sz AS containment_ppm
+            FROM dirs WHERE sz >= 5 AND 20 * inter >= 19 * sz
         """,
         "dedup_embedding_pairs": """
             WITH p AS (

@@ -324,6 +324,7 @@ def main():
     timed("dedup_exact", lambda: dedup.exact_dedup(SF_DIR).materialize())
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_dedup(SF_DIR).materialize())
     timed("dedup_ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(SF_DIR).materialize())
+    timed("dedup_containment", lambda: dedup.containment_pairs(SF_DIR).materialize())
     timed("dedup_clusters", lambda: dedup.dedup_clusters(SF_DIR).materialize())
     timed("knn_brute", lambda: similarity.knn_brute(SF_DIR))
     timed("text_token_stats", lambda: textstats.token_stats(SF_DIR).materialize())

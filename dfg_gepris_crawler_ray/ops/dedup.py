@@ -397,35 +397,30 @@ def word_ngrams(text: str, n: int = 3) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-def ngram_jaccard_pairs(
+def _pair_intersection_partials(
     sf_dir: str,
-    n: int = 3,
-    threshold_num: int = 1,
-    threshold_den: int = 2,
-    max_bucket: int = 2000,
+    n: int,
+    max_bucket: int,
+    num_buckets: int = 64,
 ) -> "ray.data.Dataset":
-    """All pairs with n-gram Jaccard ≥ threshold_num/threshold_den.
-
-    Threshold and the returned ``jaccard_ppm`` are integer-exact
-    (``den*inter >= num*union``; ``inter*1_000_000 // union``) so the
-    DuckDB oracle reproduces values bit-for-bit.
-
-    Exact set-similarity join via the inverted index itself — the
-    classic prefix/inverted-index family (cf. "Distributed Streaming
-    Set Similarity Join", ICDE 2020) — no re-shingling verify pass:
+    """Shared candidate+intersection machinery for the exact
+    set-similarity joins (symmetric Jaccard, asymmetric containment):
+    doc → distinct n-gram postings → per-bucket self-merge → partial
+    ``(doc_a < doc_b, inter, size_a, size_b, pair_bucket)`` rows,
+    still needing the per-pair sum over ``pair_bucket``.
 
     1. doc → distinct gram hashes [map_batches], partitioned by
        ``gram_hash % 64`` (the ONE shuffle key; a gram's postings all
        land in one bucket).
     2. per bucket: vectorized self-merge on gram_hash → per-pair
        partial intersection counts (ONE Python call per bucket).
-    3. groupby (doc_a, doc_b) sum → exact |A∩B| (pairs sharing ≥1 gram
-       only — lossless for any threshold > 0).
+    3. the caller's groupby (pair_bucket) sums to the exact |A∩B|
+       (pairs sharing ≥1 gram only — lossless for any threshold > 0).
     4. |A| and |B| RIDE ALONG on the gram rows (each posting carries
        its doc's distinct-gram count — a constant per doc, so any
-       partial row has the true sizes) → integer-exact threshold +
-       ppm. No driver-resident size map: a per-doc broadcast dict
-       would be corpus-cardinality at 10^10 docs.
+       partial row has the true sizes) → integer-exact thresholds
+       downstream. No driver-resident size map: a per-doc broadcast
+       dict would be corpus-cardinality at 10^10 docs.
 
     Postings of hub grams with more than ``max_bucket`` docs are
     dropped with a log (at web scale drop stopword-run grams); the
@@ -433,7 +428,6 @@ def ngram_jaccard_pairs(
     """
     docs_path = f"{sf_dir}/documents.parquet"
     ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-    num_buckets = 64
 
     def to_grams(batch: pa.Table) -> pa.Table:
         out_hash, out_doc, out_size = [], [], []
@@ -470,7 +464,7 @@ def ngram_jaccard_pairs(
             import logging
 
             logging.getLogger(__name__).warning(
-                "ngram_jaccard: dropping %d hub-gram postings (> %d docs)",
+                "set-similarity join: dropping %d hub-gram postings (> %d docs)",
                 hubs, max_bucket,
             )
             g = g[post <= max_bucket]
@@ -488,9 +482,32 @@ def ngram_jaccard_pairs(
         out["pair_bucket"] = ((out["doc_a"] * 1_000_003 + out["doc_b"]) % num_buckets).astype("int32")
         return out
 
-    partials = grams.groupby("bucket").map_groups(
+    return grams.groupby("bucket").map_groups(
         bucket_pair_partials, batch_format="pandas"
     )
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_bucket: int = 2000,
+) -> "ray.data.Dataset":
+    """All pairs with n-gram Jaccard ≥ threshold_num/threshold_den.
+
+    Threshold and the returned ``jaccard_ppm`` are integer-exact
+    (``den*inter >= num*union``; ``inter*1_000_000 // union``) so the
+    DuckDB oracle reproduces values bit-for-bit.
+
+    Exact set-similarity join via the inverted index itself — the
+    classic prefix/inverted-index family (cf. "Distributed Streaming
+    Set Similarity Join", ICDE 2020) — no re-shingling verify pass;
+    candidate+intersection machinery shared with
+    :func:`containment_pairs` via :func:`_pair_intersection_partials`
+    (see its docstring for the exchange plan).
+    """
+    partials = _pair_intersection_partials(sf_dir, n, max_bucket)
 
     def sum_and_threshold(group: pd.DataFrame) -> pd.DataFrame:
         s = group.groupby(["doc_a", "doc_b"], as_index=False).agg(
@@ -504,6 +521,65 @@ def ngram_jaccard_pairs(
 
     return partials.groupby("pair_bucket").map_groups(
         sum_and_threshold, batch_format="pandas"
+    )
+
+
+def containment_pairs(
+    sf_dir: str,
+    n: int = 3,
+    threshold_num: int = 19,
+    threshold_den: int = 20,
+    min_size: int = 5,
+    max_bucket: int = 2000,
+) -> "ray.data.Dataset":
+    """(inner_doc, outer_doc, containment_ppm) — asymmetric
+    near-containment join: every DIRECTED pair where
+    ``|A∩B| ≥ (num/den)·|A|`` (A's n-gram set nearly contained in
+    B's), the quote/boilerplate/superset detector that a symmetric
+    Jaccard join misses (a short doc fully embedded in a long one has
+    high containment but low Jaccard). Classic overlap/containment
+    set-join semantics (cf. the prefix-filter family, Chaudhuri et al.
+    ICDE 2006); here the full-postings route of
+    :func:`_pair_intersection_partials` is reused unchanged because it
+    produces EXACT intersections with no verify pass — a prefix index
+    would only pay off with a second re-shingling verify stage.
+
+    Threshold and ``containment_ppm`` are integer-exact
+    (``den·inter ≥ num·size_inner``; ``inter·1e6 // size_inner``) so
+    the DuckDB oracle matches bit-for-bit. ``min_size`` drops inner
+    sides with fewer than that many distinct grams (trivially-contained
+    stubs). Each undirected candidate pair fans out to ≤2 directed
+    rows in the final per-pair-bucket stage — no extra exchange over
+    the Jaccard plan (same two keyed shuffles total).
+    """
+    partials = _pair_intersection_partials(sf_dir, n, max_bucket)
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        s = group.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("inter", "sum"), size_a=("size_a", "first"), size_b=("size_b", "first")
+        )
+        dirs = []
+        for inner, outer, sz in (("doc_a", "doc_b", "size_a"), ("doc_b", "doc_a", "size_b")):
+            size_in = s[sz].astype("int64")
+            keep = (size_in >= min_size) & (
+                threshold_den * s["inter"] >= threshold_num * size_in
+            )
+            d = s[keep]
+            dirs.append(
+                pd.DataFrame(
+                    {
+                        "inner_doc": d[inner].astype("int64"),
+                        "outer_doc": d[outer].astype("int64"),
+                        "containment_ppm": (
+                            d["inter"].astype("int64") * 1_000_000 // size_in[keep]
+                        ).astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(dirs, ignore_index=True)
+
+    return partials.groupby("pair_bucket").map_groups(
+        finalize, batch_format="pandas"
     )
 
 

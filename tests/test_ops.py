@@ -107,6 +107,41 @@ def test_ngram_jaccard_matches_duckdb():
     assert len(mine) > 0  # the synthetic corpus contains near-dups
 
 
+def test_containment_pairs_matches_brute():
+    """Directed near-containment join vs an independent brute Python
+    kernel (set ops per doc pair, no SQL) — pins direction, threshold
+    arithmetic and the min_size gate."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.dedup import containment_pairs, word_ngrams
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    grams = {
+        d: word_ngrams(t, 3)
+        for d, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    }
+    want = set()
+    ids = sorted(grams)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(grams[a] & grams[b])
+            for inner, outer in ((a, b), (b, a)):
+                sz = len(grams[inner])
+                if sz >= 5 and 20 * inter >= 19 * sz:
+                    want.add((inner, outer, inter * 1_000_000 // sz))
+
+    mine = containment_pairs(SF).to_pandas()
+    got = set(
+        zip(mine["inner_doc"], mine["outer_doc"], mine["containment_ppm"])
+    )
+    assert got == want
+    assert len(got) > 0  # corpus plants containment pairs
+    # asymmetry is real on this corpus: at least one pair passes in
+    # only one direction (a short doc inside a longer superset)
+    one_way = {(i, o) for i, o, _ in got if (o, i) not in {(x, y) for x, y, _ in got}}
+    assert one_way
+
+
 def test_simhash_banding_no_false_negatives_within_hamming3():
     from dfg_gepris_crawler_ray.ops.dedup import simhash64
 
