@@ -1137,6 +1137,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hreflang/alternate clustering: language twins collapse onto
         # a canonical URL — one canonical-hash exchange
         "crawl_language_variants": _q_language_variants,
+        # crawler-trap census: exact distinct-URL cardinality per
+        # (host, digit-collapsed URL template) via salted exact-distinct
+        # cells; inventory-CTE oracle with the same regexp in SQL
+        "crawl_trap_templates": _q_trap_templates,
+        # mirror-host detection (Bharat & Broder, WWW '99): host pairs
+        # scored by fingerprint-set resemblance through three
+        # shrinking keyed exchanges — totals attach in-exchange, no
+        # driver-side host table
+        "crawl_mirror_hosts": _q_mirror_hosts,
+        # HITS hubs/authorities over the reference graph — the
+        # complementary frontier-priority signal to PageRank; fixed
+        # 4-iteration recurrence → unrolled-CTE value oracle
+        "crawl_hits": _q_hits,
         # TPC-H Q8: national market share per order year, returned as
         # its two integer-exact components (num, den) — two-exchange
         # star, filtered-part keyset broadcast
@@ -1660,6 +1673,47 @@ def _q_host_distinct_urls(sf_dir: str):
     return host_distinct_urls(ensure_pages(sf_dir))
 
 
+def _q_trap_templates(sf_dir: str):
+    """Crawler-trap census (ops/crawlhealth.py::url_template_stats):
+    exact distinct-URL count per (host, digit-collapsed URL template),
+    templates under 5 URLs pruned (production threshold ~10^5; the
+    default keeps the gate output non-trivial). Inventory-CTE oracle
+    applies the identical regexp_replace in SQL."""
+    from dfg_gepris_crawler_ray.ops.crawlhealth import url_template_stats
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return url_template_stats(ensure_pages(sf_dir))
+
+
+def _q_mirror_hosts(sf_dir: str):
+    """Mirror-host detection (ops/crawlhealth.py::mirror_host_pairs):
+    host pairs sharing content fingerprints, scored by resemblance
+    |A∩B| / |A∪B|; per-fingerprint host fan-out capped at 64
+    symmetrically in op and oracle."""
+    from dfg_gepris_crawler_ray.ops.crawlhealth import mirror_host_pairs
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return mirror_host_pairs(ensure_pages(sf_dir))
+
+
+def _q_hits(sf_dir: str):
+    """HITS hubs & authorities over the projekt→person reference graph
+    (4 iterations, L1-normalized half-steps — ops/graph.py::hits_ds);
+    scores rounded to 9 dp, value-checked against an unrolled-CTE
+    DuckDB recurrence exactly like crawl_pagerank."""
+    from dfg_gepris_crawler_ray.ops.graph import reference_graph_hits
+
+    out = reference_graph_hits(sf_dir, n_iters=4).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    return pa.table(
+        {
+            "node": pa.array(out["node"].astype("int64")),
+            "hub": pa.array((out["hub"] * 1e9).round() / 1e9, type=pa.float64()),
+            "auth": pa.array((out["auth"] * 1e9).round() / 1e9, type=pa.float64()),
+        }
+    )
+
+
 def _q_triangles(sf_dir: str):
     """Triangle census of the person co-participation projection
     (ops/graph.py::person_projection_triangles) — the formula edge set
@@ -1817,6 +1871,56 @@ def _pagerank_oracle_sql(
         r0 AS (SELECT node, outdeg, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn),
         {steps}
         {final_select or f"SELECT node, round(rank, 9) AS rank FROM r{n_iters} ORDER BY node"}
+    """
+
+
+def _hits_oracle_sql(n_iters: int = 4) -> str:
+    """DuckDB HITS over the generator's projekt→person edge set, the
+    fixed iteration count unrolled as chained CTEs: per step, raw
+    authority sums ``ar{i}`` (join + groupby), L1 normalization
+    ``an{i}``/``a{i}``, then the symmetric hub half-step
+    ``hr{i}``/``hn{i}``/``h{i}`` over ALL nodes (coalesce 0 keeps
+    zero-hub rows alive) — exactly ops/graph.py::hits_ds's
+    recurrence. Scale-independent via count(*).
+
+    Every step CTE is ``AS MATERIALIZED``: DuckDB inlines chained
+    CTEs by default, and with each level referencing two earlier ones
+    the 8-level recurrence re-evaluates exponentially (measured 162 s
+    → 0.1 s at sf0.01 with materialization forced)."""
+    steps = ",".join(
+        f"""
+        ar{i} AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS s
+                  FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1),
+        an{i} AS MATERIALIZED (SELECT sum(s) AS t FROM ar{i}),
+        a{i} AS MATERIALIZED (SELECT node, s / an{i}.t AS auth
+                 FROM ar{i} CROSS JOIN an{i}),
+        hr{i} AS MATERIALIZED (SELECT e.src AS node, sum(a.auth) AS s
+                  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY 1),
+        hn{i} AS MATERIALIZED (SELECT sum(s) AS t FROM hr{i}),
+        h{i} AS MATERIALIZED (SELECT n.node, coalesce(hr{i}.s / hn{i}.t, 0) AS hub
+                 FROM allnodes n CROSS JOIN hn{i}
+                 LEFT JOIN hr{i} ON n.node = hr{i}.node)"""
+        for i in range(1, n_iters + 1)
+    )
+    return f"""
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        edges AS (
+          SELECT CAST(1000 + d.doc_id AS BIGINT) AS src,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS dst
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        allnodes AS (SELECT DISTINCT src AS node FROM edges
+                     UNION SELECT DISTINCT dst FROM edges),
+        h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM allnodes),
+        {steps}
+        SELECT n.node, round(coalesce(h{n_iters}.hub, 0), 9) AS hub,
+               round(coalesce(a{n_iters}.auth, 0), 9) AS auth
+        FROM allnodes n
+        LEFT JOIN h{n_iters} ON n.node = h{n_iters}.node
+        LEFT JOIN a{n_iters} ON n.node = a{n_iters}.node
+        ORDER BY n.node
     """
 
 
@@ -2450,6 +2554,40 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT url) AS distinct_urls
            FROM allpages GROUP BY 1"""
     )
+    oracles["crawl_trap_templates"] = (
+        "WITH " + _inventory_ctes
+        + """ SELECT split_part(url, '/', 3) AS host,
+               regexp_replace(url, '[0-9]+', '{N}', 'g') AS template,
+               count(DISTINCT url)::BIGINT AS n_urls
+           FROM allpages GROUP BY 1, 2
+           HAVING count(DISTINCT url) >= 5"""
+    )
+    # mirror-host detection: every page of a doc carries the doc's
+    # text verbatim (testdata/gen_pages.py::pages_for_doc) and search
+    # pages carry '', so the per-host distinct-fingerprint sets derive
+    # from documents + the host formula alone
+    oracles["crawl_mirror_hosts"] = """
+        WITH ph AS (SELECT DISTINCT substr(text, 1, 40) AS fp,
+               CASE WHEN doc_id % 10 < 7 THEN 'gepris.example.org'
+                    ELSE 'host' || CAST(doc_id % 16 AS VARCHAR)
+                         || '.example.net' END AS host
+             FROM documents WHERE text != ''),
+        capped AS (SELECT fp, host FROM ph
+             QUALIFY count(*) OVER (PARTITION BY fp) <= 64),
+        tot AS (SELECT host, count(*)::BIGINT AS n FROM capped GROUP BY 1),
+        pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+                         count(*)::BIGINT AS shared
+                  FROM capped a JOIN capped b
+                    ON a.fp = b.fp AND a.host < b.host
+                  GROUP BY 1, 2)
+        SELECT p.host_a, p.host_b, p.shared,
+               round(p.shared / (ta.n + tb.n - p.shared), 9) AS resemblance
+        FROM pairs p
+        JOIN tot ta ON p.host_a = ta.host
+        JOIN tot tb ON p.host_b = tb.host
+        WHERE p.shared >= 1
+    """
+    oracles["crawl_hits"] = _hits_oracle_sql(n_iters=4)
     oracles["crawl_recrawl_delta"] = (
         "WITH " + _inventory_ctes
         + " SELECT url, n_snapshots, changed, latest_ts_us FROM allpages"

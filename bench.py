@@ -419,6 +419,19 @@ def main():
     from dfg_gepris_crawler_ray.ops.recrawl import host_budget_allocation
     timed("crawl_host_budget_allocation",
           lambda: host_budget_allocation(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.crawlhealth import (
+        mirror_host_pairs,
+        url_template_stats,
+    )
+    # over the REPLICATED corpus: the trap census's salted distinct
+    # cells and the mirror exchange both see the full 1.9M-URL volume
+    timed("crawl_trap_templates",
+          lambda: url_template_stats(pages_dir).materialize())
+    timed("crawl_mirror_hosts",
+          lambda: mirror_host_pairs(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import reference_graph_hits
+    timed("crawl_hits",
+          lambda: reference_graph_hits(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

@@ -1,0 +1,249 @@
+"""Crawl-hygiene operators: URL-template explosion (crawler-trap
+detection) and mirror-host detection by content-fingerprint overlap.
+
+Both are corpus-health checks a production crawl runs continuously:
+
+- ``url_template_stats`` flags URL *templates* (the URL with every
+  digit run collapsed) whose distinct-URL cardinality explodes — the
+  classic crawler-trap signature (calendar pages, session ids,
+  faceted-search grids).  The reference's fixed ``/gepris/{ctx}/{id}``
+  key algebra (gepris_helper.py:86-106) is exactly such a template; at
+  open-web scale the same census is what tells the frontier which
+  templates to rate-limit or cut off.
+- ``mirror_host_pairs`` finds host pairs serving largely the same
+  content — Bharat & Broder's mirror-detection shape (WWW 1999):
+  fingerprint each page, key the exchange by fingerprint, count
+  per-host-pair overlap, score resemblance |A∩B| / |A∪B|.  A crawler
+  uses it to collapse mirrors before they double the fetch budget.
+
+Both ops are exact (DuckDB-oracle-checked): the per-fingerprint host
+fan-out is capped symmetrically in op and oracle (a fingerprint on more
+hosts than ``max_hosts_per_fp`` is boilerplate, not mirroring — and the
+cap is also what bounds the pair blow-up at 100 TB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_TEMPLATE_PATTERN = r"[0-9]+"
+_TEMPLATE_TOKEN = "{N}"
+
+
+def url_template_stats(
+    pages_dir: str,
+    min_urls: int = 5,
+    num_buckets: int = 64,
+    num_salts: int = 16,
+) -> "ray.data.Dataset":
+    """(host, template, n_urls) — exact distinct-URL count per
+    (host, URL-template), templates below ``min_urls`` pruned.
+
+    ``template`` collapses every digit run to ``{N}`` — the template
+    of ``/gepris/projekt/1234?language=de`` is
+    ``/gepris/projekt/{N}?language=de``.  At production scale
+    ``min_urls`` sits around 10^5 and the survivors are trap suspects;
+    the default is test-scale so the gate output is non-trivial.
+
+    Distributed shape (the salted exact-distinct discipline of
+    ``boilerplate.host_distinct_urls``):
+
+    1. scan (url column only): per-batch URL dedup, vectorized
+       template + host extraction, routed to
+       ``(template-key bucket × url-salt)`` cells — every copy of a
+       URL lands in exactly one cell, so per-cell ``nunique`` partials
+       sum to the exact global distinct count;
+    2. cell exchange: per-cell distinct-URL partial counts
+       (output rows ≤ cells × templates-per-cell, not URLs);
+    3. key exchange: sum partials per (host, template), prune — a hot
+       template (the trap itself!) spreads over ``num_salts`` cells
+       instead of melting one reduce task.
+    """
+
+    from ..sources.pages import read_pages
+
+    ds = read_pages(pages_dir, columns=["url"])
+    nbk = np.uint64(num_buckets)
+    nsl = np.uint64(num_salts)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        url = pd.Series(pd.unique(batch.column("url").to_pandas()))
+        df = pd.DataFrame(
+            {
+                "host": url.str.split("/").str[2],
+                "template": url.str.replace(
+                    _TEMPLATE_PATTERN, _TEMPLATE_TOKEN, regex=True
+                ),
+                "url": url,
+            }
+        )
+        kh = pd.util.hash_pandas_object(
+            df["host"] + "\x00" + df["template"], index=False
+        ).to_numpy()
+        uh = pd.util.hash_pandas_object(df["url"], index=False).to_numpy()
+        df["_c"] = ((kh % nbk) * nsl + uh % nsl).astype("int64")
+        return df
+
+    def cell_counts(g: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            g.drop_duplicates(["host", "template", "url"])
+            .groupby(["host", "template"], as_index=False)
+            .size()
+        )
+        n.columns = ["host", "template", "n"]
+        kh = pd.util.hash_pandas_object(
+            n["host"] + "\x00" + n["template"], index=False
+        ).to_numpy()
+        n["_b"] = (kh % nbk).astype("int32")
+        return n
+
+    def totals(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["host", "template"], as_index=False)["n"].sum()
+        out = out[out["n"] >= min_urls]
+        return pd.DataFrame(
+            {
+                "host": out["host"],
+                "template": out["template"],
+                "n_urls": out["n"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        # coalesce per-block partials before the keyed shuffle (the
+        # sort-shuffle pays per-INPUT-block fixed costs)
+        .repartition(num_buckets)
+        .groupby("_c")
+        .map_groups(cell_counts, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(totals, batch_format="pandas")
+    )
+
+
+def mirror_host_pairs(
+    pages_dir: str,
+    fp_chars: int = 40,
+    min_shared: int = 1,
+    max_hosts_per_fp: int = 64,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(host_a, host_b, shared, resemblance) — host pairs sharing
+    ``shared`` ≥ ``min_shared`` distinct content fingerprints, scored
+    by resemblance = |A∩B| / |A∪B| over each host's fingerprint set
+    (Bharat & Broder, WWW 1999 — host-pair similarity from page
+    fingerprints; production uses text shingles, the test-scale
+    fingerprint is the leading ``fp_chars`` characters so a DuckDB
+    oracle can reproduce it exactly).
+
+    Fingerprints seen on more than ``max_hosts_per_fp`` hosts are
+    dropped (symmetrically in the oracle): such content is boilerplate
+    shared by everyone, not mirroring — and the cap bounds the
+    per-fingerprint pair fan-out (≤ cap²/2 rows per fingerprint), so
+    no reduce task can melt on a viral page at corpus scale.
+
+    Distributed shape — three keyed exchanges, each over data that
+    only *shrinks* downstream:
+
+    1. fingerprint exchange: per-batch distinct (fp, host) rows hashed
+       by fp; per bucket: the host-cap filter, per-host fingerprint
+       count partials, and the within-bucket host-pair partial counts
+       (the self-merge is per-fingerprint and cap-bounded);
+    2. host_a exchange: sum pair counts per (host_a, host_b) and
+       fingerprint totals per host; each pair row picks up ``n_a``
+       from the total row riding the same bucket;
+    3. host_b exchange: same trick for ``n_b``; score + prune.
+
+    Output is ≤ (mirror pairs), never corpus-sized; no driver-side
+    lookup table at any step (host cardinality is unbounded at
+    open-web scale, so totals attach via the exchanges, not a
+    broadcast)."""
+
+    from ..sources.pages import read_pages
+
+    ds = read_pages(pages_dir, columns=["url", "text"])
+    nbk = np.uint64(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        url = batch.column("url").to_pandas()
+        txt = batch.column("text").to_pandas()
+        keep = txt != ""
+        df = pd.DataFrame(
+            {
+                "fp": txt[keep].str.slice(0, fp_chars),
+                "host": url[keep].str.split("/").str[2],
+            }
+        ).drop_duplicates()
+        h = pd.util.hash_pandas_object(df["fp"], index=False).to_numpy()
+        df["_b"] = (h % nbk).astype("int32")
+        return df
+
+    def bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["fp", "host"])
+        nh = g.groupby("fp")["host"].transform("nunique")
+        g = g[nh <= max_hosts_per_fp]
+        # per-host fingerprint-count partials (host_b='' marks them —
+        # '' sorts before any real host so it can never collide with a
+        # pair row's key)
+        tot = g.groupby("host", as_index=False).size()
+        tot.columns = ["host_a", "n"]
+        tot["host_b"] = ""
+        m = g.merge(g, on="fp")
+        m = m[m["host_x"] < m["host_y"]]
+        p = m.groupby(["host_x", "host_y"], as_index=False).size()
+        p.columns = ["host_a", "host_b", "n"]
+        return pd.concat(
+            [p[["host_a", "host_b", "n"]], tot[["host_a", "host_b", "n"]]],
+            ignore_index=True,
+        )
+
+    def tag_a(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["host_a"], index=False).to_numpy()
+        return df.assign(_b2=(h % nbk).astype("int32"))
+
+    def reduce_a(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["host_a", "host_b"], as_index=False)["n"].sum()
+        is_tot = s["host_b"] == ""
+        tot = s[is_tot].set_index("host_a")["n"]
+        p = s[~is_tot].copy()
+        p["na"] = p["host_a"].map(tot).astype("int64")
+        trows = s[is_tot].copy()
+        trows["na"] = np.int64(-1)
+        return pd.concat([p, trows], ignore_index=True)
+
+    def tag_b(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["host_b"].where(df["host_b"] != "", df["host_a"])
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        return df.assign(_b3=(h % nbk).astype("int32"))
+
+    def reduce_b(g: pd.DataFrame) -> pd.DataFrame:
+        is_tot = g["host_b"] == ""
+        tot = g[is_tot].set_index("host_a")["n"]
+        p = g[~is_tot].copy()
+        p["nb"] = p["host_b"].map(tot).astype("int64")
+        p = p[p["n"] >= min_shared]
+        den = (p["na"] + p["nb"] - p["n"]).astype("float64")
+        return pd.DataFrame(
+            {
+                "host_a": p["host_a"],
+                "host_b": p["host_b"],
+                "shared": p["n"].astype("int64"),
+                "resemblance": (p["n"].astype("float64") / den).round(9),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(bucket_kernel, batch_format="pandas")
+        .map_batches(tag_a, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(reduce_a, batch_format="pandas")
+        .map_batches(tag_b, batch_format="pandas")
+        .groupby("_b3")
+        .map_groups(reduce_b, batch_format="pandas")
+    )

