@@ -1127,6 +1127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange with per-target top-k prune; staged brute-census
         # oracle (pages are generated, not a gate view)
         "crawl_anchor_terms": _q_anchor_terms,
+        # host-level link matrix: anchor hrefs resolved against the
+        # page host (relative → on-host, absolute → own netloc), ONE
+        # keyed exchange over per-batch pre-aggregated host pairs;
+        # staged brute-census oracle sharing only the link-format spec
+        "crawl_host_link_graph": _q_host_link_graph,
         # largest-remainder fetch-budget apportionment across hosts:
         # salted distinct-URL weights, row-local floors, leftover +1s
         # by global remainder rank — sums to the budget EXACTLY
@@ -1581,6 +1586,54 @@ def _q_anchor_terms(sf_dir: str):
         anchor_term_index(pages_dir)
         .to_pandas()
         .sort_values(["target", "term"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_host_link_graph(sf_dir: str):
+    """Host-level link matrix (ops/boilerplate.py::host_link_graph):
+    anchor hrefs resolved against the page host, counted per
+    (src_host, dst_host). Value-checked via a staged brute census —
+    driver pandas + Counter over the raw page parquet — which shares
+    the link-format regex (``_anchor_pairs``, the SPEC) but none of
+    the exchange machinery with the distributed path."""
+    import glob as _glob
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.boilerplate import (
+        _anchor_pairs,
+        host_link_graph,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(sf_dir)
+    files = sorted(_glob.glob(f"{pages_dir}/**/*.parquet", recursive=True))
+    cnt: Counter = Counter()
+    for f in files:
+        t = pq.read_table(f, columns=["url", "html"])
+        for url, html in zip(
+            t.column("url").to_pylist(), t.column("html").to_pylist()
+        ):
+            src = url.split("/")[2]
+            for href, _txt in _anchor_pairs(html):
+                if href.startswith("http://") or href.startswith("https://"):
+                    dst = href.split("/")[2]
+                else:
+                    dst = src
+                cnt[(src, dst)] += 1
+    truth = pd.DataFrame(
+        [{"src_host": a, "dst_host": b, "n_links": n}
+         for (a, b), n in sorted(cnt.items())]
+    )
+    truth["n_links"] = truth["n_links"].astype("int64")
+    _stage_truth("crawl_host_link_graph", truth)
+
+    return (
+        host_link_graph(pages_dir)
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"])
         .reset_index(drop=True)
     )
 
@@ -2878,6 +2931,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_anchor_terms"] = f"""
         SELECT target, term, cnt
         FROM read_parquet('{_STAGE_DIR}/crawl_anchor_terms.parquet')
+    """
+    oracles["crawl_host_link_graph"] = f"""
+        SELECT src_host, dst_host, n_links
+        FROM read_parquet('{_STAGE_DIR}/crawl_host_link_graph.parquet')
     """
     oracles["rel_q8_market_share"] = """
         SELECT year(o_orderdate)::BIGINT AS o_year,

@@ -3711,3 +3711,47 @@ def test_url_template_stats_matches_bruteforce():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # the details template is the dominant one (the {N}-id key algebra)
     assert want["template"].str.contains(r"\{N\}", regex=True).any()
+
+
+def test_host_link_graph_matches_bruteforce():
+    """One-exchange host link matrix equals a driver-side census over
+    the raw pages parquet (shared link-format spec, independent
+    aggregation)."""
+    import glob as _glob
+    from collections import Counter
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.boilerplate import (
+        _anchor_pairs,
+        host_link_graph,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    got = (
+        host_link_graph(pages_dir)
+        .to_pandas()
+        .sort_values(["src_host", "dst_host"])
+        .reset_index(drop=True)
+    )
+    cnt: Counter = Counter()
+    for f in sorted(_glob.glob(f"{pages_dir}/*.parquet")):
+        t = pq.read_table(f, columns=["url", "html"])
+        for url, html in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+            src = url.split("/")[2]
+            for href, _txt in _anchor_pairs(html):
+                dst = href.split("/")[2] if href.startswith(("http://", "https://")) else src
+                cnt[(src, dst)] += 1
+    want = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(cnt.items())],
+        columns=["src_host", "dst_host", "n_links"],
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # structure: the on-site diagonal dominates (relative links), and
+    # at least one off-site absolute-href edge exists (doi/orcid)
+    diag = want[want["src_host"] == want["dst_host"]]["n_links"].sum()
+    off = want[want["src_host"] != want["dst_host"]]["n_links"].sum()
+    assert diag > off > 0
