@@ -1132,6 +1132,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyed exchange over per-batch pre-aggregated host pairs;
         # staged brute-census oracle sharing only the link-format spec
         "crawl_host_link_graph": _q_host_link_graph,
+        # weighted PageRank over the host matrix (the scheduler's
+        # host-ordering signal): staged-census edge table + unrolled
+        # weighted-recurrence CTE oracle; hosts appearing only as link
+        # targets are the dangling set
+        "crawl_host_rank": _q_host_rank,
         # largest-remainder fetch-budget apportionment across hosts:
         # salted distinct-URL weights, row-local floors, leftover +1s
         # by global remainder rank — sums to the budget EXACTLY
@@ -1636,6 +1641,96 @@ def _q_host_link_graph(sf_dir: str):
         .sort_values(["src_host", "dst_host"])
         .reset_index(drop=True)
     )
+
+
+def _q_host_rank(sf_dir: str):
+    """Weighted host-level PageRank (ops/graph.py::host_link_rank, 4
+    iterations). The edge table (host link matrix) is staged by the
+    same driver brute census as crawl_host_link_graph; the oracle
+    runs the weighted recurrence as unrolled MATERIALIZED CTEs over
+    that staged table — so the value check covers the weighted
+    pagerank arithmetic AND the host string round-trip through the
+    int64 coding exchange. Ranks rounded to 9 dp."""
+    import glob as _glob
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.boilerplate import _anchor_pairs
+    from dfg_gepris_crawler_ray.ops.graph import host_link_rank
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(sf_dir)
+    files = sorted(_glob.glob(f"{pages_dir}/**/*.parquet", recursive=True))
+    cnt: Counter = Counter()
+    for f in files:
+        t = pq.read_table(f, columns=["url", "html"])
+        for url, html in zip(
+            t.column("url").to_pylist(), t.column("html").to_pylist()
+        ):
+            src = url.split("/")[2]
+            for href, _txt in _anchor_pairs(html):
+                if href.startswith("http://") or href.startswith("https://"):
+                    dst = href.split("/")[2]
+                else:
+                    dst = src
+                cnt[(src, dst)] += 1
+    edges = pd.DataFrame(
+        [{"src_host": a, "dst_host": b, "n_links": n}
+         for (a, b), n in sorted(cnt.items())]
+    )
+    edges["n_links"] = edges["n_links"].astype("int64")
+    _stage_truth("crawl_host_rank_edges", edges)
+
+    out = host_link_rank(pages_dir, n_iters=4).to_pandas()
+    out = out.sort_values("host").reset_index(drop=True)
+    return pa.table(
+        {
+            "host": pa.array(out["host"].astype(str)),
+            "rank": pa.array((out["rank"] * 1e9).round() / 1e9,
+                             type=pa.float64()),
+        }
+    )
+
+
+def _host_rank_oracle_sql(n_iters: int = 4, damping: float = 0.85) -> str:
+    """Weighted PageRank recurrence unrolled as MATERIALIZED CTEs over
+    the staged host-matrix table: rank' = (1-d)/N + d·dangling/N +
+    d·Σ rank(src)·w/outw(src) — exactly pagerank_ds(weight_col='w')."""
+    base = round(1.0 - damping, 10)
+    steps = ",".join(
+        f"""
+        d{i} AS MATERIALIZED (
+            SELECT coalesce(sum(CASE WHEN outw = 0 THEN rank END), 0) AS m
+            FROM r{i - 1}),
+        c{i} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(r.rank * e.w / r.outw) AS s
+            FROM edges e JOIN r{i - 1} r ON e.src = r.node
+            WHERE r.outw > 0 GROUP BY e.dst),
+        r{i} AS MATERIALIZED (
+            SELECT n.node, n.outw,
+                   {base}/nn.n + {damping}*d{i}.m/nn.n
+                     + {damping}*coalesce(c{i}.s, 0) AS rank
+            FROM r{i - 1} n CROSS JOIN nn CROSS JOIN d{i}
+            LEFT JOIN c{i} ON n.node = c{i}.node)"""
+        for i in range(1, n_iters + 1)
+    )
+    return f"""
+        WITH edges AS MATERIALIZED (
+          SELECT src_host AS src, dst_host AS dst, n_links::DOUBLE AS w
+          FROM read_parquet('{_STAGE_DIR}/crawl_host_rank_edges.parquet')),
+        deg AS (SELECT src AS node, sum(w) AS outw FROM edges GROUP BY 1),
+        allnodes AS (SELECT DISTINCT src AS node FROM edges
+                     UNION SELECT DISTINCT dst FROM edges),
+        nodes AS (SELECT a.node, coalesce(deg.outw, 0) AS outw
+                  FROM allnodes a LEFT JOIN deg ON a.node = deg.node),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS MATERIALIZED (
+            SELECT node, outw, 1.0/nn.n AS rank FROM nodes CROSS JOIN nn),
+        {steps}
+        SELECT node AS host, round(rank, 9) AS rank
+        FROM r{n_iters} ORDER BY node
+    """
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -2936,6 +3031,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT src_host, dst_host, n_links
         FROM read_parquet('{_STAGE_DIR}/crawl_host_link_graph.parquet')
     """
+    oracles["crawl_host_rank"] = _host_rank_oracle_sql(n_iters=4)
     oracles["rel_q8_market_share"] = """
         SELECT year(o_orderdate)::BIGINT AS o_year,
                sum(CASE WHEN s_nationkey =

@@ -435,6 +435,9 @@ def main():
     from dfg_gepris_crawler_ray.ops.boilerplate import host_link_graph
     timed("crawl_host_link_graph",
           lambda: host_link_graph(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import host_link_rank
+    timed("crawl_host_rank",
+          lambda: host_link_rank(pages_dir).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

@@ -26,16 +26,30 @@ def pagerank_ds(
     edges: "ray.data.Dataset",
     n_iters: int = 10,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> "ray.data.Dataset":
     """PageRank over an edge Dataset (``src``, ``dst`` int64 columns),
     fixed ``n_iters`` power iterations, dangling mass redistributed
-    uniformly. Returns ``(node, rank)`` for every node."""
-    edges = edges.map_batches(
-        lambda df: pd.DataFrame(
-            {"src": df["src"].astype("int64"), "dst": df["dst"].astype("int64")}
-        ),
-        batch_format="pandas",
-    ).materialize()
+    uniformly. Returns ``(node, rank)`` for every node.
+
+    ``weight_col`` names an optional edge-weight column: the recurrence
+    becomes rank' = (1-d)/N + d·dangling/N + d·Σ rank(src)·w/outw(src)
+    (outw = src's total outgoing weight) — the host-graph form, where
+    an edge is "host A links to host B n times".  Integer-valued
+    weights keep every float sum exact (< 2^53), so the weighted path
+    is as deterministic as the unweighted one.  ``weight_col=None``
+    preserves the original unweighted arithmetic bit-for-bit."""
+    weighted = weight_col is not None
+
+    def cast_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"src": df["src"].astype("int64"),
+               "dst": df["dst"].astype("int64")}
+        if weighted:
+            out["w"] = df[weight_col].astype("float64")
+        return pd.DataFrame(out)
+
+    edges = edges.map_batches(cast_edges, batch_format="pandas").materialize()
+    deg_dtype = "float64" if weighted else "int64"
 
     # fanout is a pure perf knob (all keying is by node value) —
     # shrink it when the edge set underfills the cluster-scale 64
@@ -46,14 +60,17 @@ def pagerank_ds(
     def _bl(s: pd.Series) -> pd.Series:
         return (s.astype("int64") % nb).astype("int32")
 
-    # node list + out-degree (one shuffle, computed once)
+    # node list + out-degree/out-weight (one shuffle, computed once)
     def node_rows(df: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
         out = pd.DataFrame({"node": nodes})
-        deg = df.groupby("src", as_index=False).size()
+        if weighted:
+            deg = df.groupby("src", as_index=False)["w"].sum()
+        else:
+            deg = df.groupby("src", as_index=False).size()
         deg.columns = ["node", "outdeg"]
         out = out.merge(deg, on="node", how="left")
-        out["outdeg"] = out["outdeg"].fillna(0).astype("int64")
+        out["outdeg"] = out["outdeg"].fillna(0).astype(deg_dtype)
         return out.assign(_nb=_bl(out["node"]))
 
     def merge_nodes(g: pd.DataFrame) -> pd.DataFrame:
@@ -76,7 +93,7 @@ def pagerank_ds(
     ranks = nodes.map_batches(
         lambda df: pd.DataFrame(
             {"node": df["node"].astype("int64"), "rank": 1.0 / n_nodes,
-             "outdeg": df["outdeg"].astype("int64")}
+             "outdeg": df["outdeg"].astype(deg_dtype)}
         ),
         batch_format="pandas",
     ).materialize()
@@ -93,28 +110,41 @@ def pagerank_ds(
             or 0.0
         )
 
-        # shuffle 1 (by src bucket): rank/outdeg meets its out-edges,
-        # emits one contribution row per edge keyed to the dst bucket
+        # shuffle 1 (by src bucket): rank/outdeg (weighted: rank/outw)
+        # meets its out-edges, emits one contribution row per edge
+        # keyed to the dst bucket (weighted: scaled by the edge weight)
         def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+            if weighted:
+                val = np.where(
+                    df["outdeg"].to_numpy() > 0,
+                    df["rank"].to_numpy()
+                    / np.clip(df["outdeg"].to_numpy(), 1e-300, None),
+                    0.0,
+                )
+            else:
+                val = df["rank"] / df["outdeg"].clip(lower=1)
             return pd.DataFrame(
                 {"key": df["node"].astype("int64"), "dst": -1,
-                 "val": df["rank"] / df["outdeg"].clip(lower=1),
+                 "val": val,
                  "_sb": _bl(df["node"]), "_k": "r"}
             )
 
         def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"key": df["src"].astype("int64"),
-                 "dst": df["dst"].astype("int64"),
-                 "val": 0.0, "_sb": _bl(df["src"]), "_k": "e"}
-            )
+            out = {"key": df["src"].astype("int64"),
+                   "dst": df["dst"].astype("int64"),
+                   "val": df["w"] if weighted else 0.0,
+                   "_sb": _bl(df["src"]), "_k": "e"}
+            return pd.DataFrame(out)
 
         def contribs(g: pd.DataFrame) -> pd.DataFrame:
             r = g[g["_k"] == "r"][["key", "val"]]
-            e = g[g["_k"] == "e"][["key", "dst"]]
+            e = g[g["_k"] == "e"][["key", "dst", "val"]].rename(
+                columns={"val": "w"}
+            )
             m = e.merge(r, on="key")
+            c = m["val"] * m["w"] if weighted else m["val"]
             return pd.DataFrame(
-                {"node": m["dst"].astype("int64"), "contrib": m["val"],
+                {"node": m["dst"].astype("int64"), "contrib": c,
                  "_nb": _bl(m["dst"])}
             )
 
@@ -134,12 +164,12 @@ def pagerank_ds(
         def tag_node(df: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
                 {"node": df["node"].astype("int64"), "contrib": 0.0,
-                 "outdeg": df["outdeg"].astype("int64"),
+                 "outdeg": df["outdeg"].astype(deg_dtype),
                  "_nb": _bl(df["node"]), "_k": "n"}
             )
 
         def tag_contrib(df: pd.DataFrame) -> pd.DataFrame:
-            return df.assign(outdeg=-1, _k="c")[
+            return df.assign(outdeg=-1.0 if weighted else -1, _k="c")[
                 ["node", "contrib", "outdeg", "_nb", "_k"]
             ]
 
@@ -152,7 +182,7 @@ def pagerank_ds(
             return pd.DataFrame(
                 {"node": m["node"].astype("int64"),
                  "rank": base + damping * m["s"],
-                 "outdeg": m["outdeg"].astype("int64")}
+                 "outdeg": m["outdeg"].astype(deg_dtype)}
             )
 
         from ..kernels.partitioning import cut_lineage
@@ -961,3 +991,80 @@ def reference_graph_hits(sf_dir: str, n_iters: int = 4) -> "ray.data.Dataset":
 
     edges = docs.map_batches(edge_rows, batch_format="pyarrow")
     return hits_ds(edges, n_iters=n_iters)
+
+
+def host_link_rank(
+    pages_dir: str, n_iters: int = 4, damping: float = 0.85
+) -> "ray.data.Dataset":
+    """(host, rank) — WEIGHTED PageRank over the host-level link
+    matrix (:func:`~dfg_gepris_crawler_ray.ops.boilerplate.
+    host_link_graph`): an edge "host A links to host B n times"
+    contributes rank(A)·n/outw(A).  Host-level PageRank is what a
+    crawl scheduler actually orders hosts by (page-level rank is too
+    slow-moving and too big to join against the frontier every cycle);
+    hosts that only ever appear as link targets (doi/orcid-style
+    endpoint hosts) are the dangling set.
+
+    Distributed shape: the host matrix's one extraction scan + one
+    keyed exchange, then :func:`pagerank_ds` with ``weight_col`` over
+    int64-coded hosts (stable 64-bit content hash — deterministic,
+    collision odds ~n²/2⁻⁶⁴ are negligible below ~10⁹ hosts and the
+    coding is internal only), and ONE final node-keyed exchange that
+    joins ranks back to host strings — no driver-side host table."""
+    from ..kernels.hashing import stable_hash64_array
+    from ..kernels.partitioning import adaptive_buckets
+    from .boilerplate import host_link_graph
+
+    links = host_link_graph(pages_dir).materialize()
+
+    def code(df: pd.DataFrame) -> pd.DataFrame:
+        s = stable_hash64_array(df["src_host"].tolist()).view(np.int64)
+        d = stable_hash64_array(df["dst_host"].tolist()).view(np.int64)
+        return pd.DataFrame(
+            {"src": pd.Series(s, dtype="int64"),
+             "dst": pd.Series(d, dtype="int64"),
+             "w": df["n_links"].astype("float64")}
+        )
+
+    ranks = pagerank_ds(
+        links.map_batches(code, batch_format="pandas"),
+        n_iters=n_iters, damping=damping, weight_col="w",
+    )
+
+    nb = adaptive_buckets(links.count() * 2)
+
+    def _bl(s: pd.Series) -> pd.Series:
+        return (s.astype("int64") % nb).astype("int32")
+
+    def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"].astype("int64"), "host": "",
+             "rank": df["rank"], "_nb": _bl(df["node"]), "_k": "r"}
+        )
+
+    def tag_hosts(df: pd.DataFrame) -> pd.DataFrame:
+        s = stable_hash64_array(df["src_host"].tolist()).view(np.int64)
+        d = stable_hash64_array(df["dst_host"].tolist()).view(np.int64)
+        out = pd.DataFrame(
+            {"node": np.concatenate([s, d]).astype("int64"),
+             "host": pd.concat(
+                 [df["src_host"], df["dst_host"]], ignore_index=True
+             ),
+             "rank": 0.0, "_k": "h"}
+        ).drop_duplicates(["node"])
+        out["_nb"] = _bl(out["node"])
+        return out[["node", "host", "rank", "_nb", "_k"]]
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["_k"] == "r"][["node", "rank"]]
+        h = g[g["_k"] == "h"].drop_duplicates(["node"])[["node", "host"]]
+        m = r.merge(h, on="node")
+        return pd.DataFrame({"host": m["host"], "rank": m["rank"]})
+
+    return (
+        ranks.map_batches(tag_rank, batch_format="pandas")
+        .union(links.map_batches(tag_hosts, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_nb")
+        .map_groups(attach, batch_format="pandas")
+    )

@@ -3755,3 +3755,57 @@ def test_host_link_graph_matches_bruteforce():
     diag = want[want["src_host"] == want["dst_host"]]["n_links"].sum()
     off = want[want["src_host"] != want["dst_host"]]["n_links"].sum()
     assert diag > off > 0
+
+
+def test_host_link_rank_matches_numpy_weighted_pagerank():
+    """Weighted pagerank_ds over the host matrix equals the dense
+    numpy weighted recurrence, and the host-string round-trip through
+    the int64 coding exchange is lossless."""
+    import glob as _glob
+    from collections import Counter
+
+    from dfg_gepris_crawler_ray.ops.boilerplate import _anchor_pairs
+    from dfg_gepris_crawler_ray.ops.graph import host_link_rank
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    import pyarrow.parquet as pq
+
+    pages_dir = ensure_pages(SF)
+    n_iters, d = 4, 0.85
+    got = (
+        host_link_rank(pages_dir, n_iters=n_iters)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    cnt: Counter = Counter()
+    for f in sorted(_glob.glob(f"{pages_dir}/*.parquet")):
+        t = pq.read_table(f, columns=["url", "html"])
+        for url, html in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+            src = url.split("/")[2]
+            for href, _txt in _anchor_pairs(html):
+                dst = href.split("/")[2] if href.startswith(("http://", "https://")) else src
+                cnt[(src, dst)] += 1
+    hosts = sorted({a for a, _ in cnt} | {b for _, b in cnt})
+    idx = {h: i for i, h in enumerate(hosts)}
+    N = len(hosts)
+    outw = np.zeros(N)
+    for (a, _), n in cnt.items():
+        outw[idx[a]] += n
+    r = np.full(N, 1.0 / N)
+    for _ in range(n_iters):
+        dangling = r[outw == 0].sum()
+        contrib = np.zeros(N)
+        for (a, b), n in cnt.items():
+            if outw[idx[a]] > 0:
+                contrib[idx[b]] += r[idx[a]] * n / outw[idx[a]]
+        r = (1 - d) / N + d * contrib + d * dangling / N
+    assert got["host"].tolist() == hosts
+    assert np.allclose(got["rank"].to_numpy(), r, rtol=1e-9, atol=1e-12)
+    # dangling hosts exist (absolute-href-only targets like
+    # www.example.org — they soak inbound mass without redistributing
+    # along edges), total mass stays normalized up to the dangling
+    # leak, and every node keeps at least the teleport floor
+    assert (outw == 0).any()
+    assert 0.5 < got["rank"].sum() <= 1.0 + 1e-9
+    assert (got["rank"] >= (1 - d) / N - 1e-12).all()
