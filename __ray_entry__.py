@@ -125,6 +125,15 @@ def _q_status_counts(sf_dir: str):
     return status_counts(_crawl_items(sf_dir))
 
 
+def _q_host_health(sf_dir: str):
+    """Per-host outcome counts of the details chain
+    (pipelines/derive.py::host_health) — exact formula oracle (host +
+    corrupt-kind closed forms over doc_id)."""
+    from dfg_gepris_crawler_ray.pipelines.derive import host_health
+
+    return host_health(_crawl_items(sf_dir))
+
+
 def _frontier_state_fixture(sf_dir: str):
     """Shared J1 fixture: projekt ids observed by a search run (run 1),
     the even ones detail-checked by run 2."""
@@ -804,6 +813,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_edges_antragsteller": _q_edges,
         "crawl_institution_hierarchy": _q_hierarchy,
         "crawl_status_counts": _q_status_counts,
+        # per-host crawl-health monitor: outcome counts of the details
+        # chain pivoted per host (per-batch partials + one small
+        # host-keyed aggregate) — the scheduler's soft-ban/recrawl gauge
+        "crawl_host_health": _q_host_health,
         "crawl_frontier_order": _q_frontier_order,
         "crawl_frontier_order_ds": _q_frontier_order_ds,
         "crawl_details_lifecycle_ds": _q_details_lifecycle_ds,
@@ -2133,6 +2146,17 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 103 = 7 THEN 'error'
                         ELSE 'success' END AS status,
                    count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "crawl_host_health": f"""
+            SELECT {_HOST} AS host,
+                   count(*)::BIGINT AS n_total,
+                   sum(CASE WHEN doc_id % 101 != 5 AND doc_id % 103 != 7
+                            THEN 1 ELSE 0 END)::BIGINT AS n_success,
+                   sum(CASE WHEN doc_id % 101 = 5 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_moved,
+                   sum(CASE WHEN doc_id % 101 != 5 AND doc_id % 103 = 7
+                            THEN 1 ELSE 0 END)::BIGINT AS n_error
             FROM documents GROUP BY 1
         """,
         "crawl_frontier_order": f"""

@@ -256,3 +256,40 @@ def status_counts(items: "ray.data.Dataset") -> "ray.data.Dataset":
     from ray.data.aggregate import Count
 
     return items.groupby("status").aggregate(Count(alias_name="n"))
+
+
+def host_health(items: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(host, n_total, n_success, n_moved, n_error) — the per-host
+    crawl-health monitor: outcome counts of the details chain grouped
+    by host.  A production scheduler reads this every cycle to cut the
+    politeness budget of hosts whose error share spikes (soft-bans,
+    layout changes) and to re-queue moved-heavy hosts for recrawl —
+    the per-host refinement of the reference's run counters
+    (pipelines.py run stats, ST8) and data-monitor deltas.
+
+    Distributed shape: per-batch pivot to one count row per host (a
+    batch covers few hosts, so partials are tiny), then ONE small
+    host-keyed aggregate — never a row-level status shuffle."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.groupby("host").agg(
+            n_total=("status", "size"),
+            n_success=("status", lambda s: int((s == "success").sum())),
+            n_moved=("status", lambda s: int((s == "moved").sum())),
+            n_error=("status", lambda s: int((s == "error").sum())),
+        ).reset_index()
+        return p
+
+    return (
+        items.map_batches(partial, batch_format="pandas")
+        .groupby("host")
+        .aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_success", alias_name="n_success"),
+            Sum("n_moved", alias_name="n_moved"),
+            Sum("n_error", alias_name="n_error"),
+        )
+    )

@@ -151,3 +151,44 @@ def test_frontier_semi_join_limits_output(pages_dir):
     keys = [("person", 1001), ("projekt", 1000), ("institution", 1002)]
     df = run_details_extraction(pages_dir, frontier_keys=keys, num_buckets=4).to_pandas()
     assert sorted(zip(df["context"], df["id"])) == sorted(keys)
+
+
+def test_host_health_matches_formula():
+    """Per-host outcome counts equal the generator's corrupt-kind
+    closed forms (moved %101, error %103, moved-precedence) joined to
+    the host formula."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.pipelines.derive import host_health
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages, host_of
+
+    sf = "/root/testdata/sf0.001"
+    items = run_details_extraction(ensure_pages(sf), num_buckets=8)
+    got = (
+        host_health(items)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    doc_ids = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    rows: dict = {}
+    for d in doc_ids:
+        h = host_of(d)
+        r = rows.setdefault(h, [0, 0, 0, 0])
+        r[0] += 1
+        if d % 101 == 5:
+            r[2] += 1
+        elif d % 103 == 7:
+            r[3] += 1
+        else:
+            r[1] += 1
+    want = pd.DataFrame(
+        [(h, *r) for h, r in sorted(rows.items())],
+        columns=["host", "n_total", "n_success", "n_moved", "n_error"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert want["n_error"].sum() > 0 and want["n_moved"].sum() > 0
