@@ -1126,6 +1126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # expansion exchange + ONE node-hash dedup/anti-join exchange;
         # no driver-resident node set) — recursive-CTE oracle
         "crawl_bfs_tiers": graph.reference_graph_bfs_depth,
+        # redirect-chain resolution: every aliased node chased to its
+        # terminal target by pointer jumping (per round ONE state-hash
+        # exchange; pending distances double, so depth-15 chains
+        # resolve in 4 rounds; cycles raise) — recursive-CTE oracle
+        "crawl_redirect_resolve": graph.reference_redirect_chains,
         # per-key inter-arrival gap quantiles, INDEX-SELECTED in pure
         # integer arithmetic (no float quantile interpolation drift):
         # the adaptive-politeness cadence estimator, windowed-SQL
@@ -3215,6 +3220,21 @@ def oracle_sql() -> dict[str, str]:
           JOIN edges e ON e.u = reach.node WHERE reach.hops < 6
         )
         SELECT node, min(hops)::BIGINT AS depth FROM reach GROUP BY node
+    """
+    oracles["crawl_redirect_resolve"] = """
+        WITH RECURSIVE edges AS MATERIALIZED (
+          SELECT CAST(doc_id AS BIGINT) AS src,
+                 CAST(doc_id - 1 AS BIGINT) AS dst
+          FROM documents WHERE doc_id % 16 <> 0),
+        chase(node, cur, hops) AS (
+          SELECT src, dst, CAST(1 AS BIGINT) FROM edges
+          UNION ALL
+          SELECT c.node, e.dst, c.hops + 1
+          FROM chase c JOIN edges e ON e.src = c.cur),
+        term AS (
+          SELECT c.node, c.cur, c.hops FROM chase c
+          WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = c.cur))
+        SELECT node, cur AS final, hops FROM term
     """
     oracles["rel_q19_disjunctive"] = """
         SELECT sum(round(l_extendedprice * 100)::BIGINT

@@ -1076,3 +1076,174 @@ def host_link_rank(
         .groupby("_nb")
         .map_groups(attach, batch_format="pandas")
     )
+
+
+def redirect_resolve_ds(
+    edges: "ray.data.Dataset",
+    max_rounds: int = 40,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(node, final, hops) — resolve every redirecting node of a
+    functional alias graph (``src`` → ``dst``, at most ONE out-edge
+    per src: HTTP 301 chains, canonical-URL aliases, moved→ entity
+    propagation generalised to arbitrary depth — the reference applies
+    ONE hop of this, `database_helper.py` moved→projekt /
+    moved-sub→root updates (SURVEY.md J7/J8); a real crawl meets
+    multi-hop chains and must chase them to the terminal target).
+
+    ``final`` is the chain's terminal (a node with no out-edge; it
+    need not be a known src — an off-corpus destination is a valid
+    terminal), ``hops`` the exact number of original edges traversed.
+
+    Scale shape — pointer jumping (path doubling), the
+    Shiloach–Vishkin discipline already used by
+    ``dedup._cluster_labels_distributed``:
+
+    - state = one row per src: (node, succ, hops, done);
+    - per round, ONE key-hash exchange: every pending row is routed by
+      ``succ`` into the bucket where succ's OWN state row lives (rows
+      double as lookup targets, routed by ``node``) and composes
+      succ := state[succ].succ, hops += state[succ].hops — so pending
+      chain distances DOUBLE each round and any acyclic input resolves
+      in ⌈log2 L⌉ rounds, not L;
+    - a pending row whose succ has no state row anywhere is done
+      (terminal); one that composes onto a DONE row inherits its final
+      in one step — so resolved rows stay in the exchange as
+      map-side lookup targets (they stop issuing queries, which is
+      what shrinks); total exchange volume is O(N·log L);
+    - the only driver value per round is the pending count (the stop
+      test); a cycle never resolves, so pending>0 after ``max_rounds``
+      (2^40 ≈ 10^12 chain length) raises instead of silently spinning;
+    - duplicate out-edges for one src co-locate in the map bucket and
+      raise (corrupt functional graph) rather than resolving
+      arbitrarily.
+    """
+    from ..kernels.partitioning import adaptive_buckets, cut_lineage
+
+    state = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["src"].astype("int64"),
+             "succ": df["dst"].astype("int64")}
+        ).assign(hops=np.int64(1)),
+        batch_format="pandas",
+    ).materialize()
+    nb = adaptive_buckets(state.count(), requested=num_buckets)
+
+    def tag_map(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_b=(df["node"] % nb).astype("int32"), _k="m")
+
+    def tag_query(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_b=(df["succ"] % nb).astype("int32"), _k="q")
+
+    def compose(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["_k"] == "m"]
+        if m["node"].duplicated().any():
+            bad = m.loc[m["node"].duplicated(), "node"].iloc[0]
+            raise ValueError(
+                f"redirect_resolve_ds: src {int(bad)} has multiple "
+                "out-edges — input is not a functional graph"
+            )
+        q = g[g["_k"] == "q"]
+        if not len(q):
+            return pd.DataFrame({
+                "node": pd.Series(dtype="int64"),
+                "succ": pd.Series(dtype="int64"),
+                "hops": pd.Series(dtype="int64"),
+                "done": pd.Series(dtype="bool"),
+            })
+        j = q.merge(
+            m[["node", "succ", "hops", "done"]].rename(columns={
+                "node": "succ", "succ": "m_succ",
+                "hops": "m_hops", "done": "m_done",
+            }),
+            on="succ", how="left",
+        )
+        hit = j["m_succ"].notna()
+        out = pd.DataFrame({
+            "node": j["node"].astype("int64"),
+            "succ": np.where(hit, j["m_succ"].fillna(0), j["succ"]),
+            "hops": np.where(hit, j["hops"] + j["m_hops"].fillna(0),
+                             j["hops"]),
+            # no state row for succ → succ is terminal → done;
+            # composed onto a done row → our new succ is ITS final
+            "done": np.where(hit, j["m_done"].eq(True), True),
+        })
+        out["succ"] = out["succ"].astype("int64")
+        out["hops"] = out["hops"].astype("int64")
+        out["done"] = out["done"].astype("bool")
+        return out
+
+    pending = state.map_batches(
+        lambda df: df.assign(done=False), batch_format="pandas"
+    ).materialize()
+    resolved = None  # accumulated done rows (still lookup targets)
+
+    def split_done(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["done"]][["node", "succ", "hops", "done"]]
+
+    def split_pending(df: pd.DataFrame) -> pd.DataFrame:
+        return df[~df["done"]][["node", "succ", "hops", "done"]]
+
+    for _ in range(max_rounds):
+        map_side = pending if resolved is None else pending.union(resolved)
+        stepped = (
+            map_side.map_batches(tag_map, batch_format="pandas")
+            .union(pending.map_batches(tag_query, batch_format="pandas"))
+            .repartition(nb)
+            .groupby("_b")
+            .map_groups(compose, batch_format="pandas")
+        )
+        stepped = cut_lineage(stepped.materialize())
+        nd = cut_lineage(
+            stepped.map_batches(split_done, batch_format="pandas")
+            .materialize()
+        )
+        still = cut_lineage(
+            stepped.map_batches(split_pending, batch_format="pandas")
+            .materialize()
+        )
+        if nd.count() > 0:
+            resolved = nd if resolved is None else cut_lineage(
+                resolved.union(nd).materialize()
+            )
+        if still.count() == 0:
+            break
+        pending = still
+    else:
+        raise RuntimeError(
+            f"redirect_resolve_ds: {pending.count()} chains unresolved "
+            f"after {max_rounds} pointer-jump rounds — redirect cycle"
+        )
+
+    return resolved.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "final": df["succ"].astype("int64"),
+             "hops": df["hops"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+
+def reference_redirect_chains(sf_dir: str) -> "ray.data.Dataset":
+    """(node, final, hops) — redirect-chain resolution over the
+    deterministic alias graph derived from ``documents``: every doc_id
+    not on a 16-boundary redirects to doc_id−1 (chains up to 15 long,
+    terminals at multiples of 16 — including doc −1 off the low end,
+    a valid off-corpus terminal). Exercises multi-hop composition,
+    done-row inheritance and the off-corpus-terminal rule; resolves in
+    4 pointer-jump rounds where naive chasing needs 15."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids[ids % 16 != 0].astype(np.int64)
+        return pd.DataFrame({"src": ids, "dst": ids - 1})
+
+    return redirect_resolve_ds(
+        docs.map_batches(edge_rows, batch_format="pyarrow"), num_buckets=16
+    )

@@ -3809,3 +3809,49 @@ def test_host_link_rank_matches_numpy_weighted_pagerank():
     assert (outw == 0).any()
     assert 0.5 < got["rank"].sum() <= 1.0 + 1e-9
     assert (got["rank"] >= (1 - d) / N - 1e-12).all()
+
+
+def test_redirect_resolve_matches_brute_and_detects_cycles():
+    """Pointer-jump redirect resolution vs a driver-side chase over a
+    random functional graph (branchy chains onto shared terminals,
+    off-corpus terminal targets), plus the cycle-raise and
+    duplicate-src-raise contracts."""
+    import pandas as pd
+    import ray.data
+
+    from dfg_gepris_crawler_ray.ops.graph import redirect_resolve_ds
+
+    rng = np.random.default_rng(7)
+    # functional DAG: each src points to a strictly smaller node, so
+    # chains always terminate; ~1/3 of nodes have no out-edge at all
+    srcs = [int(n) for n in range(1, 400) if n % 3]
+    dsts = {s: int(rng.integers(-5, s)) for s in srcs}  # -5..-1 = off-corpus
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"src": srcs, "dst": [dsts[s] for s in srcs]})
+    )
+
+    def chase(s: int) -> tuple[int, int]:
+        cur, hops = dsts[s], 1
+        while cur in dsts:
+            cur, hops = dsts[cur], hops + 1
+        return cur, hops
+
+    want = {s: chase(s) for s in srcs}
+    got = {
+        int(r["node"]): (int(r["final"]), int(r["hops"]))
+        for r in redirect_resolve_ds(edges, num_buckets=8)
+        .to_pandas().to_dict("records")
+    }
+    assert got == want
+
+    cyc = ray.data.from_pandas(
+        pd.DataFrame({"src": [1, 2, 3, 10], "dst": [2, 3, 1, 1]})
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        redirect_resolve_ds(cyc, max_rounds=8, num_buckets=4)
+
+    dup = ray.data.from_pandas(
+        pd.DataFrame({"src": [5, 5], "dst": [1, 2]})
+    )
+    with pytest.raises(Exception, match="functional"):
+        redirect_resolve_ds(dup, max_rounds=4, num_buckets=4).materialize()
