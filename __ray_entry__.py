@@ -922,6 +922,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-substring dedup signal at 5-token window granularity
         # (Lee et al.-style duplicated-span counting)
         "dedup_window_exact": dedup.window_dedup,
+        # C4-style cross-document duplicate-line removal that REWRITES
+        # the corpus: 8-word chunks kept only at their first global
+        # (doc_id, pos) occurrence, survivors reassembled per doc —
+        # two keyed exchanges (chunk-hash keep-first, doc reassembly)
+        "dedup_line_rewrite": dedup.line_dedup_rewrite,
         # SemDeDup semantic dedup (k-means is iterative/float → rows-only
         # gate; the keep/drop contract is brute-force pinned in test_ops)
         "dedup_semantic": _q_semantic_dedup,
@@ -3533,6 +3538,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, count(*)::BIGINT AS n_windows,
                sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows
+        FROM r GROUP BY doc_id
+    """
+    # C4-style duplicate-line removal: non-overlapping 8-word chunks
+    # (t[i*8+1 : i*8+8] is 8 tokens, inclusive slicing; the trailing
+    # partial chunk included), each kept only at its first global
+    # (doc_id, pos) occurrence; survivors reassemble in doc order
+    oracles["dedup_line_rewrite"] = """
+        WITH c AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(t[i*8+1 : i*8+8], ' ') AS chunk
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               unnest(generate_series(0, (len(t) + 7) // 8 - 1)) AS u(i)
+        ), r AS (
+          SELECT doc_id, pos, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, pos) AS rn
+          FROM c
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                                   ORDER BY pos), '') AS clean_text,
+               count(*)::BIGINT AS n_chunks,
+               sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
         FROM r GROUP BY doc_id
     """
     # deterministic global shuffle: md5 permutation + equal rank shards

@@ -1392,3 +1392,108 @@ def incremental_dedup(
         ),
         batch_format="pandas",
     )
+
+
+# --- cross-document line/chunk dedup (rewrite) ------------------------------
+
+def line_dedup_rewrite(
+    sf_dir: str, chunk_words: int = 8, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(doc_id, clean_text, n_chunks, n_kept) — C4/RefinedWeb-style
+    cross-document duplicate-LINE removal that REWRITES the corpus:
+    the text is cut into fixed ``chunk_words``-word chunks (the
+    "lines" of this newline-free corpus; C4 §2.2 uses the literal
+    newline, RefinedWeb dedups repeated spans the same way), each
+    chunk is kept only at its FIRST global occurrence — ordered by
+    (doc_id, position) — and every later copy anywhere in the corpus
+    is dropped; the survivors reassemble in document order into
+    ``clean_text``. Unlike :func:`window_dedup` (overlapping-window
+    duplication SIGNAL, doc unchanged) this op produces the cleaned
+    corpus itself — the actual C4 transform.
+
+    Scale shape — two keyed exchanges, nothing driver-resident:
+
+    - one scan explodes (doc_id, pos, chunk) rows;
+    - exchange 1 routes by chunk-hash bucket: per bucket a vectorized
+      groupby-min over the (doc_id, pos) order key marks each copy
+      kept/dropped (ALL copies of a chunk co-locate, so keep-first is
+      exact and global);
+    - exchange 2 routes every marked row by doc_id bucket and
+      reassembles kept chunks in position order per doc (every doc
+      has ≥1 chunk row, so no doc goes missing — a fully-duplicated
+      doc comes back with empty clean_text, exactly C4's behavior).
+    """
+    import ray
+
+    from ..kernels.hashing import stable_hash64_array
+    from ..kernels.partitioning import adaptive_buckets
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    cw = int(chunk_words)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_pos, out_chunk = [], [], []
+        for did, t in zip(ids, texts):
+            wds = t.split(" ")
+            for p in range(0, (len(wds) + cw - 1) // cw):
+                out_id.append(did)
+                out_pos.append(p)
+                out_chunk.append(" ".join(wds[p * cw:(p + 1) * cw]))
+        return pd.DataFrame(
+            {"doc_id": pd.Series(out_id, dtype="int64"),
+             "pos": pd.Series(out_pos, dtype="int64"),
+             "chunk": out_chunk}
+        )
+
+    chunks = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    nb = adaptive_buckets(chunks.count(), requested=num_buckets)
+
+    def tag_chunk(df: pd.DataFrame) -> pd.DataFrame:
+        h = stable_hash64_array(df["chunk"].tolist()).view(np.int64)
+        return df.assign(_b=(h % nb).astype("int32"))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        # order key: first occurrence = smallest (doc_id, pos); pos is
+        # bounded far below 2**20 per doc, so one int64 encodes both
+        order = g["doc_id"].to_numpy() * (1 << 20) + g["pos"].to_numpy()
+        first = pd.Series(order).groupby(g["chunk"].to_numpy()).transform("min")
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "pos": g["pos"], "chunk": g["chunk"],
+             "kept": (order == first.to_numpy())}
+        )
+
+    marked = (
+        chunks.map_batches(tag_chunk, batch_format="pandas")
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, d in g.groupby("doc_id", sort=False):
+            d = d.sort_values("pos")
+            k = d[d["kept"]]
+            rows.append((int(did), " ".join(k["chunk"]),
+                         len(d), int(d["kept"].sum())))
+        out = pd.DataFrame(
+            rows, columns=["doc_id", "clean_text", "n_chunks", "n_kept"]
+        )
+        return out.astype(
+            {"doc_id": "int64", "n_chunks": "int64", "n_kept": "int64"}
+        )
+
+    return (
+        marked.map_batches(
+            lambda df: df.assign(_db=(df["doc_id"] % nb).astype("int32")),
+            batch_format="pandas",
+        )
+        .repartition(nb)
+        .groupby("_db")
+        .map_groups(reassemble, batch_format="pandas")
+    )

@@ -3855,3 +3855,40 @@ def test_redirect_resolve_matches_brute_and_detects_cycles():
     )
     with pytest.raises(Exception, match="functional"):
         redirect_resolve_ds(dup, max_rounds=4, num_buckets=4).materialize()
+
+
+def test_line_dedup_rewrite_keeps_first_and_empties_full_dups():
+    """Crafted corpus: a shared chunk appears in three docs (kept only
+    in the earliest), one doc fully duplicates another (rewritten to
+    empty), trailing partial chunks survive."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.dedup import line_dedup_rewrite
+
+    a = " ".join(f"a{i}" for i in range(8))       # chunk A
+    b = " ".join(f"b{i}" for i in range(8))       # chunk B
+    tail = "t0 t1 t2"                             # partial chunk
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"{a} {b}",           # doc0: A,B first occurrences
+            f"{a} {b}",           # doc1: full dup of doc0 → empty
+            f"{b} {tail}",        # doc2: B dropped, tail kept
+            tail,                  # doc3: tail dup of doc2's → empty
+        ],
+    })
+    d = tempfile.mkdtemp(prefix="linededup_")
+    pq.write_table(pa.Table.from_pandas(docs), os.path.join(d, "documents.parquet"))
+
+    got = (
+        line_dedup_rewrite(d, chunk_words=8, num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["clean_text"].tolist() == [f"{a} {b}", "", tail, ""]
+    assert got["n_chunks"].tolist() == [2, 2, 2, 1]
+    assert got["n_kept"].tolist() == [2, 0, 1, 0]
