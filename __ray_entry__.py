@@ -801,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pii,
         recrawl,
         relational,
+        search,
         similarity,
         textstats,
     )
@@ -927,6 +928,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (doc_id, pos) occurrence, survivors reassembled per doc —
         # two keyed exchanges (chunk-hash keep-first, doc reassembly)
         "dedup_line_rewrite": dedup.line_dedup_rewrite,
+        # positional phrase query (token-exact consecutive-terms match
+        # with occurrence counts): postings pruned to the phrase terms
+        # inside the scan, ONE doc-keyed exchange, vectorized
+        # adjacency-merge chain — the positional-index retrieval form
+        "text_phrase_search": search.phrase_search,
         # SemDeDup semantic dedup (k-means is iterative/float → rows-only
         # gate; the keep/drop contract is brute-force pinned in test_ops)
         "dedup_semantic": _q_semantic_dedup,
@@ -3562,6 +3568,22 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_chunks,
                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
         FROM r GROUP BY doc_id
+    """
+    # positional phrase query: consecutive token positions, exact
+    # occurrence counts (overlapping occurrences count individually)
+    oracles["text_phrase_search"] = """
+        WITH tok AS (
+          SELECT doc_id, i AS pos, t[i] AS term
+          FROM (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents),
+               unnest(generate_series(1, len(t))) AS u(i)
+          WHERE t[i] IN ('merge', 'slow')
+        )
+        SELECT a.doc_id, count(*)::BIGINT AS n_matches
+        FROM tok a JOIN tok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'merge' AND b.term = 'slow'
+        GROUP BY 1
     """
     # deterministic global shuffle: md5 permutation + equal rank shards
     oracles["text_shuffle_shards"] = """

@@ -38,6 +38,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -198,3 +199,89 @@ def bm25_oracle_sql(
         ORDER BY score DESC, doc_id
         LIMIT {k}
     """
+
+
+def phrase_search(
+    sf_dir: str,
+    phrase: tuple[str, ...] = ("merge", "slow"),
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """(doc_id, n_matches) — exact token-level PHRASE query: documents
+    where the terms of ``phrase`` occur at consecutive token
+    positions, with the exact occurrence count. The positional half of
+    the retrieval surface (``bm25_topk`` ranks bags of words;
+    ``textstats.inverted_index`` stores postings) — this is what a
+    positional index answers, run here index-free over raw text.
+    Token-exact, not substring: "a ab" does NOT match the phrase
+    ("a", "a").
+
+    Distributed shape:
+
+    - ONE scan explodes (doc_id, pos, term) postings PRUNED to the
+      phrase's own terms before anything leaves the task (polars
+      split/explode + cum-count positions — no Python row loop); a
+      100-TB corpus yields only the phrase terms' postings, the same
+      volume a positional-index lookup would read;
+    - ONE doc-keyed exchange; per bucket the adjacency join is a
+      vectorized pandas merge chain: positions of term i must equal
+      (start + i) within the doc — k−1 int64 merges for a k-term
+      phrase, never a per-row loop.
+    """
+    import polars as pl
+
+    import ray
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    terms = [str(t) for t in phrase]
+    if len(terms) < 2:
+        raise ValueError("phrase_search needs at least a 2-term phrase")
+    term_set = set(terms)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def postings(batch: pa.Table) -> pd.DataFrame:
+        df = (
+            pl.from_arrow(batch)
+            .with_columns(pl.col("text").str.split(" ").alias("term"))
+            .drop("text")
+            .explode("term")
+            .with_columns(
+                (pl.col("doc_id").cum_count().over("doc_id") - 1)
+                .cast(pl.Int64).alias("pos")
+            )
+            .filter(pl.col("term").is_in(list(term_set)))
+        )
+        out = df.to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out[["doc_id", "pos", "term"]]
+
+    posts = docs.map_batches(postings, batch_format="pyarrow").materialize()
+    nb = adaptive_buckets(posts.count(), requested=num_buckets)
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        cur = g.loc[g["term"] == terms[0], ["doc_id", "pos"]]
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = g.loc[g["term"] == t, ["doc_id", "pos"]].assign(
+                pos=lambda d, _i=i: d["pos"] - _i
+            )
+            cur = cur.merge(nxt, on=["doc_id", "pos"], how="inner")
+            if not len(cur):
+                break
+        out = (
+            cur.groupby("doc_id", sort=False).size().rename("n_matches")
+            .reset_index()
+        )
+        return out.astype({"doc_id": "int64", "n_matches": "int64"})
+
+    return (
+        posts.map_batches(
+            lambda df: df.assign(_b=(df["doc_id"] % nb).astype("int32")),
+            batch_format="pandas",
+        )
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(match, batch_format="pandas")
+    )

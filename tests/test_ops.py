@@ -3892,3 +3892,36 @@ def test_line_dedup_rewrite_keeps_first_and_empties_full_dups():
     assert got["clean_text"].tolist() == [f"{a} {b}", "", tail, ""]
     assert got["n_chunks"].tolist() == [2, 2, 2, 1]
     assert got["n_kept"].tolist() == [2, 0, 1, 0]
+
+
+def test_phrase_search_three_terms_and_overlaps():
+    """3-term phrase over a crafted corpus: overlapping occurrences
+    count individually, token-exact (no substring bleed), docs
+    without a full consecutive run are absent."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.search import phrase_search
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "x a a a a y",      # "a a a": overlapping at pos 1 and 2
+            "a a b a a a",      # one occurrence (pos 3)
+            "aa a a a",         # leading "aa" is not "a"; one occurrence
+            "a a x a a",        # never three in a row → absent
+        ],
+    })
+    d = tempfile.mkdtemp(prefix="phrase_")
+    pq.write_table(pa.Table.from_pandas(docs), os.path.join(d, "documents.parquet"))
+
+    got = (
+        phrase_search(d, phrase=("a", "a", "a"), num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert got["n_matches"].tolist() == [2, 1, 1]
