@@ -1142,6 +1142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exchange; pending distances double, so depth-15 chains
         # resolve in 4 rounds; cycles raise) — recursive-CTE oracle
         "crawl_redirect_resolve": graph.reference_redirect_chains,
+        # k-core peel (link-farm / dense-subgraph hygiene): per round
+        # TWO keyed exchanges (fused degree-count+src-drop, then
+        # dst-drop via peel markers), edge set shrinks monotonically;
+        # unrolled-MATERIALIZED-CTE oracle (16 idempotent peel rounds)
+        "crawl_kcore": graph.reference_kcore,
         # per-key inter-arrival gap quantiles, INDEX-SELECTED in pure
         # integer arithmetic (no float quantile interpolation drift):
         # the adaptive-politeness cadence estimator, windowed-SQL
@@ -3246,6 +3251,34 @@ def oracle_sql() -> dict[str, str]:
           SELECT c.node, c.cur, c.hops FROM chase c
           WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = c.cur))
         SELECT node, cur AS final, hops FROM term
+    """
+    # k-core fixpoint, unrolled to 16 MATERIALIZED peel rounds (the
+    # peel is idempotent once converged — measured 10 rounds at
+    # sf0.01 — so extra rounds are no-ops; MATERIALIZED because
+    # DuckDB's default CTE inlining re-evaluates the recurrence
+    # exponentially, the crawl_hits lesson)
+    _kcore_rounds = "".join(
+        f""",
+        n{r} AS MATERIALIZED (
+          SELECT u FROM e{r - 1} GROUP BY u HAVING count(*) >= 5),
+        e{r} AS MATERIALIZED (
+          SELECT e.u, e.v FROM e{r - 1} e
+          JOIN n{r} a ON a.u = e.u JOIN n{r} b ON b.u = e.v)"""
+        for r in range(1, 17)
+    )
+    oracles["crawl_kcore"] = f"""
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        base AS (
+          SELECT CAST(d.doc_id AS BIGINT) AS u,
+                 CAST((d.doc_id * 7 + j.j * j.j) % nd.n_docs AS BIGINT) AS v
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS j) j
+          WHERE d.doc_id % 6 >= j.j - 1),
+        sym AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base),
+        e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM sym WHERE u <> v)
+        {_kcore_rounds}
+        SELECT u AS node, count(*)::BIGINT AS core_degree
+        FROM e16 GROUP BY u
     """
     oracles["rel_q19_disjunctive"] = """
         SELECT sum(round(l_extendedprice * 100)::BIGINT

@@ -3925,3 +3925,51 @@ def test_phrase_search_three_terms_and_overlaps():
     )
     assert got["doc_id"].tolist() == [0, 1, 2]
     assert got["n_matches"].tolist() == [2, 1, 1]
+
+
+def test_kcore_matches_brute_peel_and_full_collapse():
+    """kcore_ds vs a driver-side Batagelj-style peel over a random
+    symmetric graph, plus the everything-peels case."""
+    import pandas as pd
+    import ray.data
+
+    from dfg_gepris_crawler_ray.ops.graph import kcore_ds
+
+    rng = np.random.default_rng(11)
+    pairs = {
+        (int(a), int(b))
+        for a, b in rng.integers(0, 60, size=(400, 2))
+        if a != b
+    }
+    sym = sorted(pairs | {(b, a) for a, b in pairs})
+    edges = pd.DataFrame(sym, columns=["u", "v"])
+
+    def brute(k: int) -> dict[int, int]:
+        adj: dict[int, set] = {}
+        for a, b in sym:
+            adj.setdefault(a, set()).add(b)
+        while True:
+            dead = [n for n, s in adj.items() if len(s) < k]
+            if not dead:
+                break
+            for n in dead:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+        return {n: len(s) for n, s in adj.items() if s}
+
+    for k in (3, 5):
+        want = brute(k)
+        got = dict(
+            kcore_ds(ray.data.from_pandas(edges), k=k, num_buckets=4)
+            .to_pandas().itertuples(index=False, name=None)
+        )
+        assert got == want, (k, len(got), len(want))
+
+    # a 3-node triangle has no 3-core (each degree is 2) → empty
+    tri = pd.DataFrame(
+        {"u": [0, 1, 1, 2, 2, 0], "v": [1, 0, 2, 1, 0, 2]}
+    )
+    assert (
+        kcore_ds(ray.data.from_pandas(tri), k=3, num_buckets=2).count() == 0
+    )
