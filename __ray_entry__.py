@@ -933,6 +933,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inside the scan, ONE doc-keyed exchange, vectorized
         # adjacency-merge chain — the positional-index retrieval form
         "text_phrase_search": search.phrase_search,
+        # TRAINED quality filter (fastText/CCNet-style): distributed
+        # full-batch IRLS over hashed-trigram features — per iteration
+        # one sufficient-statistics scan pre-reduced to fanin 8 before
+        # the driver's model-sized Newton solve; staged-truth oracle
+        # (brute single-process train+predict) pins the whole training
+        # loop's decisions exactly (min |margin| 6.5e-3 vs ~1e-12
+        # cross-layout drift)
+        "text_quality_classifier": _q_quality_classifier,
         # SemDeDup semantic dedup (k-means is iterative/float → rows-only
         # gate; the keep/drop contract is brute-force pinned in test_ops)
         "dedup_semantic": _q_semantic_dedup,
@@ -1489,6 +1497,30 @@ def _q_cdc_chunks(sf_dir: str):
 
     out = cdc_chunk_stats(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_quality_classifier(sf_dir: str):
+    """Distributed-trained quality classifier (ops/classifier.py).
+    Staged-truth oracle: the brute single-process numpy train+predict
+    over the same documents — shares only the pure feature/Newton
+    kernels with the distributed path; the scan/pre-reduce/broadcast
+    machinery under test is independent."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.classifier import (
+        brute_train_predict,
+        classifier_predictions,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    truth = pd.DataFrame(
+        {"doc_id": np.asarray(t.column("doc_id"), dtype=np.int64),
+         "pred": brute_train_predict(t.column("text").to_pylist())}
+    )
+    _stage_truth("text_quality_classifier", truth)
+    return classifier_predictions(sf_dir)
 
 
 def _q_host_fetch_gaps(sf_dir: str):
@@ -3067,6 +3099,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_host_fetch_gaps"] = f"""
         SELECT host, n_events, gap_p50_us, gap_p90_us
         FROM read_parquet('{_STAGE_DIR}/crawl_host_fetch_gaps.parquet')
+    """
+    oracles["text_quality_classifier"] = f"""
+        SELECT doc_id, pred
+        FROM read_parquet('{_STAGE_DIR}/text_quality_classifier.parquet')
     """
     oracles["crawl_anchor_terms"] = f"""
         SELECT target, term, cnt

@@ -508,6 +508,21 @@ def main():
     from dfg_gepris_crawler_ray.ops.graph import host_link_rank
     timed("crawl_host_rank",
           lambda: host_link_rank(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import (
+        reference_kcore,
+        reference_redirect_chains,
+    )
+    timed("crawl_redirect_resolve",
+          lambda: reference_redirect_chains(SF_DIR).materialize())
+    timed("crawl_kcore", lambda: reference_kcore(SF_DIR).materialize())
+    timed("dedup_line_rewrite",
+          lambda: dedup.line_dedup_rewrite(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.search import phrase_search
+    timed("text_phrase_search",
+          lambda: phrase_search(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.classifier import classifier_predictions
+    timed("text_quality_classifier",
+          lambda: classifier_predictions(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

@@ -38,20 +38,23 @@ def _projection(n_buckets: int = N_BUCKETS, dim: int = DIM) -> np.ndarray:
     return rng.standard_normal((n_buckets, dim)).astype(np.float32)
 
 
-def embed_texts(texts: list[str], proj: np.ndarray) -> np.ndarray:
-    """(n, dim) float32 embeddings for a list of texts — pure kernel
-    shared by the Ray stage and the test oracle."""
+def trigram_counts(
+    texts: list[str], n_buckets: int, dtype=np.float32
+) -> np.ndarray:
+    """(n, n_buckets) hashed char-trigram count matrix — the shared
+    feature kernel (embedder projection input; classifier features).
+    Fully vectorized: one rolling hash over the batch's concatenated
+    UTF-8 bytes, doc-boundary-crossing windows masked out."""
     n = len(texts)
-    dim = proj.shape[1]
+    counts = np.zeros((n, n_buckets), dtype=dtype)
     if n == 0:
-        return np.empty((0, dim), dtype=np.float32)
+        return counts
     enc = [t.encode("utf-8") for t in texts]
     lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n)
     flat = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
-    counts = np.zeros((n, proj.shape[0]), dtype=np.float32)
     if len(flat) >= 3:
         # rolling char-trigram hash over the concatenated bytes
-        h = (flat[:-2] * 31 * 31 + flat[1:-1] * 31 + flat[2:]) % proj.shape[0]
+        h = (flat[:-2] * 31 * 31 + flat[1:-1] * 31 + flat[2:]) % n_buckets
         # window i belongs to the doc containing byte i, unless it
         # crosses into the next doc (the last 2 windows of each doc)
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
@@ -60,6 +63,15 @@ def embed_texts(texts: list[str], proj: np.ndarray) -> np.ndarray:
         pos = np.arange(len(h), dtype=np.int64)
         ok = pos + 2 < ends[doc_of]
         np.add.at(counts, (doc_of[ok], h[ok]), 1.0)
+    return counts
+
+
+def embed_texts(texts: list[str], proj: np.ndarray) -> np.ndarray:
+    """(n, dim) float32 embeddings for a list of texts — pure kernel
+    shared by the Ray stage and the test oracle."""
+    if len(texts) == 0:
+        return np.empty((0, proj.shape[1]), dtype=np.float32)
+    counts = trigram_counts(texts, proj.shape[0], dtype=np.float32)
     emb = counts @ proj
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     return emb / np.clip(norms, 1e-12, None)

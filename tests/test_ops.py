@@ -3973,3 +3973,44 @@ def test_kcore_matches_brute_peel_and_full_collapse():
     assert (
         kcore_ds(ray.data.from_pandas(tri), k=3, num_buckets=2).count() == 0
     )
+
+
+def test_quality_classifier_matches_brute_and_learns():
+    """Distributed IRLS training equals the single-process brute
+    train+predict decision-for-decision; the learned model beats
+    chance on the label rule by a wide margin; the smallest |margin|
+    is orders above cross-layout float drift (the rounding-boundary
+    safety argument)."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.classifier import (
+        LABEL_TOKEN,
+        _featurize_kernel,
+        brute_train_predict,
+        classifier_predictions,
+        featurize,
+        train_quality_model,
+    )
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = t.column("text").to_pylist()
+    ids = [int(i) for i in t.column("doc_id").to_pylist()]
+    want = dict(zip(ids, (int(p) for p in brute_train_predict(texts))))
+
+    got = dict(
+        classifier_predictions(SF)
+        .to_pandas().astype("int64").itertuples(index=False, name=None)
+    )
+    assert got == want
+
+    y = np.array([1 if LABEL_TOKEN in s.split(" ") else 0 for s in texts])
+    preds = np.array([want[i] for i in ids])
+    acc = (preds == y).mean()
+    base = max(y.mean(), 1 - y.mean())
+    assert acc >= min(0.99, base + 0.05), (acc, base)
+
+    # margin safety: distributed drift is ~1e-12; the decision
+    # boundary must sit far above it
+    x, _ = _featurize_kernel(texts)
+    w = train_quality_model(featurize(SF).materialize())
+    assert np.abs(x @ w).min() > 1e-4
