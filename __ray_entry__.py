@@ -1155,6 +1155,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dst-drop via peel markers), edge set shrinks monotonically;
         # unrolled-MATERIALIZED-CTE oracle (16 idempotent peel rounds)
         "crawl_kcore": graph.reference_kcore,
+        # personalized PageRank (random walk with restart at the seed
+        # list): the focused-crawl frontier signal — same two-exchange
+        # iteration as crawl_pagerank, teleport/dangling mass restarts
+        # at the seeds via ONE node-keyed seed-attach exchange (no
+        # driver-side seed set); unrolled-CTE oracle
+        "crawl_focused_rank": graph.focused_frontier_rank,
         # per-key inter-arrival gap quantiles, INDEX-SELECTED in pure
         # integer arithmetic (no float quantile interpolation drift):
         # the adaptive-politeness cadence estimator, windowed-SQL
@@ -2638,6 +2644,46 @@ def oracle_sql() -> dict[str, str]:
     # recurrence unrolls into plain chained CTEs — graduated from
     # rows-only to a full value oracle
     oracles["crawl_pagerank"] = _pagerank_oracle_sql(n_iters=4)
+    # personalized PageRank: same recurrence, but rank starts at
+    # 1/|S| on the seeds and the teleport + dangling mass restart at
+    # the seeds ONLY (non-seed base term is 0)
+    _ppr_steps = ",".join(
+        f"""
+        d{i} AS (SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0)
+                   AS m FROM r{i - 1}),
+        c{i} AS (SELECT e.dst AS node, sum(r.rank / r.outdeg) AS s
+                 FROM edges e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst),
+        r{i} AS (SELECT n.node, n.outdeg, n.seed,
+                        n.seed * (0.15 + 0.85 * d{i}.m) / ns.n
+                          + 0.85 * coalesce(c{i}.s, 0) AS rank
+                 FROM r{i - 1} n CROSS JOIN ns CROSS JOIN d{i}
+                 LEFT JOIN c{i} ON n.node = c{i}.node)"""
+        for i in range(1, 5)
+    )
+    oracles["crawl_focused_rank"] = f"""
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        edges AS (
+          SELECT CAST(1000 + d.doc_id AS BIGINT) AS src,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS dst
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+        allnodes AS (SELECT DISTINCT src AS node FROM edges
+                     UNION SELECT DISTINCT dst FROM edges),
+        sd AS (SELECT CAST(1000 + doc_id AS BIGINT) AS node
+               FROM documents WHERE doc_id % 30 = 0),
+        nodes AS (SELECT a.node, coalesce(deg.outdeg, 0) AS outdeg,
+                         CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS seed
+                  FROM allnodes a LEFT JOIN deg ON a.node = deg.node
+                  LEFT JOIN sd ON a.node = sd.node),
+        ns AS (SELECT sum(seed) AS n FROM nodes),
+        r0 AS (SELECT node, outdeg, seed, seed * 1.0 / ns.n AS rank
+               FROM nodes CROSS JOIN ns),
+        {_ppr_steps}
+        SELECT node, round(rank, 9) AS rank FROM r4 ORDER BY node
+    """
     oracles["crawl_frontier_pagerank"] = _pagerank_oracle_sql(
         n_iters=4,
         final_select="""

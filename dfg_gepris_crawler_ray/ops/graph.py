@@ -27,6 +27,7 @@ def pagerank_ds(
     n_iters: int = 10,
     damping: float = 0.85,
     weight_col: str | None = None,
+    seeds: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """PageRank over an edge Dataset (``src``, ``dst`` int64 columns),
     fixed ``n_iters`` power iterations, dangling mass redistributed
@@ -38,8 +39,20 @@ def pagerank_ds(
     an edge is "host A links to host B n times".  Integer-valued
     weights keep every float sum exact (< 2^53), so the weighted path
     is as deterministic as the unweighted one.  ``weight_col=None``
-    preserves the original unweighted arithmetic bit-for-bit."""
+    preserves the original unweighted arithmetic bit-for-bit.
+
+    ``seeds`` (a Dataset with a ``node`` column) switches to
+    PERSONALIZED PageRank — random walk with restart to the seed set
+    (Haveliwala 2002 topic-sensitive PageRank): teleport and dangling
+    mass land uniformly on the |S| seeds instead of all N nodes, and
+    rank starts as 1/|S| on seeds / 0 elsewhere. This is the
+    focused-crawl prioritization signal: proximity to the curated
+    seed list, not global importance. Seeds are attached through ONE
+    node-keyed exchange (never a driver set — the seed list may be
+    huge); seed ids absent from the graph are ignored.
+    ``seeds=None`` preserves the global arithmetic bit-for-bit."""
     weighted = weight_col is not None
+    personalized = seeds is not None
 
     def cast_edges(df: pd.DataFrame) -> pd.DataFrame:
         out = {"src": df["src"].astype("int64"),
@@ -90,13 +103,64 @@ def pagerank_ds(
                           "rank": pd.Series(dtype="float64")})
         )
 
-    ranks = nodes.map_batches(
-        lambda df: pd.DataFrame(
-            {"node": df["node"].astype("int64"), "rank": 1.0 / n_nodes,
-             "outdeg": df["outdeg"].astype(deg_dtype)}
-        ),
-        batch_format="pandas",
-    ).materialize()
+    n_seeds = 0
+    if personalized:
+        seed_rows = seeds.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"].astype("int64")})
+            .drop_duplicates()
+            .assign(outdeg=0, _nb=lambda d: _bl(d["node"]), _k="s"),
+            batch_format="pandas",
+        )
+
+        def attach_seed(g: pd.DataFrame) -> pd.DataFrame:
+            sn = g.loc[g["_k"] == "s", "node"].to_numpy()
+            nd_ = g[g["_k"] == "n"]
+            return pd.DataFrame(
+                {"node": nd_["node"].astype("int64"),
+                 "outdeg": nd_["outdeg"].astype(deg_dtype),
+                 "seed": nd_["node"].isin(sn).astype("int64")}
+            )
+
+        nodes = (
+            nodes.map_batches(
+                lambda df: df.assign(_nb=_bl(df["node"]), _k="n"),
+                batch_format="pandas",
+            )
+            .union(seed_rows)
+            .repartition(nb)
+            .groupby("_nb")
+            .map_groups(attach_seed, batch_format="pandas")
+            .materialize()
+        )
+        n_seeds = int(
+            nodes.map_batches(
+                lambda df: pd.DataFrame({"n": [int(df["seed"].sum())]}),
+                batch_format="pandas",
+            ).sum("n")
+            or 0
+        )
+        if n_seeds == 0:
+            raise ValueError(
+                "pagerank_ds: no seed id appears in the graph — "
+                "personalized rank is undefined"
+            )
+        ranks = nodes.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "rank": df["seed"].astype("float64") / n_seeds,
+                 "outdeg": df["outdeg"].astype(deg_dtype),
+                 "seed": df["seed"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+    else:
+        ranks = nodes.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].astype("int64"), "rank": 1.0 / n_nodes,
+                 "outdeg": df["outdeg"].astype(deg_dtype)}
+            ),
+            batch_format="pandas",
+        ).materialize()
 
     for _ in range(n_iters):
         # dangling mass: tiny per-bucket partials → one driver scalar
@@ -162,30 +226,44 @@ def pagerank_ds(
         # apply the rank update; nodes ride along so zero-in-degree
         # nodes keep a row
         base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        # personalized: teleport + dangling mass restart AT THE SEEDS
+        seed_base = (
+            ((1.0 - damping) + damping * dangling) / n_seeds
+            if personalized
+            else 0.0
+        )
 
         def tag_node(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"node": df["node"].astype("int64"), "contrib": 0.0,
-                 "outdeg": df["outdeg"].astype(deg_dtype),
-                 "_nb": _bl(df["node"]), "_k": "n"}
-            )
+            out = {"node": df["node"].astype("int64"), "contrib": 0.0,
+                   "outdeg": df["outdeg"].astype(deg_dtype),
+                   "_nb": _bl(df["node"]), "_k": "n"}
+            if personalized:
+                out["seed"] = df["seed"].astype("int64")
+            return pd.DataFrame(out)
 
         def tag_contrib(df: pd.DataFrame) -> pd.DataFrame:
-            return df.assign(outdeg=-1.0 if weighted else -1, _k="c")[
-                ["node", "contrib", "outdeg", "_nb", "_k"]
-            ]
+            cols = ["node", "contrib", "outdeg", "_nb", "_k"]
+            df = df.assign(outdeg=-1.0 if weighted else -1, _k="c")
+            if personalized:
+                df = df.assign(seed=np.int64(-1))
+                cols = cols + ["seed"]
+            return df[cols]
 
         def reduce_rank(g: pd.DataFrame) -> pd.DataFrame:
-            nd = g[g["_k"] == "n"][["node", "outdeg"]]
+            keep = ["node", "outdeg"] + (["seed"] if personalized else [])
+            nd = g[g["_k"] == "n"][keep]
             # deterministic summation: order by node (groupby sorts keys)
             cs = g[g["_k"] == "c"].groupby("node")["contrib"].sum()
             m = nd.merge(cs.rename("s"), left_on="node", right_index=True, how="left")
             m["s"] = m["s"].fillna(0.0)
-            return pd.DataFrame(
-                {"node": m["node"].astype("int64"),
-                 "rank": base + damping * m["s"],
-                 "outdeg": m["outdeg"].astype(deg_dtype)}
-            )
+            out = {"node": m["node"].astype("int64"),
+                   "outdeg": m["outdeg"].astype(deg_dtype)}
+            if personalized:
+                out["rank"] = seed_base * m["seed"] + damping * m["s"]
+                out["seed"] = m["seed"].astype("int64")
+            else:
+                out["rank"] = base + damping * m["s"]
+            return pd.DataFrame(out)
 
         from ..kernels.partitioning import cut_lineage
 
@@ -1426,3 +1504,45 @@ def reference_kcore(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
         )
     )
     return kcore_ds(dedup, k=k, num_buckets=16)
+
+
+def focused_frontier_rank(sf_dir: str, n_iters: int = 4) -> "ray.data.Dataset":
+    """(node, rank) — PERSONALIZED PageRank over the projekt→person
+    reference graph, restarting at the curated seed list (projekt
+    nodes whose doc_id is a multiple of 30 — the same deterministic
+    seed rule as ``reference_graph_bfs_depth``): the focused-crawl
+    frontier signal, ranking pages by random-walk proximity to the
+    seeds rather than global importance (Haveliwala 2002). BFS tiers
+    give the hop metric; this gives the smooth, link-density-aware
+    one."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        rows = {"src": [], "dst": []}
+        for d in ids:
+            for k in (1, 2, 3, 4):
+                rows["src"].append(1000 + d)
+                rows["dst"].append(person_ref(d, k, n_docs))
+        return pd.DataFrame(
+            {"src": pd.Series(rows["src"], dtype="int64"),
+             "dst": pd.Series(rows["dst"], dtype="int64")}
+        )
+
+    def seed_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = ids[ids % 30 == 0].astype(np.int64)
+        return pd.DataFrame({"node": 1000 + sel})
+
+    return pagerank_ds(
+        docs.map_batches(edge_rows, batch_format="pyarrow"),
+        n_iters=n_iters,
+        seeds=docs.map_batches(seed_rows, batch_format="pyarrow"),
+    )

