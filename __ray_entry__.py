@@ -1166,6 +1166,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the adaptive-politeness cadence estimator, windowed-SQL
         # oracle over the events stream
         "rel_user_gap_quantiles": recrawl.user_event_gap_quantiles,
+        # exponentially-decayed recency counters (forward-decay: the
+        # per-event weight is a pure function of its own timestamp, so
+        # partials merge) — in-batch per-key combiner + ONE keyed
+        # exchange; exp() SQL oracle
+        "rel_decayed_activity": recrawl.decayed_activity,
         # the same kernel over the crawl corpus (string host key):
         # per-host fetch cadence → per-host crawl delay. Staged
         # brute-census oracle (pages are generated, not a gate view)
@@ -3122,6 +3127,15 @@ def oracle_sql() -> dict[str, str]:
              JOIN st ON st.l_partkey = lineitem.l_partkey
         WHERE p_brand = 'Brand#4'
           AND 5 * round(l_quantity)::BIGINT * n < sum_qty
+    """
+    oracles["rel_decayed_activity"] = """
+        WITH mx AS (SELECT max(epoch_us(ts)) AS t FROM events)
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               round(sum(power(2.0,
+                     -(mx.t - epoch_us(ts)) / (24.0 * 3600e6))), 9)
+                 AS score
+        FROM events CROSS JOIN mx
+        GROUP BY user_id
     """
     oracles["rel_user_gap_quantiles"] = """
         WITH g AS (

@@ -503,3 +503,61 @@ def host_budget_allocation(
         )
 
     return fl_ds.map_batches(finalize, batch_format="pandas")
+
+
+def decayed_activity(
+    sf_dir: str, half_life_hours: float = 24.0, num_buckets: int = 32
+) -> "ray.data.Dataset":
+    """(user_id, n_events, score) — exponentially-decayed activity
+    counters over the events stream: score = Σ 2^(−(T−ts)/half-life),
+    T = the stream's max timestamp. The standard recency-weighted
+    counter a crawl scheduler keeps per host (recent fetch volume
+    matters, last month's doesn't) — cf. the forward-decay view of
+    Cormode et al. 2009: the per-event weight is a pure function of
+    the event's own timestamp, so partial sums are mergeable and the
+    counter needs no re-scaling sweep.
+
+    Distributed shape: one ``Dataset.max`` scan for T (driver scalar),
+    then ONE scan pre-aggregating (sum, count) per user inside each
+    batch (the combiner) and ONE user-keyed exchange merging partials
+    — identical cost to a plain groupby-count, the decay rides along
+    as arithmetic."""
+    import ray
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    t_max = ev.max("ts")  # driver scalar (np.datetime64)
+    t_max_us = int(pd.Timestamp(t_max).value // 1000)
+    hl_us = float(half_life_hours) * 3600e6
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy()
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        w = np.power(2.0, -(t_max_us - ts_us) / hl_us)
+        df = pd.DataFrame({"user_id": uid.astype("int64"), "w": w})
+        agg = df.groupby("user_id", as_index=False).agg(
+            score=("w", "sum"), n_events=("w", "size")
+        )
+        return agg
+
+    parts = ev.map_batches(partial, batch_format="pyarrow")
+    nb = adaptive_buckets(parts.count(), requested=num_buckets)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False).agg(
+            n_events=("n_events", "sum"), score=("score", "sum")
+        )
+        return out.astype({"user_id": "int64", "n_events": "int64"})
+
+    return (
+        parts.map_batches(
+            lambda df: df.assign(_b=(df["user_id"] % nb).astype("int32")),
+            batch_format="pandas",
+        )
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(merge, batch_format="pandas")
+    )

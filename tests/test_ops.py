@@ -4079,3 +4079,33 @@ def test_personalized_pagerank_matches_numpy_and_conserves_mass():
             n_iters=2,
             seeds=ray.data.from_pandas(pd.DataFrame({"node": [99]})),
         )
+
+
+def test_decayed_activity_matches_brute_and_merges():
+    """Decayed counters vs a brute python walk at two half-lives; the
+    forward-decay merge property means block layout cannot change the
+    result (checked by re-running with a different bucket count)."""
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.recrawl import decayed_activity
+
+    ev = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) AS us FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    t = ev["us"].max()
+
+    for hl in (6.0, 24.0):
+        want = {}
+        for uid, g in ev.groupby("user_id"):
+            w = 2.0 ** (-(t - g["us"].to_numpy()) / (hl * 3600e6))
+            want[int(uid)] = (len(g), float(w.sum()))
+        for nb in (4, 16):
+            got = {
+                int(r["user_id"]): (int(r["n_events"]), float(r["score"]))
+                for r in decayed_activity(SF, half_life_hours=hl, num_buckets=nb)
+                .to_pandas().to_dict("records")
+            }
+            assert set(got) == set(want)
+            for k in want:
+                assert got[k][0] == want[k][0]
+                assert abs(got[k][1] - want[k][1]) < 1e-9
