@@ -941,6 +941,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # loop's decisions exactly (min |margin| 6.5e-3 vs ~1e-12
         # cross-layout drift)
         "text_quality_classifier": _q_quality_classifier,
+        # the CCNet shape end-to-end: trained-model gate → exact dedup
+        # of the survivors, one lazy pipeline (6 fanin-bounded training
+        # scans + 1 scoring scan that drops rejects pre-hash + 1
+        # md5-bucket keep-min exchange); staged brute preds + pure SQL
+        # for the relational tail
+        "text_model_gated_funnel": _q_model_gated_funnel,
         # SemDeDup semantic dedup (k-means is iterative/float → rows-only
         # gate; the keep/drop contract is brute-force pinned in test_ops)
         "dedup_semantic": _q_semantic_dedup,
@@ -1532,6 +1538,29 @@ def _q_quality_classifier(sf_dir: str):
     )
     _stage_truth("text_quality_classifier", truth)
     return classifier_predictions(sf_dir)
+
+
+def _q_model_gated_funnel(sf_dir: str):
+    """Trained-filter funnel (ops/classifier.py::model_gated_corpus).
+    Only the model's decisions need staging (brute single-process
+    train+predict); the filter/dedup/token-count tail is pure SQL over
+    documents + the staged decisions."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.classifier import (
+        brute_train_predict,
+        model_gated_corpus,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    truth = pd.DataFrame(
+        {"doc_id": np.asarray(t.column("doc_id"), dtype=np.int64),
+         "pred": brute_train_predict(t.column("text").to_pylist())}
+    )
+    _stage_truth("text_model_gated_funnel", truth)
+    return model_gated_corpus(sf_dir)
 
 
 def _q_host_fetch_gaps(sf_dir: str):
@@ -3163,6 +3192,20 @@ def oracle_sql() -> dict[str, str]:
     oracles["text_quality_classifier"] = f"""
         SELECT doc_id, pred
         FROM read_parquet('{_STAGE_DIR}/text_quality_classifier.parquet')
+    """
+    oracles["text_model_gated_funnel"] = f"""
+        WITH preds AS (
+          SELECT * FROM read_parquet(
+            '{_STAGE_DIR}/text_model_gated_funnel.parquet')),
+        kept AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN preds p USING (doc_id) WHERE p.pred = 1),
+        dd AS (
+          SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
+          FROM kept GROUP BY 1)
+        SELECT dd.doc_id, dd.content_md5,
+               len(string_split(k.text, ' '))::BIGINT AS n_tokens
+        FROM dd JOIN kept k ON k.doc_id = dd.doc_id
     """
     oracles["crawl_anchor_terms"] = f"""
         SELECT target, term, cnt

@@ -175,3 +175,61 @@ def classifier_predictions(sf_dir: str) -> "ray.data.Dataset":
         return pd.DataFrame({"doc_id": ids, "pred": pred})
 
     return feats.map_batches(score, batch_format="pyarrow")
+
+
+def model_gated_corpus(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, content_md5, n_tokens) — the TRAINED-filter funnel:
+    train the quality model distributedly, keep only documents the
+    model accepts, then exact-dedup the survivors (md5 keep-min) —
+    the CCNet shape end-to-end (model filter → dedup), composing this
+    module's classifier with the exact-dedup exchange in one lazy
+    pipeline. ``n_tokens`` is the kept document's whitespace token
+    count (what a packing stage budgets by).
+
+    Shape: the 6 training scans (fanin-bounded funnels), then ONE
+    scoring scan that drops rejected docs before anything is hashed,
+    then ONE md5-bucket keep-min exchange over the survivors only."""
+    import hashlib
+
+    feats = featurize(sf_dir).materialize()
+    w = train_quality_model(feats)
+    w_ref = ray.put(w)
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def gate(batch: pa.Table) -> pd.DataFrame:
+        wv = ray.get(w_ref)
+        texts = batch.column("text").to_pylist()
+        x, _ = _featurize_kernel(texts)
+        keep = x @ wv >= 0.0
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        rows = {
+            "doc_id": ids[keep],
+            "content_md5": [
+                hashlib.md5(t.encode()).hexdigest()
+                for t, k in zip(texts, keep) if k
+            ],
+            "n_tokens": np.asarray(
+                [len(t.split(" ")) for t, k in zip(texts, keep) if k],
+                dtype=np.int64,
+            ),
+        }
+        df = pd.DataFrame(rows)
+        df["_b"] = df["content_md5"].str[:2].apply(
+            lambda h2: int(h2, 16) % 64
+        ).astype("int32")
+        return df
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_md5", "doc_id"], kind="mergesort")
+        first = g.drop_duplicates("content_md5", keep="first")
+        return first[["doc_id", "content_md5", "n_tokens"]]
+
+    return (
+        docs.map_batches(gate, batch_format="pyarrow")
+        .repartition(64)
+        .groupby("_b")
+        .map_groups(keep_min, batch_format="pandas")
+    )
