@@ -264,6 +264,58 @@ def _graph_scale():
     hits_wall = round(time.perf_counter() - t0, 3)
     n_ht = ht.count()
 
+    # redirect chains at volume: a functional graph of 10^7 nodes in
+    # chains of ≤ 64 (node → node−1 except at 64-boundaries) resolves
+    # in ≤ 6 pointer-jump rounds — the path-doubling claim under real
+    # exchange volume, not toy overhead
+    from dfg_gepris_crawler_ray.ops.graph import kcore_ds, redirect_resolve_ds
+
+    n_chain = n_edges  # one out-edge per non-terminal node
+
+    def chain_rows(batch: dict) -> pd.DataFrame:
+        i = batch["id"].astype(np.int64)
+        i = i[i % 64 != 0]
+        return pd.DataFrame({"src": i, "dst": i - 1})
+
+    chain_edges = ray.data.range(n_chain).map_batches(
+        chain_rows, batch_format="numpy"
+    )
+    t0 = time.perf_counter()
+    rr = redirect_resolve_ds(chain_edges, num_buckets=64).materialize()
+    rr_wall = round(time.perf_counter() - t0, 3)
+    n_rr = rr.count()
+
+    # k-core at volume over the same skewed hash graph (symmetrized,
+    # deduped in-exchange by kcore's own contract helper)
+    def sym_rows(batch: dict) -> pd.DataFrame:
+        i = batch["id"].astype(np.int64)
+        src = (i * 2654435761 % n_nodes).astype(np.int64)
+        dst = ((i >> 3) * 40503 % n_nodes).astype(np.int64)
+        keep = src != dst
+        s, d = src[keep], dst[keep]
+        return pd.DataFrame(
+            {"u": np.concatenate([s, d]), "v": np.concatenate([d, s])}
+        ).drop_duplicates()
+
+    sym = ray.data.range(n_edges).map_batches(sym_rows, batch_format="numpy")
+    nbk = 64
+    sym = (
+        sym.map_batches(
+            lambda df: df.assign(_b=(df["u"] % nbk).astype("int32")),
+            batch_format="pandas",
+        )
+        .repartition(nbk)
+        .groupby("_b")
+        .map_groups(
+            lambda g: g.drop_duplicates(["u", "v"])[["u", "v"]],
+            batch_format="pandas",
+        )
+    )
+    t0 = time.perf_counter()
+    kc = kcore_ds(sym, k=16, num_buckets=64).materialize()
+    kc_wall = round(time.perf_counter() - t0, 3)
+    n_kc = kc.count()
+
     out = {
         "mode": "graph_scale",
         "n_edges": n_edges,
@@ -275,6 +327,10 @@ def _graph_scale():
         "hits_wall_sec": hits_wall,
         "hits_edge_visits_per_sec": round(2 * 2 * n_edges / hits_wall),
         "hits_nodes": int(n_ht),
+        "redirect_chains_resolved": int(n_rr),
+        "redirect_wall_sec": rr_wall,
+        "kcore_nodes": int(n_kc),
+        "kcore_wall_sec": kc_wall,
         "num_cpus": NUM_CPUS,
     }
     ray.shutdown()
@@ -520,9 +576,20 @@ def main():
     from dfg_gepris_crawler_ray.ops.search import phrase_search
     timed("text_phrase_search",
           lambda: phrase_search(SF_DIR).materialize())
-    from dfg_gepris_crawler_ray.ops.classifier import classifier_predictions
+    from dfg_gepris_crawler_ray.ops.classifier import (
+        classifier_predictions,
+        model_gated_corpus,
+    )
     timed("text_quality_classifier",
           lambda: classifier_predictions(SF_DIR).materialize())
+    timed("text_model_gated_funnel",
+          lambda: model_gated_corpus(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import focused_frontier_rank
+    timed("crawl_focused_rank",
+          lambda: focused_frontier_rank(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.recrawl import decayed_activity
+    timed("rel_decayed_activity",
+          lambda: decayed_activity(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big
