@@ -839,7 +839,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_data_monitor": _q_data_monitor,
         # --- training-data ops --------------------------------------------
         "dedup_exact": dedup.exact_dedup,
-        "dedup_minhash_lsh": dedup.minhash_lsh_dedup,
+        # deterministic end-to-end (fixed-seed signatures → fixed
+        # banding → exact integer-ratio Jaccard) → staged brute-census
+        # oracle, graduated from rows-only
+        "dedup_minhash_lsh": _q_minhash_lsh,
         # integer-exact banding guarantee → staged brute-census oracle
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -864,7 +867,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "text_quality": textstats.quality_scores,
         "text_lang_id": textstats.lang_id,
-        "text_approx_distinct": textstats.approx_distinct_tokens,
+        # HLL registers are MAX-merged → merge-order-independent → the
+        # integer estimate is deterministic; staged brute-census
+        # oracle, graduated from rows-only (error bound stays pinned
+        # separately in pytest)
+        "text_approx_distinct": _q_approx_distinct,
         "text_norm_fingerprints": textstats.normalized_fingerprints,
         "lang_histogram": _q_lang_hist,
         "media_features": lambda sf: multimodal.media_features(sf).select_columns(
@@ -1065,11 +1072,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_funnel_steps": relational.funnel_steps,
         # HLL route for ultra-wide windows: one 4 KB register row per
         # (block, window, type) — exchange volume independent of user
-        # cardinality (rows-only gate; 6σ error bound pinned in pytest
+        # cardinality. Registers MAX-merge (order-free) → the estimate
+        # is deterministic → staged brute-census oracle, graduated
+        # from rows-only (6σ error bound stays pinned in pytest
         # test_window_distinct_hll_route_error_bound)
-        "rel_window_distinct_hll": lambda sf: relational.window_distinct_users(
-            sf, route="hll"
-        ),
+        "rel_window_distinct_hll": _q_window_distinct_hll,
         # Count-Min sketch point frequencies (128 KB mergeable grid,
         # NO keyed exchange; exact regime at default width → full
         # oracle, ε-bound pinned separately at adversarial width)
@@ -1514,6 +1521,145 @@ def _q_cdc_chunks(sf_dir: str):
 
     out = cdc_chunk_stats(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup pairs (ops/dedup.py::minhash_lsh_dedup).
+    Deterministic end-to-end: fixed-seed SplitMix64 signatures, fixed
+    16×4 banding, exact integer-ratio Jaccard verification — so the
+    single-process brute census (same pure kernels: signature, band
+    blake2b, jaccard; independent candidate/verify machinery) is a
+    full value-hash truth table. Both verify routes are
+    output-identical (pinned in pytest), so one truth serves both."""
+    import hashlib as _hashlib
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.kernels.hashing import minhash_permutations
+    from dfg_gepris_crawler_ray.ops.dedup import (
+        jaccard,
+        minhash_lsh_dedup,
+        minhash_signature,
+        shingle_hashes,
+    )
+
+    num_perm, bands, shingle_k, threshold = 64, 16, 5, 0.8
+    rpb = num_perm // bands
+    seeds = minhash_permutations(num_perm)
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = [int(i) for i in tbl.column("doc_id").to_pylist()]
+    texts = tbl.column("text").to_pylist()
+    shingles = {i: shingle_hashes(t, shingle_k) for i, t in zip(ids, texts)}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in ids:
+        sig = minhash_signature(shingles[i], seeds)
+        for b in range(bands):
+            h = int.from_bytes(
+                _hashlib.blake2b(
+                    sig[b * rpb:(b + 1) * rpb].tobytes(), digest_size=8
+                ).digest(), "big",
+            ) % (1 << 62)
+            buckets.setdefault((b, h), []).append(i)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for ai in range(len(ms)):
+            for bi in range(ai + 1, len(ms)):
+                cand.add((ms[ai], ms[bi]))
+    rows = []
+    for a, b in sorted(cand):
+        j = jaccard(shingles[a], shingles[b])
+        if j >= threshold:
+            rows.append((a, b, round(j, 6)))
+    truth = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+    truth = truth.astype({"doc_a": "int64", "doc_b": "int64",
+                          "jaccard": "float64"})
+    _stage_truth("dedup_minhash_lsh", truth)
+    return minhash_lsh_dedup(sf_dir)
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HLL distinct tokens per language (ops/textstats.py). The
+    register arrays are MAX-merged, so the merged registers — and the
+    integer estimate — are independent of batch layout and merge
+    order: the single-process brute (same register/estimator kernels,
+    one pass over all docs) is an exact truth table, not an
+    approximation of one."""
+    import hashlib as _hashlib
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.textstats import (
+        _hll_estimate,
+        _hll_registers,
+        approx_distinct_tokens,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    regs: dict[str, np.ndarray] = {}
+    for lang, text in zip(tbl.column("lang").to_pylist(),
+                          tbl.column("text").to_pylist()):
+        hs = np.fromiter(
+            (int.from_bytes(
+                _hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+             for t in set(text.split(" "))),
+            dtype=np.uint64,
+        )
+        r = _hll_registers(hs, 12)
+        if lang in regs:
+            np.maximum(regs[lang], r, out=regs[lang])
+        else:
+            regs[lang] = r
+    truth = pd.DataFrame(
+        {"lang": sorted(regs),
+         "approx_distinct_tokens": np.asarray(
+             [_hll_estimate(regs[lg]) for lg in sorted(regs)],
+             dtype=np.int64)}
+    )
+    _stage_truth("text_approx_distinct", truth)
+    return approx_distinct_tokens(sf_dir)
+
+
+def _q_window_distinct_hll(sf_dir: str):
+    """HLL windowed distinct users (ops/relational.py, route='hll').
+    Same max-merge determinism argument as text_approx_distinct: the
+    brute recomputes the per-(window, type) registers in one pass
+    (same splitmix64/register/estimator kernels) and stages the exact
+    integer estimates."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.kernels.hashing import splitmix64
+    from dfg_gepris_crawler_ray.ops.relational import window_distinct_users
+    from dfg_gepris_crawler_ray.ops.textstats import (
+        _hll_estimate,
+        _hll_registers,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    )
+    df = pd.DataFrame(
+        {"window_start": _pc.floor_temporal(tbl.column("ts"),
+                                            unit="hour").to_pandas(),
+         "event_type": tbl.column("event_type").to_pylist(),
+         "_uh": splitmix64(
+             tbl.column("user_id").to_numpy(zero_copy_only=False)
+             .astype(np.uint64))}
+    )
+    rows = []
+    for (w, et), g in df.groupby(["window_start", "event_type"], sort=True):
+        est = _hll_estimate(
+            _hll_registers(np.unique(g["_uh"].to_numpy()), 12)
+        )
+        rows.append((w, et, est))
+    truth = pd.DataFrame(
+        rows, columns=["window_start", "event_type", "distinct_users"]
+    ).astype({"distinct_users": "int64"})
+    _stage_truth("rel_window_distinct_hll", truth)
+    return window_distinct_users(sf_dir, route="hll")
 
 
 def _q_quality_classifier(sf_dir: str):
@@ -3188,6 +3334,18 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_host_fetch_gaps"] = f"""
         SELECT host, n_events, gap_p50_us, gap_p90_us
         FROM read_parquet('{_STAGE_DIR}/crawl_host_fetch_gaps.parquet')
+    """
+    oracles["dedup_minhash_lsh"] = f"""
+        SELECT doc_a, doc_b, jaccard
+        FROM read_parquet('{_STAGE_DIR}/dedup_minhash_lsh.parquet')
+    """
+    oracles["text_approx_distinct"] = f"""
+        SELECT lang, approx_distinct_tokens
+        FROM read_parquet('{_STAGE_DIR}/text_approx_distinct.parquet')
+    """
+    oracles["rel_window_distinct_hll"] = f"""
+        SELECT window_start, event_type, distinct_users
+        FROM read_parquet('{_STAGE_DIR}/rel_window_distinct_hll.parquet')
     """
     oracles["text_quality_classifier"] = f"""
         SELECT doc_id, pred
