@@ -855,7 +855,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": lambda sf: similarity.knn_brute(sf).select(
             ["query_id", "rank", "neighbor_id"]
         ),
-        "knn_lsh": lambda sf: similarity.knn_lsh(sf),
+        # seeded buckets + float64 per-pair dots + shared tie-break →
+        # deterministic; staged brute-census oracle, graduated from
+        # rows-only (margins pinned in test_knn_lsh_determinism_margins)
+        "knn_lsh": _q_knn_lsh,
         "knn_ivf": lambda sf: similarity.knn_ivf(sf),
         # PQ/ADC + exact re-rank (Jégou 2011): codes-only shortlist
         # pass, candidate-set exact pass; rows-only (recall pinned in
@@ -1660,6 +1663,70 @@ def _q_window_distinct_hll(sf_dir: str):
     ).astype({"distinct_users": "int64"})
     _stage_truth("rel_window_distinct_hll", truth)
     return window_distinct_users(sf_dir, route="hll")
+
+
+def _q_knn_lsh(sf_dir: str):
+    """Multi-probe LSH kNN (ops/similarity.py::knn_lsh). Deterministic
+    on this corpus: hyperplane bits and probe sets are seeded, scores
+    are float64 dots of fixed vectors, and the (cosine desc, id asc)
+    tie-break is shared by every stage — so a single-process brute
+    (full-matrix buckets + scores, same formulas) stages exact truth.
+    The two float hazards (a projection near 0 flipping a bucket bit,
+    a k-boundary score gap inside BLAS drift) are pinned by
+    test_knn_lsh_determinism_margins: both margins are ≥ 1e-9 on the
+    fixed gate corpus while cross-shape drift is ~1e-16."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import (
+        _as_matrix_arrow,
+        _load_queries,
+        knn_lsh,
+    )
+
+    query_ids, k, n_planes, n_tables, seed = [0, 1, 2, 3, 4], 10, 6, 4, 42
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    mat = _as_matrix_arrow(tbl.column("embedding"))
+    q = _load_queries(sf_dir, query_ids)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, q.shape[1]))
+
+    def buckets_of(m: np.ndarray) -> np.ndarray:
+        out = np.empty((m.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (m @ planes[t].T) > 0
+            out[:, t] = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+        return out
+
+    qb, mb = buckets_of(q), buckets_of(mat)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    sims = qn @ mn.T
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        hit = np.zeros(len(ids), dtype=bool)
+        for t in range(n_tables):
+            probes = {int(qb[qi, t])} | {
+                int(qb[qi, t]) ^ (1 << b) for b in range(n_planes)
+            }
+            hit |= np.fromiter(
+                (int(b) in probes for b in mb[:, t]), dtype=bool, count=len(ids)
+            )
+        mask = hit & (ids != qid)
+        cand_ids, scores = ids[mask], sims[qi][mask]
+        top = np.lexsort((cand_ids, -scores))[:k]
+        for rank, j in enumerate(top, start=1):
+            rows.append((qid, rank, int(cand_ids[j]), round(float(scores[j]), 6)))
+    truth = pd.DataFrame(
+        rows, columns=["query_id", "rank", "neighbor_id", "cosine"]
+    )
+    truth = truth.astype(
+        {"query_id": "int64", "rank": "int64", "neighbor_id": "int64"}
+    )
+    _stage_truth("knn_lsh", truth)
+    return knn_lsh(sf_dir)
 
 
 def _q_quality_classifier(sf_dir: str):
@@ -3334,6 +3401,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_host_fetch_gaps"] = f"""
         SELECT host, n_events, gap_p50_us, gap_p90_us
         FROM read_parquet('{_STAGE_DIR}/crawl_host_fetch_gaps.parquet')
+    """
+    oracles["knn_lsh"] = f"""
+        SELECT query_id, rank, neighbor_id, cosine
+        FROM read_parquet('{_STAGE_DIR}/knn_lsh.parquet')
     """
     oracles["dedup_minhash_lsh"] = f"""
         SELECT doc_a, doc_b, jaccard

