@@ -1177,6 +1177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # at the seeds via ONE node-keyed seed-attach exchange (no
         # driver-side seed set); unrolled-CTE oracle
         "crawl_focused_rank": graph.focused_frontier_rank,
+        # HyperBall (Boldi–Vigna): per-node ball-size estimates via
+        # HLL counters flowing along edges — 2 keyed exchanges per
+        # round with the PageRank pre-merge combiner; register
+        # max-merge is order-free → deterministic → staged brute
+        # register-evolution oracle
+        "crawl_hyperball": _q_hyperball,
         # per-key inter-arrival gap quantiles, INDEX-SELECTED in pure
         # integer arithmetic (no float quantile interpolation drift):
         # the adaptive-politeness cadence estimator, windowed-SQL
@@ -1727,6 +1733,51 @@ def _q_knn_lsh(sf_dir: str):
     )
     _stage_truth("knn_lsh", truth)
     return knn_lsh(sf_dir)
+
+
+def _q_hyperball(sf_dir: str):
+    """HyperBall ball sizes (ops/graph.py::hyperball_ds). Registers
+    max-merge, so the distributed evolution equals the single-process
+    one bit-for-bit; the brute here replays the per-round
+    neighbor-max recurrence over a driver dict (same register/
+    estimator/splitmix64 kernels, independent propagation machinery)
+    and stages the exact estimates."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.kernels.hashing import splitmix64
+    from dfg_gepris_crawler_ray.ops.graph import reference_hyperball
+    from dfg_gepris_crawler_ray.ops.textstats import (
+        _hll_estimate,
+        _hll_registers,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    adj: dict[int, set] = {}
+    for d in range(0, n_docs, 3):
+        for k in (1, 2, 3, 4):
+            pr = person_ref(d, k, n_docs)
+            adj.setdefault(1000 + d, set()).add(pr)
+            adj.setdefault(pr, set()).add(1000 + d)
+    regs = {
+        n: _hll_registers(
+            splitmix64(np.array([n], dtype=np.uint64)), 8
+        )
+        for n in adj
+    }
+    for _ in range(4):
+        nxt = {n: r.copy() for n, r in regs.items()}
+        for n, nbrs in adj.items():
+            for nb_ in nbrs:
+                np.maximum(nxt[nb_], regs[n], out=nxt[nb_])
+        regs = nxt
+    truth = pd.DataFrame(
+        {"node": sorted(regs),
+         "ball_est": np.asarray(
+             [_hll_estimate(regs[n]) for n in sorted(regs)], dtype=np.int64)}
+    )
+    _stage_truth("crawl_hyperball", truth)
+    return reference_hyperball(sf_dir)
 
 
 def _q_quality_classifier(sf_dir: str):
@@ -3401,6 +3452,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_host_fetch_gaps"] = f"""
         SELECT host, n_events, gap_p50_us, gap_p90_us
         FROM read_parquet('{_STAGE_DIR}/crawl_host_fetch_gaps.parquet')
+    """
+    oracles["crawl_hyperball"] = f"""
+        SELECT node, ball_est
+        FROM read_parquet('{_STAGE_DIR}/crawl_hyperball.parquet')
     """
     oracles["knn_lsh"] = f"""
         SELECT query_id, rank, neighbor_id, cosine

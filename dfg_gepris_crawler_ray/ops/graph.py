@@ -1546,3 +1546,194 @@ def focused_frontier_rank(sf_dir: str, n_iters: int = 4) -> "ray.data.Dataset":
         n_iters=n_iters,
         seeds=docs.map_batches(seed_rows, batch_format="pyarrow"),
     )
+
+
+def hyperball_ds(
+    edges: "ray.data.Dataset",
+    rounds: int = 4,
+    p: int = 8,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(node, ball_est) — HyperBall (Boldi–Vigna 2013): per-node
+    approximate |ball(node, r)| (nodes reachable within ``rounds``
+    hops, the node included) via HyperLogLog counters flowing along
+    edges. THE web-graph measurement algorithm — neighborhood
+    function, effective diameter, harmonic centrality all fall out of
+    these per-node ball sizes; exact BFS per node is O(V·E) and
+    hopeless at web scale, HyperBall is O(rounds) keyed exchanges of
+    (node, 2^p bytes).
+
+    Determinism: counters are register-wise MAX-merged, so the final
+    registers — and the integer estimates — are independent of batch
+    layout, merge order, and round scheduling; the same
+    order-independence that graduated the HLL distinct ops to
+    value-hash oracles applies here.
+
+    Scale shape — per round exactly TWO keyed exchanges, the PageRank
+    discipline with registers instead of floats:
+
+    - exchange 1 (by src bucket): each node's current registers meet
+      its out-edges; per-bucket pre-merge collapses the shipped rows
+      to one per (bucket, distinct dst) — O(min(E, nb·V)) exchange
+      volume, the same combiner the PageRank contributions use;
+    - exchange 2 (by node bucket): vectorized ``maximum.reduceat``
+      max-merges each node's incoming registers with its own;
+    - no driver value at all until the final estimates scan
+      (a production run would also read the per-round global
+      register sum to detect convergence — one scalar).
+    """
+    from ..kernels.hashing import splitmix64
+    from ..kernels.partitioning import adaptive_buckets, cut_lineage
+    from .textstats import _hll_estimate, _hll_registers
+
+    m = 1 << p
+
+    edges = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].astype("int64"), "dst": df["dst"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    nb = adaptive_buckets(edges.count(), requested=num_buckets)
+
+    def init_state(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
+        h = splitmix64(nodes.astype(np.uint64))
+        return pd.DataFrame(
+            {"node": pd.Series(nodes, dtype="int64"),
+             "regs": [
+                 _hll_registers(np.array([hh], dtype=np.uint64), p).tobytes()
+                 for hh in h
+             ],
+             "_nb": pd.Series(nodes % nb, dtype="int32")}
+        )
+
+    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("node")[["node", "regs"]]
+
+    state = (
+        edges.map_batches(init_state, batch_format="pandas")
+        .repartition(nb)
+        .groupby("_nb")
+        .map_groups(dedup_nodes, batch_format="pandas")
+        .materialize()
+    )
+
+    def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            dst=np.int64(-1),
+            _b=(df["node"] % nb).astype("int32"),
+            _k="s",
+        )[["node", "regs", "dst", "_b", "_k"]]
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {"node": df["src"].astype("int64").to_numpy(),  # keyed by src
+             "regs": [b""] * n,
+             "dst": df["dst"].astype("int64").to_numpy()}
+        ).assign(_b=lambda d: (d["node"] % nb).astype("int32"), _k="e")
+
+    def _merge_by_key(keys: np.ndarray, regmat: np.ndarray):
+        """(sorted unique keys, per-key max-merged register matrix)."""
+        order = np.argsort(keys, kind="mergesort")
+        ks, rm = keys[order], regmat[order]
+        uniq, starts = np.unique(ks, return_index=True)
+        out = np.maximum.reduceat(rm, starts, axis=0)
+        return uniq, out
+
+    def ship(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_k"] == "s"]
+        e = g[g["_k"] == "e"]
+        rows_node: list[int] = []
+        regs_rows: list[bytes] = []
+        # self rows carry each node's own registers forward
+        rows_node.extend(s["node"].tolist())
+        regs_rows.extend(s["regs"].tolist())
+        if len(e) and len(s):
+            j = e[["node", "dst"]].merge(
+                s[["node", "regs"]], on="node", how="inner"
+            )
+            if len(j):
+                # pre-merge per distinct dst inside the bucket (the
+                # PageRank combiner): ONE row per (bucket, dst)
+                regmat = np.frombuffer(
+                    b"".join(j["regs"].tolist()), dtype=np.uint8
+                ).reshape(len(j), m)
+                uniq, merged = _merge_by_key(
+                    j["dst"].to_numpy(), regmat
+                )
+                rows_node.extend(uniq.tolist())
+                regs_rows.extend(r.tobytes() for r in merged)
+        out = pd.DataFrame({"node": pd.Series(rows_node, dtype="int64"),
+                            "regs": regs_rows})
+        return out.assign(_ab=(out["node"] % nb).astype("int32"))
+
+    def absorb(g: pd.DataFrame) -> pd.DataFrame:
+        regmat = np.frombuffer(
+            b"".join(g["regs"].tolist()), dtype=np.uint8
+        ).reshape(len(g), m)
+        uniq, merged = _merge_by_key(g["node"].to_numpy(), regmat)
+        return pd.DataFrame(
+            {"node": pd.Series(uniq, dtype="int64"),
+             "regs": [r.tobytes() for r in merged]}
+        )
+
+    for _ in range(rounds):
+        state = cut_lineage(
+            state.map_batches(tag_state, batch_format="pandas")
+            .union(edges.map_batches(tag_edges, batch_format="pandas"))
+            .repartition(nb)
+            .groupby("_b")
+            .map_groups(ship, batch_format="pandas")
+            .repartition(nb)
+            .groupby("_ab")
+            .map_groups(absorb, batch_format="pandas")
+            .materialize()
+        )
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        ests = [
+            _hll_estimate(np.frombuffer(b, dtype=np.uint8))
+            for b in df["regs"]
+        ]
+        return pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "ball_est": pd.Series(ests, dtype="int64")}
+        )
+
+    return state.map_batches(estimate, batch_format="pandas")
+
+
+def reference_hyperball(sf_dir: str, rounds: int = 4) -> "ray.data.Dataset":
+    """(node, ball_est) — HyperBall ball-size estimates at radius 4
+    over the symmetrized projekt↔person reference graph (the BFS-tier
+    edge set): the sketch-based counterpart of ``crawl_bfs_tiers``,
+    measuring HOW MUCH of the graph each page can reach in 4 hops
+    rather than which tier it sits in."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        src, dst = [], []
+        for d in ids:
+            for k in (1, 2, 3, 4):
+                pr = person_ref(d, k, n_docs)
+                src += [1000 + d, pr]
+                dst += [pr, 1000 + d]
+        return pd.DataFrame(
+            {"src": pd.Series(src, dtype="int64"),
+             "dst": pd.Series(dst, dtype="int64")}
+        )
+
+    return hyperball_ds(
+        docs.map_batches(edge_rows, batch_format="pyarrow"), rounds=rounds,
+        num_buckets=16,
+    )

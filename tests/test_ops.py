@@ -4150,3 +4150,62 @@ def test_knn_lsh_determinism_margins():
         a.sort_values(["query_id", "rank"]).reset_index(drop=True),
         b.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_hyperball_tracks_exact_bfs_balls():
+    """HyperBall estimates vs exact BFS ball sizes on the reference
+    graph: every node within the standard HLL error envelope (p=8 →
+    σ≈6.5%; small balls hit the exact linear-counting regime), and
+    the estimate is layout-independent (two bucket counts agree
+    exactly — the register max-merge determinism argument)."""
+    import pyarrow.parquet as pq
+
+    from collections import deque
+
+    from dfg_gepris_crawler_ray.ops.graph import (
+        hyperball_ds,
+        reference_hyperball,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    adj: dict[int, set] = {}
+    for d in range(0, n_docs, 3):
+        for k in (1, 2, 3, 4):
+            p = person_ref(d, k, n_docs)
+            adj.setdefault(1000 + d, set()).add(p)
+            adj.setdefault(p, set()).add(1000 + d)
+
+    def ball(src, r):
+        seen = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if seen[u] >= r:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    q.append(v)
+        return len(seen)
+
+    got = dict(
+        reference_hyperball(SF)
+        .to_pandas().itertuples(index=False, name=None)
+    )
+    assert set(got) == set(adj)
+    for n in adj:
+        exact = ball(n, 4)
+        assert abs(got[n] - exact) <= max(4, 0.35 * exact), (n, got[n], exact)
+
+    import pandas as pd
+    import ray.data
+
+    edges = pd.DataFrame(
+        [(u, v) for u, s in adj.items() for v in s], columns=["src", "dst"]
+    )
+    a = hyperball_ds(ray.data.from_pandas(edges), rounds=4, num_buckets=4)
+    b = hyperball_ds(ray.data.from_pandas(edges), rounds=4, num_buckets=16)
+    da = dict(a.to_pandas().itertuples(index=False, name=None))
+    db = dict(b.to_pandas().itertuples(index=False, name=None))
+    assert da == db == got
