@@ -1183,6 +1183,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # max-merge is order-free → deterministic → staged brute
         # register-evolution oracle
         "crawl_hyperball": _q_hyperball,
+        # HyperBall harmonic centrality: per-round ball deltas folded
+        # into H(n) = Σ (N_r − N_{r−1})/r — one extra node-keyed
+        # exchange per round; same determinism, staged brute oracle
+        "crawl_harmonic_centrality": _q_harmonic,
         # per-key inter-arrival gap quantiles, INDEX-SELECTED in pure
         # integer arithmetic (no float quantile interpolation drift):
         # the adaptive-politeness cadence estimator, windowed-SQL
@@ -1778,6 +1782,59 @@ def _q_hyperball(sf_dir: str):
     )
     _stage_truth("crawl_hyperball", truth)
     return reference_hyperball(sf_dir)
+
+
+def _q_harmonic(sf_dir: str):
+    """HyperBall harmonic centrality (ops/graph.py, harmonic=True).
+    Brute: the same register replay as _q_hyperball, folding each
+    round's estimate deltas into H(n) = Σ (N_r − N_{r−1})/r — all
+    arithmetic row-local and deterministic, so the staged truth is
+    exact (harmonic rounded to 9 on both sides, the crawl_pagerank
+    float discipline)."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.kernels.hashing import splitmix64
+    from dfg_gepris_crawler_ray.ops.graph import reference_harmonic
+    from dfg_gepris_crawler_ray.ops.textstats import (
+        _hll_estimate,
+        _hll_registers,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    adj: dict[int, set] = {}
+    for d in range(0, n_docs, 3):
+        for k in (1, 2, 3, 4):
+            pr = person_ref(d, k, n_docs)
+            adj.setdefault(1000 + d, set()).add(pr)
+            adj.setdefault(pr, set()).add(1000 + d)
+    regs = {
+        n: _hll_registers(splitmix64(np.array([n], dtype=np.uint64)), 8)
+        for n in adj
+    }
+    prev = {n: _hll_estimate(r) for n, r in regs.items()}
+    hc = {n: 0.0 for n in adj}
+    for r in range(1, 5):
+        nxt = {n: rr.copy() for n, rr in regs.items()}
+        for n, nbrs in adj.items():
+            for nb_ in nbrs:
+                np.maximum(nxt[nb_], regs[n], out=nxt[nb_])
+        regs = nxt
+        for n in adj:
+            est = _hll_estimate(regs[n])
+            hc[n] += (est - prev[n]) / float(r)
+            prev[n] = est
+    truth = pd.DataFrame(
+        {"node": sorted(adj),
+         "ball_est": np.asarray([prev[n] for n in sorted(adj)], dtype=np.int64),
+         "harmonic": [round(hc[n], 9) for n in sorted(adj)]}
+    )
+    _stage_truth("crawl_harmonic_centrality", truth)
+    out = reference_harmonic(sf_dir)
+    return out.map_batches(
+        lambda df: df.assign(harmonic=df["harmonic"].round(9)),
+        batch_format="pandas",
+    )
 
 
 def _q_quality_classifier(sf_dir: str):
@@ -3456,6 +3513,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_hyperball"] = f"""
         SELECT node, ball_est
         FROM read_parquet('{_STAGE_DIR}/crawl_hyperball.parquet')
+    """
+    oracles["crawl_harmonic_centrality"] = f"""
+        SELECT node, ball_est, harmonic
+        FROM read_parquet('{_STAGE_DIR}/crawl_harmonic_centrality.parquet')
     """
     oracles["knn_lsh"] = f"""
         SELECT query_id, rank, neighbor_id, cosine

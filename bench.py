@@ -584,9 +584,14 @@ def main():
           lambda: classifier_predictions(SF_DIR).materialize())
     timed("text_model_gated_funnel",
           lambda: model_gated_corpus(SF_DIR).materialize())
-    from dfg_gepris_crawler_ray.ops.graph import focused_frontier_rank
+    from dfg_gepris_crawler_ray.ops.graph import (
+        focused_frontier_rank,
+        reference_hyperball,
+    )
     timed("crawl_focused_rank",
           lambda: focused_frontier_rank(SF_DIR).materialize())
+    timed("crawl_hyperball",
+          lambda: reference_hyperball(SF_DIR).materialize())
     from dfg_gepris_crawler_ray.ops.recrawl import decayed_activity
     timed("rel_decayed_activity",
           lambda: decayed_activity(SF_DIR).materialize())

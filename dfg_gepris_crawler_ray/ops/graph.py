@@ -1553,11 +1553,16 @@ def hyperball_ds(
     rounds: int = 4,
     p: int = 8,
     num_buckets: int = 64,
+    harmonic: bool = False,
 ) -> "ray.data.Dataset":
     """(node, ball_est) — HyperBall (Boldi–Vigna 2013): per-node
     approximate |ball(node, r)| (nodes reachable within ``rounds``
     hops, the node included) via HyperLogLog counters flowing along
-    edges. THE web-graph measurement algorithm — neighborhood
+    edges. With ``harmonic=True`` the per-round ball deltas are also
+    folded into harmonic centrality H(n) = Σ_r (N_r − N_{r−1})/r —
+    the Boldi–Vigna centrality readout, one extra node-keyed exchange
+    per round — and the output is (node, ball_est, harmonic).
+    THE web-graph measurement algorithm — neighborhood
     function, effective diameter, harmonic centrality all fall out of
     these per-node ball sizes; exact BFS per node is O(V·E) and
     hopeless at web scale, HyperBall is O(rounds) keyed exchanges of
@@ -1679,7 +1684,32 @@ def hyperball_ds(
              "regs": [r.tobytes() for r in merged]}
         )
 
-    for _ in range(rounds):
+    def est_rows(df: pd.DataFrame, as_acc: bool) -> pd.DataFrame:
+        ests = np.asarray(
+            [_hll_estimate(np.frombuffer(b, dtype=np.uint8))
+             for b in df["regs"]],
+            dtype=np.int64,
+        )
+        node = df["node"].astype("int64").to_numpy()
+        out = pd.DataFrame(
+            {"node": node,
+             "prev": ests if as_acc else np.int64(-1),
+             "hc": 0.0,
+             "est": np.int64(-1) if as_acc else ests}
+        )
+        return out.assign(_hb=(out["node"] % nb).astype("int32"),
+                          _k="a" if as_acc else "e")
+
+    # harmonic accumulator: H(n) = Σ_r (N_r − N_{r−1}) / r over the
+    # per-round ball estimates (Boldi–Vigna's centrality readout);
+    # N_0 = the single-element estimate of {self}
+    acc = None
+    if harmonic:
+        acc = state.map_batches(
+            lambda df: est_rows(df, as_acc=True), batch_format="pandas"
+        ).materialize()
+
+    for r in range(1, rounds + 1):
         state = cut_lineage(
             state.map_batches(tag_state, batch_format="pandas")
             .union(edges.map_batches(tag_edges, batch_format="pandas"))
@@ -1690,6 +1720,42 @@ def hyperball_ds(
             .groupby("_ab")
             .map_groups(absorb, batch_format="pandas")
             .materialize()
+        )
+        if harmonic:
+            def upd(g: pd.DataFrame, _r=r) -> pd.DataFrame:
+                a = g[g["_k"] == "a"][["node", "prev", "hc"]]
+                e = g[g["_k"] == "e"][["node", "est"]]
+                m = a.merge(e, on="node", how="inner")
+                m["hc"] = m["hc"] + (m["est"] - m["prev"]) / float(_r)
+                return pd.DataFrame(
+                    {"node": m["node"].astype("int64"),
+                     "prev": m["est"].astype("int64"),
+                     "hc": m["hc"].astype("float64"),
+                     "est": np.int64(-1)}
+                ).assign(_hb=(m["node"] % nb).astype("int32").to_numpy(),
+                         _k="a")
+
+            acc = cut_lineage(
+                acc.union(
+                    state.map_batches(
+                        lambda df: est_rows(df, as_acc=False),
+                        batch_format="pandas",
+                    )
+                )
+                .repartition(nb)
+                .groupby("_hb")
+                .map_groups(upd, batch_format="pandas")
+                .materialize()
+            )
+
+    if harmonic:
+        return acc.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "ball_est": df["prev"].astype("int64"),
+                 "harmonic": df["hc"].astype("float64")}
+            ),
+            batch_format="pandas",
         )
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
@@ -1736,4 +1802,39 @@ def reference_hyperball(sf_dir: str, rounds: int = 4) -> "ray.data.Dataset":
     return hyperball_ds(
         docs.map_batches(edge_rows, batch_format="pyarrow"), rounds=rounds,
         num_buckets=16,
+    )
+
+
+def reference_harmonic(sf_dir: str, rounds: int = 4) -> "ray.data.Dataset":
+    """(node, ball_est, harmonic) — HyperBall harmonic centrality over
+    the symmetrized reference graph: the crawl-prioritization
+    centrality that works on disconnected graphs (unreachable pairs
+    contribute 0, not ∞ — why web-graph work prefers it to
+    closeness), truncated at radius ``rounds`` exactly as HyperBall
+    computes it."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        src, dst = [], []
+        for d in ids:
+            for k in (1, 2, 3, 4):
+                pr = person_ref(d, k, n_docs)
+                src += [1000 + d, pr]
+                dst += [pr, 1000 + d]
+        return pd.DataFrame(
+            {"src": pd.Series(src, dtype="int64"),
+             "dst": pd.Series(dst, dtype="int64")}
+        )
+
+    return hyperball_ds(
+        docs.map_batches(edge_rows, batch_format="pyarrow"),
+        rounds=rounds, num_buckets=16, harmonic=True,
     )

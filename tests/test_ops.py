@@ -4209,3 +4209,50 @@ def test_hyperball_tracks_exact_bfs_balls():
     da = dict(a.to_pandas().itertuples(index=False, name=None))
     db = dict(b.to_pandas().itertuples(index=False, name=None))
     assert da == db == got
+
+
+def test_harmonic_centrality_matches_truncated_exact():
+    """HyperBall harmonic centrality vs the EXACT truncated harmonic
+    sum (BFS distances, Σ 1/d for d ≤ 4) — every node within the
+    sketch error envelope. (No rank assertion: the reference graph is
+    degree-regular enough that every node's exact truncated harmonic
+    is IDENTICAL at this scale — there is no ordering to preserve.)"""
+    import pyarrow.parquet as pq
+
+    from collections import deque
+
+    from dfg_gepris_crawler_ray.ops.graph import reference_harmonic
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    adj: dict[int, set] = {}
+    for d in range(0, n_docs, 3):
+        for k in (1, 2, 3, 4):
+            p = person_ref(d, k, n_docs)
+            adj.setdefault(1000 + d, set()).add(p)
+            adj.setdefault(p, set()).add(1000 + d)
+
+    def exact_h(src):
+        seen = {src: 0}
+        q = deque([src])
+        h = 0.0
+        while q:
+            u = q.popleft()
+            if seen[u] >= 4:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    h += 1.0 / seen[v]
+                    q.append(v)
+        return h
+
+    got = {
+        int(r["node"]): float(r["harmonic"])
+        for r in reference_harmonic(SF).to_pandas().to_dict("records")
+    }
+    exact = {n: exact_h(n) for n in adj}
+    assert set(got) == set(exact)
+    for n in adj:
+        assert abs(got[n] - exact[n]) <= max(3.0, 0.35 * exact[n]), (
+            n, got[n], exact[n])
