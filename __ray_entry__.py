@@ -859,7 +859,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic; staged brute-census oracle, graduated from
         # rows-only (margins pinned in test_knn_lsh_determinism_margins)
         "knn_lsh": _q_knn_lsh,
-        "knn_ivf": lambda sf: similarity.knn_ivf(sf),
+        # margin argument extended through the k-means iterations →
+        # deterministic; staged brute-replay oracle, graduated from
+        # rows-only (margins pinned in test_knn_ivf_determinism_margins)
+        "knn_ivf": _q_knn_ivf,
         # PQ/ADC + exact re-rank (Jégou 2011): codes-only shortlist
         # pass, candidate-set exact pass; rows-only (recall pinned in
         # test_knn_pq_recall_vs_brute, like knn_lsh / knn_ivf)
@@ -1835,6 +1838,62 @@ def _q_harmonic(sf_dir: str):
         lambda df: df.assign(harmonic=df["harmonic"].round(9)),
         batch_format="pandas",
     )
+
+
+def _q_knn_ivf(sf_dir: str):
+    """IVF kNN (ops/similarity.py::knn_ivf). Deterministic on the
+    fixed corpus by the knn_lsh margin argument, extended through the
+    k-means iterations: the distributed (sum, count) funnels differ
+    from a single-process replay by ~1e-15 in the centroids, while
+    every vector's best-vs-second centroid margin is ≥ 2.3e-4 at
+    every iteration and the probe boundary (4th vs 5th centroid) is
+    ≥ 2.4e-3 (pinned in test_knn_ivf_determinism_margins) — so
+    assignments, probe lists, and the final (cosine desc, id asc)
+    ranking are layout-independent; staged brute replay oracle."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import (
+        _as_matrix_arrow,
+        _load_queries,
+        knn_ivf,
+    )
+
+    query_ids, k, n_centroids, n_probe, n_iters = [0, 1, 2, 3, 4], 10, 16, 4, 3
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    mat = _as_matrix_arrow(tbl.column("embedding"))
+    mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    cent = _load_queries(sf_dir, list(range(n_centroids)))
+    cent = cent / np.clip(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12, None)
+    for _ in range(n_iters):
+        assign = np.argmax(mn @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, mn)
+        new = cent.copy()
+        for cid in range(n_centroids):
+            if (assign == cid).any():
+                new[cid] = sums[cid] / max(np.linalg.norm(sums[cid]), 1e-12)
+        cent = new
+    q = _load_queries(sf_dir, query_ids)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    assign = np.argmax(mn @ cent.T, axis=1)
+    sims = qn @ mn.T
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        in_probe = np.isin(assign, probe[qi])
+        mask = in_probe & (ids != qid)
+        cand_ids, scores = ids[mask], sims[qi][mask]
+        top = np.lexsort((cand_ids, -scores))[:k]
+        for rank, j in enumerate(top, start=1):
+            rows.append((qid, rank, int(cand_ids[j]), round(float(scores[j]), 6)))
+    truth = pd.DataFrame(
+        rows, columns=["query_id", "rank", "neighbor_id", "cosine"]
+    ).astype({"query_id": "int64", "rank": "int64", "neighbor_id": "int64"})
+    _stage_truth("knn_ivf", truth)
+    return knn_ivf(sf_dir)
 
 
 def _q_quality_classifier(sf_dir: str):
@@ -3521,6 +3580,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["knn_lsh"] = f"""
         SELECT query_id, rank, neighbor_id, cosine
         FROM read_parquet('{_STAGE_DIR}/knn_lsh.parquet')
+    """
+    oracles["knn_ivf"] = f"""
+        SELECT query_id, rank, neighbor_id, cosine
+        FROM read_parquet('{_STAGE_DIR}/knn_ivf.parquet')
     """
     oracles["dedup_minhash_lsh"] = f"""
         SELECT doc_a, doc_b, jaccard

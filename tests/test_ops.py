@@ -4256,3 +4256,42 @@ def test_harmonic_centrality_matches_truncated_exact():
     for n in adj:
         assert abs(got[n] - exact[n]) <= max(3.0, 0.35 * exact[n]), (
             n, got[n], exact[n])
+
+
+def test_knn_ivf_determinism_margins():
+    """The knn_ivf staged-truth oracle's margins on the fixed corpus:
+    every vector's best-vs-second centroid gap at EVERY k-means
+    iteration, the queries' probe-boundary gap (4th vs 5th centroid),
+    and the adjacent candidate-score gaps — all ≥ 1e-6 while
+    cross-layout drift is ~1e-15 (compounded through 3 iterations)."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import (
+        _as_matrix_arrow,
+        _load_queries,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = _as_matrix_arrow(tbl.column("embedding"))
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _load_queries(SF, list(range(16)))
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(3):
+        sims = mn @ cent.T
+        part = np.partition(sims, sims.shape[1] - 2, axis=1)
+        assert (part[:, -1] - part[:, -2]).min() > 1e-6
+        assign = np.argmax(sims, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, mn)
+        for cid in range(16):
+            if (assign == cid).any():
+                cent[cid] = sums[cid] / np.linalg.norm(sums[cid])
+
+    q = _load_queries(SF, [0, 1, 2, 3, 4])
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cs = np.sort(qn @ cent.T, axis=1)[:, ::-1]
+    assert (cs[:, 3] - cs[:, 4]).min() > 1e-6
+
+    sims = np.sort(qn @ mn.T, axis=1)[:, ::-1]
+    gaps = np.abs(np.diff(sims[:, :30], axis=1))
+    assert gaps[gaps > 0].min() > 1e-9
