@@ -1454,10 +1454,59 @@ def _q_lm_perplexity(sf_dir: str):
 
 
 def _q_semantic_dedup(sf_dir: str):
-    """SemDeDup keep/drop decisions (ops/semdedup.py); deterministic
-    given the fixed k-means init, so the rows-only record is stable."""
-    from dfg_gepris_crawler_ray.ops.semdedup import semantic_dedup
+    """SemDeDup keep/drop decisions (ops/semdedup.py). Graduated to a
+    staged brute-replay oracle by the knn_ivf margin argument plus two
+    SemDeDup-specific margins on the fixed corpus (pinned in
+    test_semdedup_determinism_margins): the greedy scan's sort key has
+    no adjacent cent_sim gap below 2.4e-6, and no keep/drop decision
+    sits within 5.6e-4 of the 0.35 threshold — while cross-layout
+    drift is ~1e-15, so cluster assignment, scan order, and every
+    greedy decision are layout-independent."""
+    import pyarrow.parquet as pq
 
+    from dfg_gepris_crawler_ray.ops.semdedup import semantic_dedup
+    from dfg_gepris_crawler_ray.ops.similarity import (
+        _as_matrix_arrow,
+        _load_queries,
+    )
+
+    n_clusters, threshold, n_iters = 16, 0.35, 3
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    mat = _as_matrix_arrow(tbl.column("embedding"))
+    mn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    cent = _load_queries(sf_dir, list(range(n_clusters)))
+    cent = cent / np.clip(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12, None)
+    for _ in range(n_iters):
+        a = np.argmax(mn @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, mn)
+        for cid in range(n_clusters):
+            if (a == cid).any():
+                cent[cid] = sums[cid] / max(np.linalg.norm(sums[cid]), 1e-12)
+    sims = mn @ cent.T
+    cl = np.argmax(sims, axis=1)
+    cs = sims[np.arange(len(cl)), cl]
+    rows = []
+    for c in range(n_clusters):
+        msk = cl == c
+        if not msk.any():
+            continue
+        order = np.lexsort((ids[msk], cs[msk]))
+        sub_ids, sub = ids[msk][order], mn[msk][order]
+        kept: list[int] = []
+        for i in range(len(sub_ids)):
+            mx = float(np.max(sub[kept] @ sub[i])) if kept else -1.0
+            k = mx < threshold
+            if k:
+                kept.append(i)
+            rows.append((int(sub_ids[i]), c, int(k)))
+    truth = pd.DataFrame(rows, columns=["vec_id", "cluster", "keep"])
+    truth = truth.astype({"vec_id": "int64", "cluster": "int32",
+                          "keep": "int64"})
+    _stage_truth("dedup_semantic", truth)
     out = semantic_dedup(sf_dir).to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
 
@@ -3584,6 +3633,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["knn_ivf"] = f"""
         SELECT query_id, rank, neighbor_id, cosine
         FROM read_parquet('{_STAGE_DIR}/knn_ivf.parquet')
+    """
+    oracles["dedup_semantic"] = f"""
+        SELECT vec_id, cluster, keep
+        FROM read_parquet('{_STAGE_DIR}/dedup_semantic.parquet')
     """
     oracles["dedup_minhash_lsh"] = f"""
         SELECT doc_a, doc_b, jaccard

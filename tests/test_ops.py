@@ -4295,3 +4295,48 @@ def test_knn_ivf_determinism_margins():
     sims = np.sort(qn @ mn.T, axis=1)[:, ::-1]
     gaps = np.abs(np.diff(sims[:, :30], axis=1))
     assert gaps[gaps > 0].min() > 1e-9
+
+
+def test_semdedup_determinism_margins():
+    """The dedup_semantic staged-truth oracle's margins on the fixed
+    corpus: k-means assignment margins (shared with knn_ivf), no
+    adjacent cent_sim sort-key gap below 1e-9 inside any cluster, and
+    no greedy keep/drop decision within 1e-6 of the 0.35 threshold —
+    all while cross-layout drift is ~1e-15."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import (
+        _as_matrix_arrow,
+        _load_queries,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    mat = _as_matrix_arrow(tbl.column("embedding"))
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _load_queries(SF, list(range(16)))
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(3):
+        a = np.argmax(mn @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, mn)
+        for cid in range(16):
+            if (a == cid).any():
+                cent[cid] = sums[cid] / np.linalg.norm(sums[cid])
+    sims = mn @ cent.T
+    cl = np.argmax(sims, axis=1)
+    cs = sims[np.arange(len(cl)), cl]
+    for c in range(16):
+        m = cl == c
+        if m.sum() < 2:
+            continue
+        gaps = np.diff(np.sort(cs[m]))
+        assert (gaps > 0).all() and gaps.min() > 1e-9, (c, gaps.min())
+        order = np.lexsort((ids[m], cs[m]))
+        sub = mn[m][order]
+        kept: list[int] = []
+        for i in range(len(sub)):
+            mx = float(np.max(sub[kept] @ sub[i])) if kept else -1.0
+            assert abs(mx - 0.35) > 1e-6
+            if mx < 0.35:
+                kept.append(i)
