@@ -849,9 +849,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": dedup.containment_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_embedding_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, threshold=0.35),
-        "dedup_embedding_ivf": lambda sf: dedup.embedding_neardup_pairs(
-            sf, threshold=0.35, mode="ivf"
-        ),
+        # margin argument (assign top-4/5 gap 2.7e-5, |cos−thr| gap
+        # 2.9e-5, quantization-boundary distance 8.8e-5, all ≫ 1e-15
+        # drift; pinned in test_embedding_ivf_determinism_margins) →
+        # staged brute-replay oracle, graduated from rows-only
+        "dedup_embedding_ivf": _q_embedding_ivf,
         "knn_brute": lambda sf: similarity.knn_brute(sf).select(
             ["query_id", "rank", "neighbor_id"]
         ),
@@ -1943,6 +1945,61 @@ def _q_knn_ivf(sf_dir: str):
     ).astype({"query_id": "int64", "rank": "int64", "neighbor_id": "int64"})
     _stage_truth("knn_ivf", truth)
     return knn_ivf(sf_dir)
+
+
+def _q_embedding_ivf(sf_dir: str):
+    """IVF multi-assignment near-dup pairs (ops/dedup.py,
+    mode='ivf'). Brute replay: same k-means, top-4 multi-assignment,
+    per-list pair generation, threshold filter and 1e-6 cosine
+    quantization, single-process. Margins on the fixed corpus pinned
+    in test_embedding_ivf_determinism_margins."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.dedup import embedding_neardup_pairs
+    from dfg_gepris_crawler_ray.ops.similarity import (
+        _as_matrix_arrow,
+        _load_queries,
+    )
+
+    n_centroids, n_assign, n_iters, threshold = 16, 4, 3, 0.35
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    mn = _as_matrix_arrow(tbl.column("embedding"))
+    mn = mn / np.clip(np.linalg.norm(mn, axis=1, keepdims=True), 1e-12, None)
+    cent = _load_queries(sf_dir, list(range(n_centroids)))
+    cent = cent / np.clip(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12, None)
+    for _ in range(n_iters):
+        a = np.argmax(mn @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, mn)
+        for cid in range(n_centroids):
+            if (a == cid).any():
+                cent[cid] = sums[cid] / max(np.linalg.norm(sums[cid]), 1e-12)
+    top = np.argsort(-(mn @ cent.T), axis=1)[:, :n_assign]
+    lists: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        for c in top[i]:
+            lists.setdefault(int(c), []).append(i)
+    pair_rows: dict[tuple[int, int], float] = {}
+    for mem in lists.values():
+        mem = sorted(set(mem))
+        sub = mn[mem]
+        sims = sub @ sub.T
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                s = sims[x, y]
+                if s >= threshold:
+                    a_, b_ = ids[mem[x]], ids[mem[y]]
+                    key = (int(min(a_, b_)), int(max(a_, b_)))
+                    pair_rows[key] = float(np.floor(s * 1e6 + 0.5) / 1e6)
+    truth = pd.DataFrame(
+        [(a_, b_, c_) for (a_, b_), c_ in sorted(pair_rows.items())],
+        columns=["vec_a", "vec_b", "cosine"],
+    ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+    _stage_truth("dedup_embedding_ivf", truth)
+    return embedding_neardup_pairs(sf_dir, threshold=threshold, mode="ivf")
 
 
 def _q_quality_classifier(sf_dir: str):
@@ -3637,6 +3694,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_semantic"] = f"""
         SELECT vec_id, cluster, keep
         FROM read_parquet('{_STAGE_DIR}/dedup_semantic.parquet')
+    """
+    oracles["dedup_embedding_ivf"] = f"""
+        SELECT vec_a, vec_b, cosine
+        FROM read_parquet('{_STAGE_DIR}/dedup_embedding_ivf.parquet')
     """
     oracles["dedup_minhash_lsh"] = f"""
         SELECT doc_a, doc_b, jaccard

@@ -4340,3 +4340,51 @@ def test_semdedup_determinism_margins():
             assert abs(mx - 0.35) > 1e-6
             if mx < 0.35:
                 kept.append(i)
+
+
+def test_embedding_ivf_determinism_margins():
+    """The dedup_embedding_ivf staged-truth oracle's margins on the
+    fixed corpus: multi-assignment boundary (4th vs 5th centroid),
+    |cosine − threshold| over every co-listed pair, and the 1e-6
+    quantization-boundary distance of every kept cosine — all ≥ 1e-6
+    while cross-layout drift is ~1e-15."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import (
+        _as_matrix_arrow,
+        _load_queries,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mn = _as_matrix_arrow(tbl.column("embedding"))
+    mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+    cent = _load_queries(SF, list(range(16)))
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(3):
+        a = np.argmax(mn @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, mn)
+        for cid in range(16):
+            if (a == cid).any():
+                cent[cid] = sums[cid] / np.linalg.norm(sums[cid])
+    sims_c = mn @ cent.T
+    srt = np.sort(sims_c, axis=1)[:, ::-1]
+    assert (srt[:, 3] - srt[:, 4]).min() > 1e-6
+
+    top = np.argsort(-sims_c, axis=1)[:, :4]
+    lists: dict[int, list[int]] = {}
+    for i in range(len(mn)):
+        for c in top[i]:
+            lists.setdefault(int(c), []).append(i)
+    thr = 0.35
+    for mem in lists.values():
+        mem = sorted(set(mem))
+        sub = mn[mem]
+        sims = sub @ sub.T
+        iu = np.triu_indices(len(mem), k=1)
+        vals = sims[iu]
+        assert np.abs(vals - thr).min() > 1e-6
+        kept = vals[vals >= thr]
+        if len(kept):
+            q = kept * 1e6 + 0.5
+            assert np.abs(q - np.round(q)).min() > 1e-6
