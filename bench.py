@@ -592,6 +592,9 @@ def main():
           lambda: focused_frontier_rank(SF_DIR).materialize())
     timed("crawl_hyperball",
           lambda: reference_hyperball(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import reference_harmonic
+    timed("crawl_harmonic_centrality",
+          lambda: reference_harmonic(SF_DIR).materialize())
     from dfg_gepris_crawler_ray.ops.recrawl import decayed_activity
     timed("rel_decayed_activity",
           lambda: decayed_activity(SF_DIR).materialize())
