@@ -868,7 +868,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PQ/ADC + exact re-rank (Jégou 2011): codes-only shortlist
         # pass, candidate-set exact pass; rows-only (recall pinned in
         # test_knn_pq_recall_vs_brute, like knn_lsh / knn_ivf)
-        "knn_pq": lambda sf: similarity.knn_pq(sf),
+        # margin argument through PQ training/encoding (min encode
+        # margin 3.6e-7, shortlist/re-rank boundaries ≥ 4.2e-4) →
+        # deterministic; staged brute-replay oracle, graduated from
+        # rows-only (test_knn_pq_determinism_margins)
+        "knn_pq": _q_knn_pq,
         "text_token_stats": textstats.token_stats,
         "text_fingerprints": lambda sf: textstats.fingerprints(sf).select_columns(
             ["doc_id", "content_md5"]
@@ -2000,6 +2004,72 @@ def _q_embedding_ivf(sf_dir: str):
     ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
     _stage_truth("dedup_embedding_ivf", truth)
     return embedding_neardup_pairs(sf_dir, threshold=threshold, mode="ivf")
+
+
+def _q_knn_pq(sf_dir: str):
+    """PQ ADC + exact re-rank kNN (ops/similarity.py::knn_pq). The
+    margin discipline extended through PQ training and encoding: the
+    smallest encode argmax margin across all 16 subspaces × 4 encode
+    passes is 3.6e-7, the ADC shortlist boundary (50th vs 51st) is
+    ≥ 4.2e-4 and the exact re-rank boundary ≥ 4.8e-3 on the fixed
+    corpus (pinned in test_knn_pq_determinism_margins) — all ≫ the
+    ~1e-15 cross-layout drift, so codes, shortlists, and the final
+    ranking are layout-independent; staged brute-replay oracle."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import (
+        _as_matrix_arrow,
+        _load_queries,
+        knn_pq,
+    )
+
+    query_ids, k, ns, nc, n_iters, rerank = [0, 1, 2, 3, 4], 10, 16, 256, 3, 50
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    mn = _as_matrix_arrow(tbl.column("embedding"))
+    mn = mn / np.clip(np.linalg.norm(mn, axis=1, keepdims=True), 1e-12, None)
+    dim = mn.shape[1]
+    sd = dim // ns
+    init = _load_queries(sf_dir, list(range(nc)))
+    init = init / np.clip(np.linalg.norm(init, axis=1, keepdims=True), 1e-12, None)
+    books = np.stack(
+        [init[:, m * sd:(m + 1) * sd] for m in range(ns)]
+    ).astype(np.float64)
+    for _ in range(n_iters):
+        for m in range(ns):
+            sub = mn[:, m * sd:(m + 1) * sd]
+            sc = sub @ books[m].T - 0.5 * (books[m] ** 2).sum(axis=1)
+            code = np.argmax(sc, axis=1)
+            for c in np.unique(code):
+                sel = sub[code == c]
+                books[m, c] = sel.sum(axis=0) / len(sel)
+    q = _load_queries(sf_dir, query_ids)
+    qn = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+    lut = np.stack(
+        [qn[:, m * sd:(m + 1) * sd] @ books[m].T for m in range(ns)], axis=1
+    )
+    adc = np.zeros((len(query_ids), len(ids)))
+    for m in range(ns):
+        sc = (mn[:, m * sd:(m + 1) * sd] @ books[m].T
+              - 0.5 * (books[m] ** 2).sum(axis=1))
+        adc += lut[:, m, np.argmax(sc, axis=1)]
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        mask = ids != qid
+        cand_ids, scores = ids[mask], adc[qi][mask]
+        short = np.lexsort((cand_ids, -scores))[:rerank]
+        s_ids = cand_ids[short]
+        exact = qn[qi] @ mn[mask][short].T
+        top = np.lexsort((s_ids, -exact))[:k]
+        for rank, j in enumerate(top, start=1):
+            rows.append((qid, rank, int(s_ids[j]), round(float(exact[j]), 6)))
+    truth = pd.DataFrame(
+        rows, columns=["query_id", "rank", "neighbor_id", "cosine"]
+    ).astype({"query_id": "int64", "rank": "int64", "neighbor_id": "int64"})
+    _stage_truth("knn_pq", truth)
+    return knn_pq(sf_dir)
 
 
 def _q_quality_classifier(sf_dir: str):
@@ -3698,6 +3768,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_embedding_ivf"] = f"""
         SELECT vec_a, vec_b, cosine
         FROM read_parquet('{_STAGE_DIR}/dedup_embedding_ivf.parquet')
+    """
+    oracles["knn_pq"] = f"""
+        SELECT query_id, rank, neighbor_id, cosine
+        FROM read_parquet('{_STAGE_DIR}/knn_pq.parquet')
     """
     oracles["dedup_minhash_lsh"] = f"""
         SELECT doc_a, doc_b, jaccard

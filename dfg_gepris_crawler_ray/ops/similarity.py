@@ -778,6 +778,8 @@ def knn_pq(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
+    shortlist_k = max(k, rerank) if rerank else k
+
     def partial_topk(batch: pa.Table) -> pa.Table:
         bk, lut_ = ray.get(state_ref)
         ids = _i64(batch.column("vec_id"))
@@ -797,7 +799,12 @@ def knn_pq(
             mask = ids != qid
             cand_ids = ids[mask]
             scores = approx[qi][mask]
-            top = _batch_topk_idx(scores, cand_ids, k)
+            # per-batch partials keep the full SHORTLIST depth, not k:
+            # keeping only k here would make the re-rank shortlist
+            # depend on batch boundaries (a vector ranked k+1 in its
+            # batch but top-rerank globally would vanish) — the
+            # partial-top-R contract requires R = the global depth
+            top = _batch_topk_idx(scores, cand_ids, shortlist_k)
             rows["query_id"].extend([qid] * len(top))
             rows["neighbor_id"].extend(cand_ids[top].tolist())
             rows["cosine"].extend(scores[top].tolist())
@@ -806,8 +813,6 @@ def knn_pq(
              "neighbor_id": pa.array(rows["neighbor_id"], type=pa.int64()),
              "cosine": pa.array(rows["cosine"], type=pa.float64())}
         )
-
-    shortlist_k = max(k, rerank) if rerank else k
     partials = _reduce_topk(
         ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096),
         shortlist_k,
