@@ -70,7 +70,7 @@ def url_template_stats(
     nbk = np.uint64(num_buckets)
     nsl = np.uint64(num_salts)
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         url = pd.Series(pd.unique(batch.column("url").to_pandas()))
         df = pd.DataFrame(
             {
@@ -86,9 +86,12 @@ def url_template_stats(
         ).to_numpy()
         uh = pd.util.hash_pandas_object(df["url"], index=False).to_numpy()
         df["_c"] = ((kh % nbk) * nsl + uh % nsl).astype("int64")
-        return df
+        # Arrow block: the (host, template, url) partials are the
+        # exchange payload — Arrow string buffers slice zero-copy
+        # through repartition/sort where pandas object blocks pickle
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def cell_counts(g: pd.DataFrame) -> pd.DataFrame:
+    def cell_counts(g: pd.DataFrame) -> pa.Table:
         n = (
             g.drop_duplicates(["host", "template", "url"])
             .groupby(["host", "template"], as_index=False)
@@ -99,7 +102,7 @@ def url_template_stats(
             n["host"] + "\x00" + n["template"], index=False
         ).to_numpy()
         n["_b"] = (kh % nbk).astype("int32")
-        return n
+        return pa.Table.from_pandas(n, preserve_index=False)
 
     def totals(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["host", "template"], as_index=False)["n"].sum()
@@ -167,7 +170,7 @@ def mirror_host_pairs(
     ds = read_pages(pages_dir, columns=["url", "text"])
     nbk = np.uint64(num_buckets)
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         url = batch.column("url").to_pandas()
         txt = batch.column("text").to_pandas()
         keep = txt != ""
@@ -179,7 +182,8 @@ def mirror_host_pairs(
         ).drop_duplicates()
         h = pd.util.hash_pandas_object(df["fp"], index=False).to_numpy()
         df["_b"] = (h % nbk).astype("int32")
-        return df
+        # Arrow block: zero-copy through the fingerprint exchange
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["fp", "host"])
