@@ -1180,6 +1180,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dst-drop via peel markers), edge set shrinks monotonically;
         # unrolled-MATERIALIZED-CTE oracle (16 idempotent peel rounds)
         "crawl_kcore": graph.reference_kcore,
+        # STRONGLY connected components of the directed reference-link
+        # graph (the Broder bow-tie decomposition's core primitive):
+        # driver Tarjan below the edge threshold (auto mode), the
+        # FW-B label-refinement scc_ds above — recursive-CTE
+        # transitive-closure oracle, scc_id = min member id
+        "crawl_scc": graph.reference_graph_scc,
+        # the same decomposition FORCED through the distributed path
+        # (per-class f/b min-label propagation + (f,b) refinement, no
+        # driver-resident edge set) — same oracle
+        "crawl_scc_dist": lambda sf: graph.reference_graph_scc(
+            sf, mode="distributed"
+        ),
         # personalized PageRank (random walk with restart at the seed
         # list): the focused-crawl frontier signal — same two-exchange
         # iteration as crawl_pagerank, teleport/dangling mass restarts
@@ -3485,6 +3497,53 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node, min(r) AS component_rep FROM reach GROUP BY node
     """
+    # SCC: recursive-CTE transitive closure over the DIRECTED edge
+    # formulas (the _directed_reference_edges_for spec re-expressed in
+    # SQL), scc_id = min over {node} ∪ {m : node→m AND m→node}
+    _scc_sql = """
+        WITH RECURSIVE nd AS (SELECT count(*) AS n_docs FROM documents),
+        edges AS (
+          SELECT CAST(1000 + d.doc_id AS BIGINT) AS u,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS v
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2]) AS k) k
+          WHERE d.doc_id % 3 = 0
+          UNION ALL
+          SELECT CAST(1000 + d.doc_id AS BIGINT),
+                 CAST(1000 + 3*((d.doc_id*5 + 1) % (nd.n_docs//3)) + 2
+                      AS BIGINT)
+          FROM documents d CROSS JOIN nd
+          WHERE d.doc_id % 3 = 0 AND d.doc_id % 5 = 0
+          UNION ALL
+          SELECT CAST(1000 + d.doc_id AS BIGINT),
+                 CAST(1000 + 3*((d.doc_id*11 + 1) % ((nd.n_docs+2)//3))
+                      AS BIGINT)
+          FROM documents d CROSS JOIN nd
+          WHERE d.doc_id % 3 = 1 AND d.doc_id % 4 <> 0
+          UNION ALL
+          SELECT CAST(1000 + d.doc_id AS BIGINT),
+                 CAST(1000 + 3*((d.doc_id*5 + 1) % (nd.n_docs//3)) + 2
+                      AS BIGINT)
+          FROM documents d CROSS JOIN nd
+          WHERE d.doc_id % 3 = 2 AND d.doc_id % 2 = 0),
+        nodes AS (SELECT DISTINCT u AS node FROM edges
+                  UNION SELECT DISTINCT v FROM edges),
+        reach(a, b) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT reach.a, e.v FROM reach JOIN edges e ON e.u = reach.b
+        ),
+        mutual AS (
+          SELECT n.node, n.node AS m FROM nodes n
+          UNION ALL
+          SELECT r1.a AS node, r1.b AS m
+          FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        )
+        SELECT node, min(m) AS scc_id FROM mutual GROUP BY node
+    """
+    oracles["crawl_scc"] = _scc_sql
+    oracles["crawl_scc_dist"] = _scc_sql
     oracles["crawl_triangles"] = """
         WITH nd AS (SELECT count(*) AS n_docs FROM documents),
         pp AS (

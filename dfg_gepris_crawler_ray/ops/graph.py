@@ -13,6 +13,8 @@ scalar dangling mass reduces to the driver each round.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -20,7 +22,7 @@ import ray.data
 
 # module-top import: a runtime relative import inside a map_batches UDF
 # body fails on workers even under pickle-by-value registration
-from ..testdata.gen_pages import person_ref
+from ..testdata.gen_pages import institution_ref, person_ref, projekt_ref
 
 def pagerank_ds(
     edges: "ray.data.Dataset",
@@ -1838,3 +1840,465 @@ def reference_harmonic(sf_dir: str, rounds: int = 4) -> "ray.data.Dataset":
         docs.map_batches(edge_rows, batch_format="pyarrow"),
         rounds=rounds, num_buckets=16, harmonic=True,
     )
+
+
+def _scc_brute(edge_list: "list[tuple[int, int]]") -> dict[int, int]:
+    """Single-process Tarjan (iterative) — the ground-truth kernel the
+    pytests pin ``scc_ds`` against and the staged-oracle census uses.
+    Returns {node: scc_id} with scc_id = the SCC's minimum member id
+    (the same deterministic representative the distributed op emits).
+    Shares nothing with the distributed path but the edge list."""
+    from collections import defaultdict
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    nodes: set[int] = set()
+    for s, d in edge_list:
+        adj[s].append(d)
+        nodes.update((s, d))
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    onstk: set[int] = set()
+    stk: list[int] = []
+    out: dict[int, int] = {}
+    ctr = 0
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = ctr
+                ctr += 1
+                stk.append(v)
+                onstk.add(v)
+            descended = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if descended:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+    return out
+
+
+def scc_ds(
+    edges: "ray.data.Dataset",
+    max_outer: int = 16,
+    max_label_rounds: int = 50,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(node, scc_id) — STRONGLY connected components of a directed
+    edge Dataset (``src``, ``dst`` int64), scc_id = the SCC's minimum
+    member id. The web graph's defining macro-structure (Broder et
+    al. 2000's bow-tie is built from exactly this decomposition); a
+    crawler uses it to find link farms (dense cores), collapse cycle
+    traps, and order recrawls by core membership. Connected components
+    (``reference_graph_components``) ignore direction; SCC is the
+    directed refinement and needs genuinely different machinery.
+
+    Algorithm — forward-backward LABEL REFINEMENT (the distributed
+    FW-BW / coloring family: Fleischer–Hendrickson–Pinar 2000, Orzan
+    2004, Hong–Rodia–Olukotun 2013), with every class processed
+    simultaneously (no serial pivot):
+
+    - every node carries a class (init: one class);
+    - per OUTER round, within each class compute f(v) = min in-class
+      node that reaches v and b(v) = min in-class node v reaches, by
+      min-label propagation along in-class edges with POINTER
+      DOUBLING (f(v) ← min(f(v), f(f(v))) — valid because
+      reachability is transitive), then split every class by its
+      (f, b) pair;
+    - a class never splits an SCC (within-SCC paths never leave the
+      SCC, so in-class ancestor/descendant minima agree across its
+      members), and at the fixpoint all members share f = b = m ⇒
+      m reaches everyone and everyone reaches m ⇒ each class IS one
+      SCC with minimum member m = scc_id. Size-1 classes freeze out
+      early (a singleton class can never re-merge).
+
+    Scale shape — everything is key-hash-bucketed exchanges with
+    vectorized per-bucket kernels; no driver-resident node/edge set:
+
+    - outer round setup: TWO exchanges attach src/dst classes and drop
+      cross-class edges (the active edge set only shrinks);
+    - inner label round: ONE exchange carries min-label proposals and
+      both pointer-doubling lookups together (labels, flow rows and
+      jump rows co-bucket by node key), ONE exchange min-reduces —
+      2 exchanges/round, O(log diameter) rounds via doubling;
+    - only per-round scalar change counts reach the driver.
+
+    Raises RuntimeError if either loop exhausts its budget with labels
+    still moving (the dedup._cluster_labels_distributed convention)."""
+    from ..kernels.partitioning import adaptive_buckets, cut_lineage
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df["src"].astype("int64"),
+             "dst": df["dst"].astype("int64")}
+        ).drop_duplicates()
+
+    edges = edges.map_batches(cast, batch_format="pandas").materialize()
+    nb = adaptive_buckets(edges.count(), requested=num_buckets)
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
+        return pd.DataFrame(
+            {"node": pd.Series(nodes, dtype="int64"),
+             "cf": np.int64(0), "cb": np.int64(0),
+             "_b": pd.Series(nodes % nb, dtype="int32")}
+        )
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(
+            lambda g: g.drop_duplicates("node")[["node", "cf", "cb"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    if labels.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "scc_id": pd.Series(dtype="int64")})
+        )
+
+    done: list["ray.data.Dataset"] = []
+    empty_out = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"), "scc_id": pd.Series(dtype="int64")}
+    )
+
+    # row schema shared by every union side of the inner exchanges:
+    # (key, out, f, b, _b, _k)
+    def _schema(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["key", "out", "f", "b", "_b", "_k"]]
+
+    for outer in range(max_outer):
+        # ---- outer setup: in-class edge filter → flow rows ----------
+        def tag_cls_src(df: pd.DataFrame) -> pd.DataFrame:
+            return _schema(pd.DataFrame(
+                {"key": df["node"].astype("int64"),
+                 "out": np.int64(-1),
+                 "f": df["cf"].astype("int64"),
+                 "b": df["cb"].astype("int64")}
+            ).assign(_b=lambda d: (d["key"] % nb).astype("int32"), _k="s"))
+
+        def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+            return _schema(pd.DataFrame(
+                {"key": df["src"].astype("int64"),
+                 "out": df["dst"].astype("int64"),
+                 "f": np.int64(-1), "b": np.int64(-1)}
+            ).assign(_b=lambda d: (d["key"] % nb).astype("int32"), _k="e"))
+
+        def attach_src(g: pd.DataFrame) -> pd.DataFrame:
+            s = g[g["_k"] == "s"][["key", "f", "b"]]
+            e = g[g["_k"] == "e"][["key", "out"]]
+            m = e.merge(s, on="key", how="inner")
+            # re-key by dst for the second hop; src class rides along
+            return pd.DataFrame(
+                {"key": m["out"].astype("int64"),
+                 "out": m["key"].astype("int64"),
+                 "f": m["f"].astype("int64"),
+                 "b": m["b"].astype("int64"),
+                 "_b": (m["out"] % nb).astype("int32"),
+                 "_k": "e"}
+            )
+
+        def attach_dst(g: pd.DataFrame) -> pd.DataFrame:
+            s = g[g["_k"] == "s"][["key", "f", "b"]]
+            e = g[g["_k"] == "e"]
+            m = e[["key", "out", "f", "b"]].merge(
+                s, on="key", how="inner", suffixes=("", "_d")
+            )
+            m = m[(m["f"] == m["f_d"]) & (m["b"] == m["b_d"])]
+            # emit BOTH flow directions of the surviving in-class edge
+            # (src = m.out, dst = m.key):
+            #   kind 'f': key=src, out=dst  (f labels flow src→dst)
+            #   kind 'b': key=dst, out=src  (b labels flow dst→src)
+            fwd = pd.DataFrame(
+                {"key": m["out"].astype("int64"),
+                 "out": m["key"].astype("int64"), "_k": "f"}
+            )
+            bwd = pd.DataFrame(
+                {"key": m["key"].astype("int64"),
+                 "out": m["out"].astype("int64"), "_k": "b"}
+            )
+            both = pd.concat([fwd, bwd], ignore_index=True)
+            both["f"] = np.int64(-1)
+            both["b"] = np.int64(-1)
+            both["_b"] = (both["key"] % nb).astype("int32")
+            return _schema(both)
+
+        cls_tagged = labels.map_batches(tag_cls_src, batch_format="pandas")
+        flow = (
+            cls_tagged.union(edges.map_batches(tag_edge, batch_format="pandas"))
+            .repartition(nb)
+            .groupby("_b")
+            .map_groups(attach_src, batch_format="pandas")
+            .union(cls_tagged)
+            .repartition(nb)
+            .groupby("_b")
+            .map_groups(attach_dst, batch_format="pandas")
+            .materialize()
+        )
+        flow = cut_lineage(flow)
+
+        # ---- inner: f/b min-label propagation with doubling ---------
+        state = cut_lineage(labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "f": df["node"].astype("int64"),
+                 "b": df["node"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ).materialize())
+
+        for _inner in range(max_label_rounds):
+            def tag_state(df: pd.DataFrame) -> pd.DataFrame:
+                return _schema(pd.DataFrame(
+                    {"key": df["node"].astype("int64"),
+                     "out": np.int64(-1),
+                     "f": df["f"].astype("int64"),
+                     "b": df["b"].astype("int64")}
+                ).assign(_b=lambda d: (d["key"] % nb).astype("int32"), _k="s"))
+
+            def tag_jumps(df: pd.DataFrame) -> pd.DataFrame:
+                jf = pd.DataFrame(
+                    {"key": df["f"].astype("int64"),
+                     "out": df["node"].astype("int64"), "_k": "f"}
+                )
+                jb = pd.DataFrame(
+                    {"key": df["b"].astype("int64"),
+                     "out": df["node"].astype("int64"), "_k": "b"}
+                )
+                both = pd.concat([jf, jb], ignore_index=True)
+                both["f"] = np.int64(-1)
+                both["b"] = np.int64(-1)
+                both["_b"] = (both["key"] % nb).astype("int32")
+                return _schema(both)
+
+            def propose(g: pd.DataFrame) -> pd.DataFrame:
+                s = g[g["_k"] == "s"][["key", "f", "b"]]
+                pf = g[g["_k"] == "f"][["key", "out"]].merge(s, on="key")
+                pb = g[g["_k"] == "b"][["key", "out"]].merge(s, on="key")
+                # f-proposals carry f(key) toward out; b-proposals b(key).
+                # Per-bucket pre-reduce: one proposal per (out, kind).
+                pf = pf.groupby("out", as_index=False)["f"].min()
+                pb = pb.groupby("out", as_index=False)["b"].min()
+                out = pd.concat(
+                    [pf.rename(columns={"out": "key"}).assign(b=np.int64(2**62)),
+                     pb.rename(columns={"out": "key"}).assign(f=np.int64(2**62))],
+                    ignore_index=True,
+                )[["key", "f", "b"]]
+                out["out"] = np.int64(-1)
+                out["_b"] = (out["key"] % nb).astype("int32")
+                out["_k"] = "p"
+                return _schema(out)
+
+            def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+                s = g[g["_k"] == "s"][["key", "f", "b"]]
+                p = g[g["_k"] == "p"][["key", "f", "b"]]
+                allr = pd.concat([s, p], ignore_index=True)
+                new = allr.groupby("key", as_index=False)[["f", "b"]].min()
+                m = new.merge(s, on="key", suffixes=("", "_old"))
+                ch = ((m["f"] < m["f_old"]) | (m["b"] < m["b_old"]))
+                return pd.DataFrame(
+                    {"node": m["key"].astype("int64"),
+                     "f": m["f"].astype("int64"),
+                     "b": m["b"].astype("int64"),
+                     "_changed": ch.astype("int64")}
+                )
+
+            tagged = state.map_batches(tag_state, batch_format="pandas")
+            proposals = (
+                tagged
+                .union(flow)
+                .union(state.map_batches(tag_jumps, batch_format="pandas"))
+                .repartition(nb)
+                .groupby("_b")
+                .map_groups(propose, batch_format="pandas")
+            )
+            reduced = (
+                tagged.union(proposals)
+                .repartition(nb)
+                .groupby("_b")
+                .map_groups(reduce_min, batch_format="pandas")
+                .materialize()
+            )
+            n_changed = int(reduced.sum("_changed") or 0)
+            # reduced carries (node, f, b, _changed); the extra column
+            # rides along unused — saves a materialize per round
+            state = cut_lineage(reduced)
+            if os.environ.get("GRAFT_SCC_DEBUG"):
+                print(f"scc_ds outer={outer} inner={_inner} "
+                      f"changed={n_changed}", flush=True)
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"scc_ds: f/b label propagation did not converge in "
+                f"{max_label_rounds} rounds — raise max_label_rounds"
+            )
+
+        # ---- freeze f == b; refine the rest by (f, b) ----------------
+        # any node with f == b = x is DONE: the whole (x, x) group is
+        # exactly SCC(x) ∩ class = SCC(x) (x reaches every member and
+        # every member reaches x; conversely mutual reachability forces
+        # identical in-class minima). And a class whose members all
+        # share one (f, b) pair necessarily has f == b (f(b-min) = f
+        # forces f ≤ b, b(f-min) = b forces b ≤ f), so every class that
+        # does NOT fully freeze strictly splits — no separate stability
+        # exchange is needed; termination is "no survivors left".
+        frozen = state.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df.loc[df["f"] == df["b"], "node"].astype("int64"),
+                 "scc_id": df.loc[df["f"] == df["b"], "f"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        if frozen.count() > 0:
+            done.append(cut_lineage(frozen))
+        rest = state.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df.loc[df["f"] != df["b"], "node"].astype("int64"),
+                 "cf": df.loc[df["f"] != df["b"], "f"].astype("int64"),
+                 "cb": df.loc[df["f"] != df["b"], "b"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        if os.environ.get("GRAFT_SCC_DEBUG"):
+            print(f"scc_ds outer={outer} frozen={frozen.count()} "
+                  f"rest={rest.count()}", flush=True)
+        if rest.count() == 0:
+            break
+        labels = cut_lineage(rest)
+    else:
+        raise RuntimeError(
+            f"scc_ds: class refinement did not converge in {max_outer} "
+            f"outer rounds — raise max_outer"
+        )
+
+    if not done:
+        return ray.data.from_pandas(empty_out)
+    out = done[0]
+    for d in done[1:]:
+        out = out.union(d)
+    return out
+
+
+def _directed_reference_edges_for(d: int, n_docs: int) -> "list[tuple[int, int]]":
+    """Directed reference-link edges contributed by doc ``d`` — the
+    SHARED SPEC between the distributed SCC builder and the brute
+    Tarjan census (the page-link direction model: projekt pages link
+    their people and sometimes an institution, most person pages link
+    back to their first projekt, even institutions link their
+    sub-institution — one-way unless the backlink exists; reference
+    parity: the details-page reference blocks, extract/details.py)."""
+    node = 1000 + d
+    out: list[tuple[int, int]] = []
+    if d % 3 == 0:
+        out.append((node, person_ref(d, 1, n_docs)))
+        out.append((node, person_ref(d, 2, n_docs)))
+        if d % 5 == 0:
+            out.append((node, institution_ref(d, 1, n_docs)))
+    elif d % 3 == 1:
+        if d % 4 != 0:
+            out.append((node, projekt_ref(d, 1, n_docs)))
+    else:
+        if d % 2 == 0:
+            out.append((node, institution_ref(d, 1, n_docs)))
+    return out
+
+
+def directed_reference_edges(sf_dir: str) -> "ray.data.Dataset":
+    """(src, dst) — the directed reference-link graph as a Dataset
+    (see ``_directed_reference_edges_for`` for the edge spec)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edge_rows(batch) -> pd.DataFrame:
+        src, dst = [], []
+        for d in batch.column("doc_id").to_pylist():
+            for s, t in _directed_reference_edges_for(int(d), n_docs):
+                src.append(s)
+                dst.append(t)
+        return pd.DataFrame(
+            {"src": pd.Series(src, dtype="int64"),
+             "dst": pd.Series(dst, dtype="int64")}
+        )
+
+    return docs.map_batches(edge_rows, batch_format="pyarrow")
+
+
+def reference_graph_scc(
+    sf_dir: str,
+    mode: str = "auto",
+    driver_edge_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """(node, scc_id) — SCC decomposition of the directed reference
+    graph (a bow-tie at test scale: one giant core SCC, a small cycle,
+    and singleton tendrils).
+
+    Modes follow the ``dedup_clusters`` convention: ``driver`` runs
+    Tarjan over the collected edge list (right while edges ≪ corpus —
+    link-graph edge sets ARE usually collectible after the host-level
+    projection, but not at page granularity), ``distributed`` runs the
+    FW-B label-refinement ``scc_ds`` (no driver-resident edge set),
+    ``auto`` picks driver below ``driver_edge_limit`` edges. Both
+    regimes share the recursive-CTE oracle and the route-equivalence
+    pytest."""
+    import ray
+
+    edges = directed_reference_edges(sf_dir).materialize()
+    if mode == "auto":
+        mode = "driver" if edges.count() <= driver_edge_limit else "distributed"
+    if mode == "distributed":
+        return scc_ds(edges)
+    df = edges.to_pandas()
+    scc = _scc_brute(list(zip(df["src"].tolist(), df["dst"].tolist())))
+    out = pd.DataFrame(
+        {"node": list(scc.keys()), "scc_id": list(scc.values())}
+    ).astype("int64").sort_values("node").reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+def reference_scc_brute(sf_dir: str) -> pd.DataFrame:
+    """Driver-side Tarjan census over the same edge spec — the staged
+    ground truth for the ``crawl_scc`` oracle (never runs through the
+    distributed op)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    edge_list: list[tuple[int, int]] = []
+    for d in range(n_docs):
+        edge_list.extend(_directed_reference_edges_for(d, n_docs))
+    scc = _scc_brute(edge_list)
+    out = pd.DataFrame(
+        {"node": list(scc.keys()), "scc_id": list(scc.values())}
+    ).astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

@@ -4445,3 +4445,91 @@ def test_knn_pq_determinism_margins():
         short = np.lexsort((ids[mask], -adc[qi][mask]))[:50]
         ex = np.sort(qn[qi] @ mn[mask][short].T)[::-1]
         assert ex[9] - ex[10] > 1e-7
+
+
+def test_scc_matches_tarjan_on_random_and_structured_digraphs():
+    """scc_ds (FW-B label refinement) equals driver Tarjan on random
+    digraphs and the structured corner cases: self loops, a DAG chain
+    (all singletons), two cycles sharing a node (one merged SCC),
+    and a bow-tie (IN tendril -> core cycle -> OUT tendril)."""
+    import pandas as pd
+
+    import ray.data
+
+    from dfg_gepris_crawler_ray.ops.graph import _scc_brute, scc_ds
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(3):
+        n = 30
+        m = rng.random((n, n)) < 0.07
+        np.fill_diagonal(m, False)
+        cases.append([(int(i), int(j)) for i, j in zip(*np.nonzero(m))])
+    cases.append([(i, i + 1) for i in range(12)])           # DAG chain
+    cases.append([(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2),
+                  (5, 5)])                                   # shared cycles + self loop
+    cases.append([(100, 1), (1, 2), (2, 3), (3, 1), (3, 200)])  # bow-tie
+    for i, edge_list in enumerate(cases):
+        if not edge_list:
+            continue
+        df = pd.DataFrame(edge_list, columns=["src", "dst"]).astype("int64")
+        got = (
+            scc_ds(ray.data.from_pandas(df))
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        want = _scc_brute(edge_list)
+        want_df = (
+            pd.DataFrame({"node": list(want.keys()),
+                          "scc_id": list(want.values())})
+            .astype("int64")
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["node", "scc_id"]].astype("int64"), want_df,
+        ), f"case {i}"
+
+
+def test_scc_route_equivalence_and_bowtie_shape():
+    """Driver-Tarjan and distributed routes agree on the reference
+    graph, and the decomposition has the designed bow-tie shape
+    (one giant core SCC, one 2-cycle, singleton tendrils)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.ops.graph import reference_graph_scc
+
+    drv = (
+        reference_graph_scc(SF, mode="driver")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        reference_graph_scc(SF, mode="distributed")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        drv[["node", "scc_id"]].astype("int64"),
+        dist[["node", "scc_id"]].astype("int64"),
+    )
+    hist = Counter(Counter(drv["scc_id"]).values())
+    assert max(hist) > 50, hist          # a giant core SCC exists
+    assert hist[1] > 100, hist           # singleton tendrils exist
+    assert sum(s * c for s, c in hist.items()) == len(drv)
+
+
+def test_scc_nonconvergence_raises():
+    import pandas as pd
+
+    import ray.data
+
+    from dfg_gepris_crawler_ray.ops.graph import scc_ds
+
+    df = pd.DataFrame(
+        {"src": [0, 1, 2, 3, 4, 5, 6, 7],
+         "dst": [1, 2, 3, 4, 5, 6, 7, 0]}
+    ).astype("int64")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        scc_ds(ray.data.from_pandas(df), max_label_rounds=1)
