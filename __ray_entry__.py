@@ -1192,6 +1192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scc_dist": lambda sf: graph.reference_graph_scc(
             sf, mode="distributed"
         ),
+        # Broder bow-tie: core = largest SCC, in/out via two
+        # multi-source BFS sweeps (forward + reversed edges), one
+        # node-keyed classify exchange; recursive-CTE closure oracle
+        "crawl_bowtie": graph.reference_graph_bowtie,
         # personalized PageRank (random walk with restart at the seed
         # list): the focused-crawl frontier signal — same two-exchange
         # iteration as crawl_pagerank, teleport/dangling mass restarts
@@ -3544,6 +3548,26 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["crawl_scc"] = _scc_sql
     oracles["crawl_scc_dist"] = _scc_sql
+    # bow-tie: same closure; core = largest SCC (tie: min scc_id),
+    # in = reaches the core rep, out = reached from it
+    oracles["crawl_bowtie"] = _scc_sql.replace(
+        "SELECT node, min(m) AS scc_id FROM mutual GROUP BY node",
+        """, scc AS (SELECT node, min(m) AS scc_id FROM mutual GROUP BY node),
+        core AS (SELECT scc_id FROM scc GROUP BY scc_id
+                 ORDER BY count(*) DESC, scc_id LIMIT 1)
+        SELECT s.node,
+          CASE WHEN s.scc_id = (SELECT scc_id FROM core) THEN 'core'
+               WHEN EXISTS (SELECT 1 FROM reach r
+                            WHERE r.a = s.node
+                              AND r.b = (SELECT scc_id FROM core))
+                 THEN 'in'
+               WHEN EXISTS (SELECT 1 FROM reach r
+                            WHERE r.a = (SELECT scc_id FROM core)
+                              AND r.b = s.node)
+                 THEN 'out'
+               ELSE 'other' END AS cls
+        FROM scc s""",
+    )
     oracles["crawl_triangles"] = """
         WITH nd AS (SELECT count(*) AS n_docs FROM documents),
         pp AS (

@@ -2302,3 +2302,106 @@ def reference_scc_brute(sf_dir: str) -> pd.DataFrame:
         {"node": list(scc.keys()), "scc_id": list(scc.values())}
     ).astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def bowtie_ds(
+    edges: "ray.data.Dataset",
+    max_depth: int = 64,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(node, cls) — the Broder et al. (2000) BOW-TIE decomposition of
+    a directed graph: ``core`` (the largest SCC; ties broken by min
+    scc_id), ``in`` (reaches the core), ``out`` (reached from the
+    core), ``other`` (tendrils, tubes and disconnected lumped — the
+    classic 4-way simplification). THE macro-map of the web graph: a
+    crawler seeded in IN∪CORE covers CORE∪OUT, and the relative sizes
+    are the standard corpus-reachability health check.
+
+    Composition of the existing primitives — scc_ds for the core,
+    two multi-source BFS sweeps (``bfs_depth_ds``, forward and on the
+    reversed edge set) for the reach flags, one node-keyed exchange to
+    fold the three labels into a class. The only driver value is the
+    core's (scc_id, size) row. ``max_depth`` caps the reach sweeps
+    (64 ≫ any real web graph's effective diameter; raise it for
+    adversarial chains)."""
+    from ..kernels.partitioning import adaptive_buckets
+
+    edges = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].astype("int64"),
+             "dst": df["dst"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    scc = scc_ds(edges).materialize()
+    if scc.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "cls": pd.Series(dtype="object")})
+        )
+    top = (
+        scc.groupby("scc_id")
+        .count()
+        .sort(["count()", "scc_id"], descending=[True, False])
+        .limit(1)
+        .take(1)
+    )
+    rep = int(top[0]["scc_id"])
+
+    core_seeds = scc.map_batches(
+        lambda df, _r=rep: pd.DataFrame(
+            {"node": df.loc[df["scc_id"] == _r, "node"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    fwd = bfs_depth_ds(edges, core_seeds, max_depth=max_depth,
+                       num_buckets=num_buckets)
+    rev = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["dst"].astype("int64"),
+             "dst": df["src"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    bwd = bfs_depth_ds(rev, core_seeds, max_depth=max_depth,
+                       num_buckets=num_buckets)
+
+    nb = adaptive_buckets(scc.count(), requested=num_buckets)
+
+    def tag(ds: "ray.data.Dataset", kind: str) -> "ray.data.Dataset":
+        return ds.map_batches(
+            lambda df, _k=kind: pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "scc_id": (df["scc_id"].astype("int64")
+                            if "scc_id" in df else np.int64(-1))}
+            ).assign(_b=lambda d: (d["node"] % nb).astype("int32"), _k=_k),
+            batch_format="pandas",
+        )
+
+    def classify(g: pd.DataFrame, _r=rep) -> pd.DataFrame:
+        s = g[g["_k"] == "s"][["node", "scc_id"]].drop_duplicates("node")
+        o = set(g.loc[g["_k"] == "o", "node"].tolist())
+        i = set(g.loc[g["_k"] == "i", "node"].tolist())
+        node = s["node"].to_numpy()
+        core = s["scc_id"].to_numpy() == _r
+        ino = np.isin(node, np.fromiter(i, dtype=np.int64, count=len(i)))
+        outo = np.isin(node, np.fromiter(o, dtype=np.int64, count=len(o)))
+        cls = np.where(core, "core",
+                       np.where(ino, "in",
+                                np.where(outo, "out", "other")))
+        return pd.DataFrame({"node": node, "cls": cls})
+
+    return (
+        tag(scc, "s")
+        .union(tag(fwd, "o"))     # forward reach from core = OUT side
+        .union(tag(bwd, "i"))     # backward reach = nodes reaching core
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(classify, batch_format="pandas")
+    )
+
+
+def reference_graph_bowtie(sf_dir: str) -> "ray.data.Dataset":
+    """(node, cls) — bow-tie decomposition of the directed reference
+    graph (see ``_directed_reference_edges_for``)."""
+    return bowtie_ds(directed_reference_edges(sf_dir))

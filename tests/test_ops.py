@@ -4533,3 +4533,61 @@ def test_scc_nonconvergence_raises():
     ).astype("int64")
     with pytest.raises(RuntimeError, match="did not converge"):
         scc_ds(ray.data.from_pandas(df), max_label_rounds=1)
+
+
+def test_bowtie_matches_brute_classification():
+    """bowtie_ds equals a driver brute (Tarjan core + forward/backward
+    BFS sets) on the reference graph, and the shape is a real bow-tie
+    (non-empty core and at least two other classes)."""
+    from collections import Counter, defaultdict, deque
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.graph import (
+        _directed_reference_edges_for,
+        _scc_brute,
+        reference_graph_bowtie,
+    )
+
+    got = (
+        reference_graph_bowtie(SF)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    edge_list = []
+    for d in range(n_docs):
+        edge_list.extend(_directed_reference_edges_for(d, n_docs))
+    scc = _scc_brute(edge_list)
+    core_id = min(
+        Counter(scc.values()).items(), key=lambda kv: (-kv[1], kv[0])
+    )[0]
+    core = {v for v, c in scc.items() if c == core_id}
+    fwd, bwd = defaultdict(list), defaultdict(list)
+    for s, d in edge_list:
+        fwd[s].append(d)
+        bwd[d].append(s)
+
+    def reach(seeds, adj):
+        seen = set(seeds)
+        q = deque(seeds)
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    q.append(w)
+        return seen
+
+    out_side = reach(core, fwd)
+    in_side = reach(core, bwd)
+    want = {
+        v: ("core" if v in core
+            else "in" if v in in_side
+            else "out" if v in out_side
+            else "other")
+        for v in scc
+    }
+    assert dict(zip(got["node"], got["cls"])) == want
+    hist = Counter(got["cls"])
+    assert hist["core"] > 0 and len(hist) >= 3, hist
