@@ -1196,6 +1196,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-source BFS sweeps (forward + reversed edges), one
         # node-keyed classify exchange; recursive-CTE closure oracle
         "crawl_bowtie": graph.reference_graph_bowtie,
+        # dependency-ordered crawl waves: longest-path layers of the
+        # SCC condensation (scc_ds → 2-exchange condensation-edge map
+        # → per-round ship-max/reduce-max relaxation); recursive-CTE
+        # closure oracle with depth-tracked layering
+        "crawl_condensation_layers": graph.reference_condensation_layers,
         # personalized PageRank (random walk with restart at the seed
         # list): the focused-crawl frontier signal — same two-exchange
         # iteration as crawl_pagerank, teleport/dangling mass restarts
@@ -3548,6 +3553,26 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["crawl_scc"] = _scc_sql
     oracles["crawl_scc_dist"] = _scc_sql
+    # condensation layers: same closure; condensation edges = distinct
+    # cross-SCC label pairs; layer = max depth over the depth-tracked
+    # recursive walk of the condensation DAG
+    oracles["crawl_condensation_layers"] = _scc_sql.replace(
+        "SELECT node, min(m) AS scc_id FROM mutual GROUP BY node",
+        """, scc AS (SELECT node, min(m) AS scc_id FROM mutual GROUP BY node),
+        ce AS (SELECT DISTINCT s1.scc_id AS csrc, s2.scc_id AS cdst
+               FROM edges e
+               JOIN scc s1 ON s1.node = e.u
+               JOIN scc s2 ON s2.node = e.v
+               WHERE s1.scc_id <> s2.scc_id),
+        lp(c, d) AS (
+          SELECT DISTINCT scc_id, 0 FROM scc
+          UNION
+          SELECT ce.cdst, lp.d + 1 FROM lp JOIN ce ON ce.csrc = lp.c
+        ),
+        lay AS (SELECT c, max(d) AS layer FROM lp GROUP BY c)
+        SELECT s.node, s.scc_id, CAST(l.layer AS BIGINT) AS layer
+        FROM scc s JOIN lay l ON l.c = s.scc_id""",
+    )
     # bow-tie: same closure; core = largest SCC (tie: min scc_id),
     # in = reaches the core rep, out = reached from it
     oracles["crawl_bowtie"] = _scc_sql.replace(

@@ -2405,3 +2405,225 @@ def reference_graph_bowtie(sf_dir: str) -> "ray.data.Dataset":
     """(node, cls) — bow-tie decomposition of the directed reference
     graph (see ``_directed_reference_edges_for``)."""
     return bowtie_ds(directed_reference_edges(sf_dir))
+
+
+def condensation_layers_ds(
+    edges: "ray.data.Dataset",
+    max_rounds: int = 64,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(node, scc_id, layer) — topological LAYERS of the SCC
+    condensation: layer(C) = longest path (in condensation hops) from
+    any source SCC to C. The crawl-scheduling readout of the SCC
+    decomposition — fetching layer k before k+1 never fetches a page
+    before a page that links to it transitively (modulo its own SCC),
+    i.e. dependency-ordered crawl waves over a graph WITH cycles,
+    which a plain topological sort cannot give.
+
+    Shape — reuses scc_ds, then:
+
+    - condensation edges: two node-keyed exchanges map (src, dst)
+      through the scc labels; cross-SCC pairs dedup per bucket (the
+      condensation is a DAG by construction);
+    - layering: longest-path relaxation — per round ONE scc-keyed
+      exchange ships layer(src)+1 along condensation edges and ONE
+      max-reduces (converges in ≤ condensation depth rounds; the DAG
+      guarantees termination, checked against ``max_rounds``);
+    - one final node-keyed exchange joins layers back to members.
+    Only per-round scalar change counts reach the driver."""
+    from ..kernels.partitioning import adaptive_buckets, cut_lineage
+
+    edges = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].astype("int64"),
+             "dst": df["dst"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    scc = scc_ds(edges).materialize()
+    if scc.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "scc_id": pd.Series(dtype="int64"),
+                          "layer": pd.Series(dtype="int64")})
+        )
+    nb = adaptive_buckets(scc.count(), requested=num_buckets)
+
+    # --- condensation edges: map endpoints through scc labels --------
+    def tag_scc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["node"].astype("int64"),
+             "oth": np.int64(-1),
+             "lbl": df["scc_id"].astype("int64"),
+             "_b": (df["node"] % nb).astype("int32"), "_k": "s"}
+        )
+
+    def tag_e_src(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["src"].astype("int64"),
+             "oth": df["dst"].astype("int64"),
+             "lbl": np.int64(-1),
+             "_b": (df["src"] % nb).astype("int32"), "_k": "e"}
+        )
+
+    def map_src(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_k"] == "s"][["key", "lbl"]].drop_duplicates("key")
+        e = g[g["_k"] == "e"][["key", "oth"]]
+        m = e.merge(s, on="key", how="inner")
+        # re-key by dst, src's scc rides in lbl
+        return pd.DataFrame(
+            {"key": m["oth"].astype("int64"),
+             "oth": np.int64(-1),
+             "lbl": m["lbl"].astype("int64"),
+             "_b": (m["oth"] % nb).astype("int32"), "_k": "e"}
+        )
+
+    def map_dst(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_k"] == "s"][["key", "lbl"]].drop_duplicates("key")
+        e = g[g["_k"] == "e"][["key", "lbl"]].rename(columns={"lbl": "sl"})
+        m = e.merge(s, on="key", how="inner")
+        m = m[m["sl"] != m["lbl"]][["sl", "lbl"]].drop_duplicates()
+        return pd.DataFrame(
+            {"csrc": m["sl"].astype("int64"),
+             "cdst": m["lbl"].astype("int64")}
+        )
+
+    scc_tagged = scc.map_batches(tag_scc, batch_format="pandas")
+    cond = (
+        scc_tagged.union(edges.map_batches(tag_e_src, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(map_src, batch_format="pandas")
+        .union(scc_tagged)
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(map_dst, batch_format="pandas")
+        # global dedup of (csrc, cdst) by csrc bucket
+        .map_batches(
+            lambda df: df.assign(_b=(df["csrc"] % nb).astype("int32")),
+            batch_format="pandas",
+        )
+        .groupby("_b")
+        .map_groups(
+            lambda g: g.drop_duplicates(["csrc", "cdst"])[["csrc", "cdst"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    cond = cut_lineage(cond)
+
+    # --- longest-path relaxation over the condensation DAG -----------
+    layers = cut_lineage(scc.map_batches(
+        lambda df: pd.DataFrame(
+            {"c": df["scc_id"].astype("int64")}
+        ).drop_duplicates().assign(layer=np.int64(0)),
+        batch_format="pandas",
+    ).materialize())
+
+    def tag_layer(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["c"].astype("int64"),
+             "oth": np.int64(-1),
+             "lbl": df["layer"].astype("int64"),
+             "_b": (df["c"] % nb).astype("int32"), "_k": "s"}
+        )
+
+    def tag_ce(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["csrc"].astype("int64"),
+             "oth": df["cdst"].astype("int64"),
+             "lbl": np.int64(-1),
+             "_b": (df["csrc"] % nb).astype("int32"), "_k": "e"}
+        )
+
+    def ship(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_k"] == "s"][["key", "lbl"]].drop_duplicates("key")
+        e = g[g["_k"] == "e"][["key", "oth"]]
+        m = e.merge(s, on="key", how="inner")
+        # per-bucket pre-reduce: one (dst, max proposal) row
+        p = m.groupby("oth", as_index=False)["lbl"].max()
+        return pd.DataFrame(
+            {"key": p["oth"].astype("int64"),
+             "oth": np.int64(-1),
+             "lbl": (p["lbl"] + 1).astype("int64"),
+             "_b": (p["oth"] % nb).astype("int32"), "_k": "p"}
+        )
+
+    def reduce_max(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["_k"] == "s"][["key", "lbl"]]
+        p = g[g["_k"] == "p"][["key", "lbl"]]
+        allr = pd.concat([s, p], ignore_index=True)
+        new = allr.groupby("key", as_index=False)["lbl"].max()
+        m = new.merge(s, on="key", suffixes=("", "_old"))
+        return pd.DataFrame(
+            {"c": m["key"].astype("int64"),
+             "layer": m["lbl"].astype("int64"),
+             "_changed": (m["lbl"] > m["lbl_old"]).astype("int64")}
+        )
+
+    ce_tagged = cond.map_batches(tag_ce, batch_format="pandas").materialize()
+    for _round in range(max_rounds):
+        lt = layers.map_batches(tag_layer, batch_format="pandas")
+        props = (
+            lt.union(ce_tagged)
+            .repartition(nb)
+            .groupby("_b")
+            .map_groups(ship, batch_format="pandas")
+        )
+        reduced = (
+            lt.union(props)
+            .repartition(nb)
+            .groupby("_b")
+            .map_groups(reduce_max, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = int(reduced.sum("_changed") or 0)
+        layers = cut_lineage(reduced)
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"condensation_layers_ds: relaxation did not settle in "
+            f"{max_rounds} rounds — not a DAG? (raise max_rounds)"
+        )
+
+    # --- join layers back to members ---------------------------------
+    def tag_l2(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["c"].astype("int64"),
+             "node": np.int64(-1),
+             "layer": df["layer"].astype("int64"),
+             "_b": (df["c"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    def tag_m(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["scc_id"].astype("int64"),
+             "node": df["node"].astype("int64"),
+             "layer": np.int64(-1),
+             "_b": (df["scc_id"] % nb).astype("int32"), "_k": "m"}
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        l_ = g[g["_k"] == "l"][["key", "layer"]].drop_duplicates("key")
+        m_ = g[g["_k"] == "m"][["key", "node"]]
+        j = m_.merge(l_, on="key", how="inner")
+        return pd.DataFrame(
+            {"node": j["node"].astype("int64"),
+             "scc_id": j["key"].astype("int64"),
+             "layer": j["layer"].astype("int64")}
+        )
+
+    return (
+        layers.map_batches(tag_l2, batch_format="pandas")
+        .union(scc.map_batches(tag_m, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(attach, batch_format="pandas")
+    )
+
+
+def reference_condensation_layers(sf_dir: str) -> "ray.data.Dataset":
+    """(node, scc_id, layer) — dependency-ordered crawl waves over the
+    directed reference graph's SCC condensation."""
+    return condensation_layers_ds(directed_reference_edges(sf_dir))

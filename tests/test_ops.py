@@ -4591,3 +4591,59 @@ def test_bowtie_matches_brute_classification():
     assert dict(zip(got["node"], got["cls"])) == want
     hist = Counter(got["cls"])
     assert hist["core"] > 0 and len(hist) >= 3, hist
+
+
+def test_condensation_layers_match_brute_topo_dp():
+    """condensation_layers_ds equals a driver brute: Tarjan SCCs,
+    cross-SCC edge dedup, longest-path DP over a Kahn topological
+    order of the condensation (which also proves it IS a DAG)."""
+    from collections import defaultdict, deque
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.graph import (
+        _directed_reference_edges_for,
+        _scc_brute,
+        reference_condensation_layers,
+    )
+
+    got = (
+        reference_condensation_layers(SF)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    el = []
+    for d in range(n):
+        el.extend(_directed_reference_edges_for(d, n))
+    scc = _scc_brute(el)
+    ce = {(scc[s], scc[d]) for s, d in el if scc[s] != scc[d]}
+    indeg, adj = defaultdict(int), defaultdict(list)
+    for a, b in ce:
+        adj[a].append(b)
+        indeg[b] += 1
+    nodes_c = set(scc.values())
+    layer = {c: 0 for c in nodes_c}
+    q = deque(c for c in nodes_c if indeg[c] == 0)
+    seen = 0
+    while q:
+        v = q.popleft()
+        seen += 1
+        for w in adj[v]:
+            layer[w] = max(layer[w], layer[v] + 1)
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                q.append(w)
+    assert seen == len(nodes_c)  # condensation is a DAG
+    want = (
+        pd.DataFrame(
+            {"node": list(scc.keys()),
+             "scc_id": [scc[v] for v in scc],
+             "layer": [layer[scc[v]] for v in scc]}
+        )
+        .astype("int64").sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["node", "scc_id", "layer"]].astype("int64"), want
+    )
+    assert want["layer"].max() >= 3  # a real multi-wave schedule
