@@ -1201,6 +1201,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # → per-round ship-max/reduce-max relaxation); recursive-CTE
         # closure oracle with depth-tracked layering
         "crawl_condensation_layers": graph.reference_condensation_layers,
+        # OPIC crawl-time importance (cash/history diffusion, Cesàro
+        # average): the crawler-native frontier-ordering signal — two
+        # keyed exchanges per round + one dangling scalar, exactly the
+        # pagerank_ds shape; unrolled-CTE oracle
+        "crawl_opic": graph.reference_graph_opic,
         # personalized PageRank (random walk with restart at the seed
         # list): the focused-crawl frontier signal — same two-exchange
         # iteration as crawl_pagerank, teleport/dangling mass restarts
@@ -3509,9 +3514,10 @@ def oracle_sql() -> dict[str, str]:
     # SCC: recursive-CTE transitive closure over the DIRECTED edge
     # formulas (the _directed_reference_edges_for spec re-expressed in
     # SQL), scc_id = min over {node} ∪ {m : node→m AND m→node}
-    _scc_sql = """
-        WITH RECURSIVE nd AS (SELECT count(*) AS n_docs FROM documents),
-        edges AS (
+    # the _directed_reference_edges_for spec re-expressed in SQL,
+    # shared by every directed-graph oracle (SCC, bow-tie, layers,
+    # OPIC)
+    _directed_edges_cte = """edges AS (
           SELECT CAST(1000 + d.doc_id AS BIGINT) AS u,
                  CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
                       AS BIGINT) AS v
@@ -3535,7 +3541,10 @@ def oracle_sql() -> dict[str, str]:
                  CAST(1000 + 3*((d.doc_id*5 + 1) % (nd.n_docs//3)) + 2
                       AS BIGINT)
           FROM documents d CROSS JOIN nd
-          WHERE d.doc_id % 3 = 2 AND d.doc_id % 2 = 0),
+          WHERE d.doc_id % 3 = 2 AND d.doc_id % 2 = 0)"""
+    _scc_sql = f"""
+        WITH RECURSIVE nd AS (SELECT count(*) AS n_docs FROM documents),
+        {_directed_edges_cte},
         nodes AS (SELECT DISTINCT u AS node FROM edges
                   UNION SELECT DISTINCT v FROM edges),
         reach(a, b) AS (
@@ -3553,6 +3562,50 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["crawl_scc"] = _scc_sql
     oracles["crawl_scc_dist"] = _scc_sql
+    # OPIC (Abiteboul et al. 2003) over the directed edge set: the
+    # synchronous cash/history recurrence unrolled as chained CTEs
+    # (the crawl_pagerank oracle discipline); importance = Cesàro
+    # average (hist + cash)/(rounds+1), rounded 9dp in both op and SQL
+    _opic_rounds = 6
+    # every step CTE AS MATERIALIZED: DuckDB inlines chained CTEs by
+    # default, re-expanding the 4-way documents scan per reference —
+    # the unrolled plan otherwise exhausts file descriptors (the
+    # _hits_oracle_sql lesson)
+    _opic_steps = ",".join(
+        f"""
+        d{i} AS MATERIALIZED (
+                 SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN cash END), 0)
+                        AS m FROM r{i - 1}),
+        c{i} AS MATERIALIZED (
+                 SELECT e.v AS node, sum(r.cash / r.outdeg) AS s
+                 FROM edges e JOIN r{i - 1} r ON e.u = r.node GROUP BY e.v),
+        r{i} AS MATERIALIZED (
+                 SELECT n.node, n.outdeg,
+                        coalesce(c{i}.s, 0) + d{i}.m/nn.n AS cash,
+                        n.hist + n.cash AS hist
+                 FROM r{i - 1} n CROSS JOIN nn CROSS JOIN d{i}
+                 LEFT JOIN c{i} ON n.node = c{i}.node)"""
+        for i in range(1, _opic_rounds + 1)
+    )
+    oracles["crawl_opic"] = f"""
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        {_directed_edges_cte.replace("edges AS (", "edges AS MATERIALIZED (", 1)},
+        deg AS MATERIALIZED (
+            SELECT u AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+        allnodes AS (SELECT DISTINCT u AS node FROM edges
+                     UNION SELECT DISTINCT v FROM edges),
+        nodes AS MATERIALIZED (
+            SELECT a.node, coalesce(deg.outdeg, 0) AS outdeg
+            FROM allnodes a LEFT JOIN deg ON a.node = deg.node),
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        r0 AS MATERIALIZED (
+            SELECT node, outdeg, 1.0/nn.n AS cash, 0.0 AS hist
+            FROM nodes CROSS JOIN nn),
+        {_opic_steps}
+        SELECT node,
+               round((hist + cash) / {_opic_rounds + 1}, 9) AS importance
+        FROM r{_opic_rounds} ORDER BY node
+    """
     # condensation layers: same closure; condensation edges = distinct
     # cross-SCC label pairs; layer = max depth over the depth-tracked
     # recursive walk of the condensation DAG

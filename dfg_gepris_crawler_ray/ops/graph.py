@@ -1943,8 +1943,18 @@ def scc_ds(
     - inner label round: ONE exchange carries min-label proposals and
       both pointer-doubling lookups together (labels, flow rows and
       jump rows co-bucket by node key), ONE exchange min-reduces —
-      2 exchanges/round, O(log diameter) rounds via doubling;
+      2 exchanges/round;
     - only per-round scalar change counts reach the driver.
+
+    Round count honesty: the doubling jump composes horizons along the
+    CURRENT min-pointer, so it accelerates only where ids shrink along
+    the travel direction (measured: a 16-cycle with increasing ids
+    propagates b one hop per round — f(v)=v is a self-pointer and the
+    jump is a no-op). Worst case is therefore O(graph diameter) label
+    rounds, like the Orzan coloring it derives from; real web graphs
+    have effective diameter ~16–25, and each round is 2 bounded keyed
+    exchanges, so the 100-TB posture is rounds × exchange cost, not
+    driver state.
 
     Raises RuntimeError if either loop exhausts its budget with labels
     still moving (the dedup._cluster_labels_distributed convention)."""
@@ -2627,3 +2637,170 @@ def reference_condensation_layers(sf_dir: str) -> "ray.data.Dataset":
     """(node, scc_id, layer) — dependency-ordered crawl waves over the
     directed reference graph's SCC condensation."""
     return condensation_layers_ds(directed_reference_edges(sf_dir))
+
+
+def opic_ds(
+    edges: "ray.data.Dataset",
+    n_rounds: int = 6,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(node, importance) — OPIC, On-line Page Importance Computation
+    (Abiteboul–Preda–Cobéna, WWW 2003): the CRAWLER-NATIVE importance
+    estimator. Every page holds ``cash``; when read it banks the cash
+    into ``hist`` and distributes it equally along its out-links
+    (dangling pages distribute uniformly to everyone); importance is
+    the normalized Cesàro average (hist + cash) / (rounds + 1). Unlike
+    PageRank it needs no convergence wait — a crawler reads the
+    estimate mid-crawl to order its frontier — and the synchronous
+    all-pages-read-per-round variant implemented here is deterministic
+    and exactly SQL-unrollable (the crawl_pagerank oracle discipline).
+
+    Scale shape — identical to ``pagerank_ds``: per round exactly TWO
+    key-hash-bucket exchanges (ship cash/outdeg along out-edges with
+    the per-(bucket, dst) pre-sum combiner; reduce per node), and one
+    driver SCALAR (the dangling cash mass)."""
+    from ..kernels.partitioning import adaptive_buckets, cut_lineage
+
+    edges = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].astype("int64"),
+             "dst": df["dst"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    nb = adaptive_buckets(edges.count(), requested=num_buckets)
+
+    def _bl(s: pd.Series) -> pd.Series:
+        return (s.astype("int64") % nb).astype("int32")
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
+        out = pd.DataFrame({"node": nodes})
+        deg = df.groupby("src", as_index=False).size()
+        deg.columns = ["node", "outdeg"]
+        out = out.merge(deg, on="node", how="left")
+        out["outdeg"] = out["outdeg"].fillna(0).astype("int64")
+        return out.assign(_nb=_bl(out["node"]))
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(
+            lambda g: g.groupby("node", as_index=False)["outdeg"].sum(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "importance": pd.Series(dtype="float64")})
+        )
+
+    state = nodes.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "cash": 1.0 / n_nodes,
+             "hist": 0.0,
+             "outdeg": df["outdeg"].astype("int64")}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(n_rounds):
+        dangling = float(
+            state.map_batches(
+                lambda df: pd.DataFrame(
+                    {"m": [df.loc[df["outdeg"] == 0, "cash"].sum()]}
+                ),
+                batch_format="pandas",
+            ).sum("m")
+            or 0.0
+        )
+
+        def tag_cash(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["node"].astype("int64"), "dst": -1,
+                 "val": df["cash"] / df["outdeg"].clip(lower=1),
+                 "_sb": _bl(df["node"]), "_k": "r"}
+            )
+
+        def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["src"].astype("int64"),
+                 "dst": df["dst"].astype("int64"),
+                 "val": 0.0, "_sb": _bl(df["src"]), "_k": "e"}
+            )
+
+        def contribs(g: pd.DataFrame) -> pd.DataFrame:
+            r = g[g["_k"] == "r"][["key", "val"]]
+            e = g[g["_k"] == "e"][["key", "dst"]]
+            m = e.merge(r, on="key")
+            out = pd.DataFrame(
+                {"node": m["dst"].astype("int64"), "contrib": m["val"]}
+            )
+            out = out.groupby("node", as_index=False)["contrib"].sum()
+            out["_nb"] = _bl(out["node"])
+            return out
+
+        contrib = (
+            state.map_batches(tag_cash, batch_format="pandas")
+            .union(edges.map_batches(tag_e, batch_format="pandas"))
+            .repartition(nb)
+            .groupby("_sb")
+            .map_groups(contribs, batch_format="pandas")
+        )
+
+        share = dangling / n_nodes
+
+        def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "contrib": 0.0,
+                 "cash": df["cash"], "hist": df["hist"],
+                 "outdeg": df["outdeg"].astype("int64"),
+                 "_nb": _bl(df["node"]), "_k": "n"}
+            )
+
+        def tag_contrib(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(
+                cash=-1.0, hist=-1.0, outdeg=np.int64(-1), _k="c"
+            )[["node", "contrib", "cash", "hist", "outdeg", "_nb", "_k"]]
+
+        def reduce_cash(g: pd.DataFrame, _s=share) -> pd.DataFrame:
+            nd = g[g["_k"] == "n"][["node", "cash", "hist", "outdeg"]]
+            cs = g[g["_k"] == "c"].groupby("node")["contrib"].sum()
+            m = nd.merge(
+                cs.rename("s"), left_on="node", right_index=True, how="left"
+            )
+            m["s"] = m["s"].fillna(0.0)
+            return pd.DataFrame(
+                {"node": m["node"].astype("int64"),
+                 "cash": m["s"] + _s,
+                 "hist": m["hist"] + m["cash"],
+                 "outdeg": m["outdeg"].astype("int64")}
+            )
+
+        state = cut_lineage(
+            state.map_batches(tag_node, batch_format="pandas")
+            .union(contrib.map_batches(tag_contrib, batch_format="pandas"))
+            .repartition(nb)
+            .groupby("_nb")
+            .map_groups(reduce_cash, batch_format="pandas")
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"),
+             "importance": ((df["hist"] + df["cash"])
+                            / (n_rounds + 1)).round(9)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def reference_graph_opic(sf_dir: str, n_rounds: int = 6) -> "ray.data.Dataset":
+    """(node, importance) — OPIC over the directed reference graph."""
+    return opic_ds(directed_reference_edges(sf_dir), n_rounds=n_rounds)

@@ -4647,3 +4647,48 @@ def test_condensation_layers_match_brute_topo_dp():
         got[["node", "scc_id", "layer"]].astype("int64"), want
     )
     assert want["layer"].max() >= 3  # a real multi-wave schedule
+
+
+def test_opic_matches_numpy_cash_diffusion():
+    """opic_ds equals a dense numpy replay of the synchronous OPIC
+    recurrence (cash along out-links, dangling uniform, Cesàro
+    average), and total importance is conserved at 1."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.graph import (
+        _directed_reference_edges_for,
+        reference_graph_opic,
+    )
+
+    n_rounds = 6
+    got = (
+        reference_graph_opic(SF, n_rounds=n_rounds)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    el = []
+    for d in range(n_docs):
+        el.extend(_directed_reference_edges_for(d, n_docs))
+    nodes = sorted({v for e in el for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _ in el:
+        outdeg[idx[s]] += 1
+    cash = np.full(n, 1.0 / n)
+    hist = np.zeros(n)
+    for _ in range(n_rounds):
+        dang = cash[outdeg == 0].sum()
+        new = np.full(n, dang / n)
+        share = np.where(outdeg > 0, cash / np.clip(outdeg, 1, None), 0.0)
+        for s, d in el:
+            new[idx[d]] += share[idx[s]]
+        hist += cash
+        cash = new
+    want = np.round((hist + cash) / (n_rounds + 1), 9)
+    assert got["node"].tolist() == nodes
+    np.testing.assert_allclose(
+        got["importance"].to_numpy(), want, rtol=0, atol=2e-9
+    )
+    assert abs(got["importance"].sum() - 1.0) < 1e-6
