@@ -1316,6 +1316,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q20 (availqty-free): threshold-aggregated semi-join
         # chain — pair partials before ONE pair-keyed exchange
         "rel_q20_excess_shippers": relational.excess_shippers,
+        # TPC-H Q12 (shipmode-free): returnflag modes, lateness proxy,
+        # per-order priority split inside ONE orderkey exchange
+        "rel_q12_shipmode_priority": relational.shipmode_priority_counts,
+        # TPC-H Q22 (phone-free): global-average scalar + bucketed
+        # hash anti-join vs recent orders + tiny per-nation rollup
+        "rel_q22_lapsed_opportunity": relational.lapsed_customer_opportunity,
     }
 
 
@@ -4022,6 +4028,36 @@ def oracle_sql() -> dict[str, str]:
           AND EXISTS (SELECT 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey
                         AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY 1
+    """
+    oracles["rel_q12_shipmode_priority"] = """
+        SELECT l_returnflag AS ship_mode,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag IN ('R', 'A')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1
+    """
+    oracles["rel_q22_lapsed_opportunity"] = """
+        WITH pool AS (
+            SELECT c_custkey, c_nationkey,
+                   round(c_acctbal * 100)::BIGINT AS bal_cents
+            FROM customer
+            WHERE c_acctbal > 0 AND c_nationkey % 3 = 1),
+        tot AS (SELECT sum(bal_cents) AS s, count(*) AS n FROM pool)
+        SELECT c_nationkey::BIGINT AS cntrycode,
+               count(*)::BIGINT AS numcust,
+               sum(bal_cents)::BIGINT AS totacctbal_x100
+        FROM pool, tot
+        WHERE bal_cents * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2001-01-01')
         GROUP BY 1
     """
     oracles["rel_q6_forecast_revenue"] = """

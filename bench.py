@@ -577,6 +577,11 @@ def main():
           lambda: relational.min_cost_supplier(SF_DIR))
     timed("rel_q21_sole_late_supplier",
           lambda: relational.sole_late_supplier(SF_DIR))
+    timed("rel_q12_shipmode_priority",
+          lambda: relational.shipmode_priority_counts(SF_DIR).materialize())
+    timed("rel_q22_lapsed_opportunity",
+          lambda: relational.lapsed_customer_opportunity(
+              SF_DIR).materialize())
     from dfg_gepris_crawler_ray.ops.recrawl import fetch_waves
     timed("crawl_fetch_waves",
           lambda: fetch_waves(SF_DIR).materialize())
@@ -639,6 +644,20 @@ def main():
     from dfg_gepris_crawler_ray.ops.recrawl import decayed_activity
     timed("rel_decayed_activity",
           lambda: decayed_activity(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import (
+        reference_condensation_layers,
+        reference_graph_bowtie,
+        reference_graph_opic,
+        reference_graph_scc,
+    )
+    timed("crawl_scc",
+          lambda: reference_graph_scc(SF_DIR).materialize())
+    timed("crawl_bowtie",
+          lambda: reference_graph_bowtie(SF_DIR).materialize())
+    timed("crawl_condensation_layers",
+          lambda: reference_condensation_layers(SF_DIR).materialize())
+    timed("crawl_opic",
+          lambda: reference_graph_opic(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

@@ -3686,3 +3686,225 @@ def excess_shippers(
         )
         .map_batches(attach_name, batch_format="pandas")
     )
+
+
+def shipmode_priority_counts(
+    sf_dir: str,
+    modes: tuple[str, ...] = ("R", "A"),
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    late_days: int = 30,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(ship_mode, high_line_count, low_line_count) — TPC-H Q12 adapted
+    to this schema (no ``l_shipmode``/``l_commitdate``/
+    ``l_receiptdate``): ``l_returnflag`` stands in for the two audited
+    ship modes and "arrived late" becomes ``l_shipdate > o_orderdate +
+    late_days`` (the same commit/receipt-date-free lateness proxy Q4
+    uses). The aggregate keeps Q12's defining shape: a fact-fact join
+    that splits line counts by the ORDER's priority class
+    (urgent/high vs everything else) per mode.
+
+    Scale shape: mode + ship-date window pushed into the lineitem
+    scan as parquet predicates; ONE orderkey-bucketed exchange
+    co-locates each order's (date, priority) row with its surviving
+    lines; the lateness test and the per-mode conditional counts
+    happen in the group task, so ≤ |modes| partial rows leave each
+    bucket; the final groupby sums a buckets×modes-row dataset.
+
+    Completes the repo's TPC-H sweep alongside Q1–Q11/Q13–Q21
+    (reference has no relational layer; this is engine-generic)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows,
+        requested=num_buckets, rows_per_bucket=4096,
+    )
+    high = ("1-URGENT", "2-HIGH")
+
+    line_expr = (
+        pads.field("l_returnflag").isin(list(modes))
+        & (pads.field("l_shipdate") >= _dt.datetime.fromisoformat(date_from))
+        & (pads.field("l_shipdate") < _dt.datetime.fromisoformat(date_to))
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=line_expr,
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["o_orderkey"].astype("int64"),
+             "mode": "",
+             "is_high": df["o_orderpriority"].isin(high),
+             "ts": df["o_orderdate"],
+             "_b": (df["o_orderkey"] % nb).astype("int32"), "_k": "o"}
+        )
+
+    def tag_line(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"okey": df["l_orderkey"].astype("int64"),
+             "mode": df["l_returnflag"].astype(str),
+             "is_high": False,
+             "ts": df["l_shipdate"],
+             "_b": (df["l_orderkey"] % nb).astype("int32"), "_k": "l"}
+        )
+
+    empty = pd.DataFrame(
+        {"ship_mode": pd.Series(dtype="object"),
+         "high_line_count": pd.Series(dtype="int64"),
+         "low_line_count": pd.Series(dtype="int64")}
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_k"] == "o"][["okey", "is_high", "ts"]].rename(
+            columns={"ts": "odate"}
+        )
+        l = g[g["_k"] == "l"][["okey", "mode", "ts"]]
+        if not len(o) or not len(l):
+            return empty.copy()
+        m = l.merge(o, on="okey")
+        m = m[m["ts"] > m["odate"] + pd.Timedelta(days=late_days)]
+        if not len(m):
+            return empty.copy()
+        out = m.groupby("mode", as_index=False)["is_high"].agg(
+            high_line_count="sum", low_line_count=lambda s: (~s).sum()
+        )
+        return pd.DataFrame(
+            {"ship_mode": out["mode"],
+             "high_line_count": out["high_line_count"].astype("int64"),
+             "low_line_count": out["low_line_count"].astype("int64")}
+        )
+
+    return (
+        lineitem.map_batches(tag_line, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("ship_mode")
+        .aggregate(Sum("high_line_count"), Sum("low_line_count"))
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"ship_mode": df["ship_mode"],
+                 "high_line_count":
+                     df["sum(high_line_count)"].astype("int64"),
+                 "low_line_count":
+                     df["sum(low_line_count)"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def lapsed_customer_opportunity(
+    sf_dir: str,
+    nation_mod: int = 3,
+    nation_rem: int = 1,
+    cutoff: str = "2001-01-01",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(cntrycode, numcust, totacctbal_x100) — TPC-H Q22 adapted to
+    this schema (no ``c_phone``): the country code is ``c_nationkey``
+    directly and the pool filter keeps nations with ``nationkey %
+    nation_mod == nation_rem`` (standing in for Q22's 7-code phone
+    list); because the synthetic orders table gives every customer at
+    least one order, Q22's "never ordered" anti-join becomes "no
+    order since ``cutoff``" — same shape, non-degenerate result.
+    Balances aggregate in integer cents.
+
+    Scale shape — Q22's three signature moves, each distributed:
+
+    - the global average balance over the pool is a per-batch
+      (sum, count) partial pair tree-summed to ONE scalar — the only
+      driver read;
+    - the anti-join runs through the general bucketed hash anti-join
+      (per-batch right-key pre-dedup, one custkey-hash exchange,
+      vectorized per-bucket ``isin``) — no broadcast of the order
+      keyset, which at 10^10 orders would not fit;
+    - the final per-nation rollup pre-aggregates (cnt, bal) inside
+      ``map_batches`` before a ≤25-key groupby."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    nation_keys = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    )["n_nationkey"].to_pylist()
+    code_list = [k for k in nation_keys if k % nation_mod == nation_rem]
+    pool_expr = (pads.field("c_acctbal") > 0.0) & (
+        pads.field("c_nationkey").isin(code_list)
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        filter=pool_expr,
+    )
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["c_acctbal"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {"bal_cents": [int(cents.sum())], "n": [len(df)]}
+        )
+
+    pool = cust.materialize()  # reused: avg pass + anti-join pass
+    parts = pool.map_batches(bal_partial, batch_format="pandas")
+    tot = parts.sum(["bal_cents", "n"]) or {"sum(bal_cents)": 0, "sum(n)": 0}
+    sum_cents, n_pool = int(tot["sum(bal_cents)"]), int(tot["sum(n)"])
+
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate")
+                >= _dt.datetime.fromisoformat(cutoff)),
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"c_custkey": df["o_custkey"].astype("int64").unique()}
+        ),
+        batch_format="pandas",
+    )
+
+    # integer-rational compare: bal_cents * n_pool > sum_cents avoids
+    # any float threshold crossing the gate (Q11's trick)
+    def keep_rich(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["c_acctbal"] * 100).round().astype("int64")
+        return df[cents * n_pool > sum_cents]
+
+    rich = pool.map_batches(keep_rich, batch_format="pandas")
+    lapsed = anti_join_bucketed(
+        rich, recent, on="c_custkey", num_buckets=num_buckets
+    )
+
+    def rollup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["c_acctbal"] * 100).round().astype("int64")
+        g = pd.DataFrame(
+            {"cntrycode": df["c_nationkey"].astype("int64"),
+             "numcust": 1, "totacctbal_x100": cents}
+        ).groupby("cntrycode", as_index=False).sum()
+        return g
+
+    return (
+        lapsed.map_batches(rollup_partial, batch_format="pandas")
+        .groupby("cntrycode")
+        .aggregate(Sum("numcust"), Sum("totacctbal_x100"))
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"cntrycode": df["cntrycode"].astype("int64"),
+                 "numcust": df["sum(numcust)"].astype("int64"),
+                 "totacctbal_x100":
+                     df["sum(totacctbal_x100)"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+    )

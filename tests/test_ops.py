@@ -4692,3 +4692,79 @@ def test_opic_matches_numpy_cash_diffusion():
         got["importance"].to_numpy(), want, rtol=0, atol=2e-9
     )
     assert abs(got["importance"].sum() - 1.0) < 1e-6
+
+
+def test_q12_shipmode_priority_matches_duckdb():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import shipmode_priority_counts
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        SELECT l_returnflag AS ship_mode,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag IN ('R','A')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    got = (
+        shipmode_priority_counts(SF)
+        .to_pandas()
+        .sort_values("ship_mode")
+        .reset_index(drop=True)
+    )
+    assert got["ship_mode"].tolist() == want["ship_mode"].tolist()
+    assert got["high_line_count"].tolist() == want["high_line_count"].tolist()
+    assert got["low_line_count"].tolist() == want["low_line_count"].tolist()
+    # both modes present and non-degenerate on the fixed corpus
+    assert len(got) == 2 and (got["high_line_count"] > 0).all()
+
+
+def test_q22_lapsed_opportunity_matches_duckdb_and_degenerates_empty():
+    import duckdb
+
+    from dfg_gepris_crawler_ray.ops.relational import (
+        lapsed_customer_opportunity,
+    )
+
+    con = duckdb.connect()
+    _tpch_views(con)
+    want = con.sql("""
+        WITH pool AS (
+            SELECT c_custkey, c_nationkey,
+                   round(c_acctbal*100)::BIGINT AS bal_cents
+            FROM customer WHERE c_acctbal > 0 AND c_nationkey % 3 = 1),
+        tot AS (SELECT sum(bal_cents) AS s, count(*) AS n FROM pool)
+        SELECT c_nationkey::BIGINT AS cntrycode, count(*)::BIGINT AS numcust,
+               sum(bal_cents)::BIGINT AS totacctbal_x100
+        FROM pool, tot
+        WHERE bal_cents * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    got = (
+        lapsed_customer_opportunity(SF)
+        .to_pandas()
+        .sort_values("cntrycode")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got["cntrycode"].tolist() == want["cntrycode"].tolist()
+    assert got["numcust"].tolist() == want["numcust"].tolist()
+    assert (
+        got["totacctbal_x100"].tolist() == want["totacctbal_x100"].tolist()
+    )
+    # a cutoff before the first order date means every pool customer
+    # ordered "recently" — the anti-join must empty the result, not err
+    assert (
+        lapsed_customer_opportunity(SF, cutoff="1995-01-01").count() == 0
+    )
