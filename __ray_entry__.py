@@ -1212,6 +1212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # at the seeds via ONE node-keyed seed-attach exchange (no
         # driver-side seed set); unrolled-CTE oracle
         "crawl_focused_rank": graph.focused_frontier_rank,
+        # spam mass (Gyöngyi et al. 2006): global PageRank vs
+        # TrustRank from the curated seeds, aligned through ONE
+        # node-keyed exchange; mass is BIGINT arithmetic on the
+        # shared 9-dp grid — the link-spam demotion signal the
+        # frontier applies before honoring rank order
+        "crawl_spam_mass": graph.reference_spam_mass,
         # HyperBall (Boldi–Vigna): per-node ball-size estimates via
         # HLL counters flowing along edges — 2 keyed exchanges per
         # round with the PageRank pre-merge combiner; register
@@ -3305,6 +3311,67 @@ def oracle_sql() -> dict[str, str]:
                FROM nodes CROSS JOIN ns),
         {_ppr_steps}
         SELECT node, round(rank, 9) AS rank FROM r4 ORDER BY node
+    """
+    # spam mass (Gyöngyi et al. 2006): both rank vectors unrolled in
+    # one statement — the global chain (g0..g4) and the trust chain
+    # (r0..r4, seed-personalized), each the exact recurrence its own
+    # gate query uses; mass is pure BIGINT arithmetic on the shared
+    # 9-dp grid, so no float division exists on either side
+    _g_steps = ",".join(
+        f"""
+        gd{i} AS (SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0)
+                    AS m FROM g{i - 1}),
+        gc{i} AS (SELECT e.dst AS node, sum(r.rank / r.outdeg) AS s
+                  FROM edges e JOIN g{i - 1} r ON e.src = r.node GROUP BY e.dst),
+        g{i} AS (SELECT n.node, n.outdeg,
+                        0.15/nn.n + 0.85*gd{i}.m/nn.n
+                          + 0.85*coalesce(gc{i}.s, 0) AS rank
+                 FROM g{i - 1} n CROSS JOIN nn CROSS JOIN gd{i}
+                 LEFT JOIN gc{i} ON n.node = gc{i}.node)"""
+        for i in range(1, 5)
+    )
+    oracles["crawl_spam_mass"] = f"""
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        edges AS (
+          SELECT CAST(1000 + d.doc_id AS BIGINT) AS src,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS dst
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+        allnodes AS (SELECT DISTINCT src AS node FROM edges
+                     UNION SELECT DISTINCT dst FROM edges),
+        gnodes AS (SELECT a.node, coalesce(deg.outdeg, 0) AS outdeg
+                   FROM allnodes a LEFT JOIN deg ON a.node = deg.node),
+        nn AS (SELECT count(*) AS n FROM gnodes),
+        g0 AS (SELECT node, outdeg, 1.0/nn.n AS rank
+               FROM gnodes CROSS JOIN nn),
+        {_g_steps},
+        sd AS (SELECT CAST(1000 + doc_id AS BIGINT) AS node
+               FROM documents WHERE doc_id % 30 = 0),
+        nodes AS (SELECT a.node, coalesce(deg.outdeg, 0) AS outdeg,
+                         CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS seed
+                  FROM allnodes a LEFT JOIN deg ON a.node = deg.node
+                  LEFT JOIN sd ON a.node = sd.node),
+        ns AS (SELECT sum(seed) AS n FROM nodes),
+        r0 AS (SELECT node, outdeg, seed, seed * 1.0 / ns.n AS rank
+               FROM nodes CROSS JOIN ns),
+        {_ppr_steps},
+        j AS (SELECT g.node,
+                     CAST(round(g.rank * 1000000000.0) AS BIGINT) AS r9,
+                     CAST(round(t.rank * 1000000000.0) AS BIGINT) AS t9
+              FROM g4 g JOIN r4 t ON g.node = t.node),
+        m AS (SELECT node, r9, t9,
+                     CASE WHEN r9 > 0
+                          THEN (greatest(r9 - t9, 0) * 1000000000) // r9
+                          ELSE 0 END AS mass9
+              FROM j)
+        SELECT node, r9 AS rank_x1e9, t9 AS trust_x1e9,
+               mass9 AS spam_mass_x1e9,
+               (CASE WHEN mass9 >= 500000000 THEN 1 ELSE 0 END)::BIGINT
+                 AS spam_candidate
+        FROM m ORDER BY node
     """
     oracles["crawl_frontier_pagerank"] = _pagerank_oracle_sql(
         n_iters=4,

@@ -658,6 +658,9 @@ def main():
           lambda: reference_condensation_layers(SF_DIR).materialize())
     timed("crawl_opic",
           lambda: reference_graph_opic(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import reference_spam_mass
+    timed("crawl_spam_mass",
+          lambda: reference_spam_mass(SF_DIR).materialize())
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

@@ -2804,3 +2804,96 @@ def opic_ds(
 def reference_graph_opic(sf_dir: str, n_rounds: int = 6) -> "ray.data.Dataset":
     """(node, importance) — OPIC over the directed reference graph."""
     return opic_ds(directed_reference_edges(sf_dir), n_rounds=n_rounds)
+
+
+def spam_mass_ds(
+    ranks: "ray.data.Dataset",
+    trust: "ray.data.Dataset",
+    candidate_threshold_x1e9: int = 500_000_000,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(node, rank_x1e9, trust_x1e9, spam_mass_x1e9, spam_candidate) —
+    relative spam mass (Gyöngyi, Berkhin, Garcia-Molina, Pedersen,
+    VLDB 2006) composed from two rank vectors the engine already
+    produces: ``ranks`` = global PageRank, ``trust`` = TrustRank
+    (personalized PageRank restarted at a trusted seed set,
+    Gyöngyi–Garcia-Molina–Pedersen 2004). A node whose importance
+    comes mostly from outside the trust neighbourhood is a link-spam
+    demotion candidate for the crawl scheduler — the standard
+    anti-spam signal a production frontier applies before honoring
+    PageRank order.
+
+    Determinism contract: both inputs are rounded to integer
+    billionths FIRST (the same 9-dp grid their own oracles use), then
+    mass is pure int64 arithmetic — ``max(rank9 − trust9, 0) × 10⁹ //
+    rank9`` (clamped at 0: trust above rank means "whiter than
+    average", not spam) — so op and oracle hash-match bit-for-bit
+    with no float division on either side.
+
+    Scale shape: ONE node-keyed exchange aligns the two vectors
+    (tagged union → bucket groupby → per-bucket pivot); nothing
+    reaches the driver."""
+    from ..kernels.partitioning import adaptive_buckets
+
+    nb = adaptive_buckets(
+        ranks.count(), requested=num_buckets, rows_per_bucket=4096
+    )
+
+    def tag(which: str):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "v9": (df["rank"].to_numpy(np.float64) * 1e9)
+                       .round().astype("int64"),
+                 "_k": which,
+                 "_nb": (df["node"].astype("int64") % nb).astype("int32")}
+            )
+        return _t
+
+    empty = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"),
+         "rank_x1e9": pd.Series(dtype="int64"),
+         "trust_x1e9": pd.Series(dtype="int64"),
+         "spam_mass_x1e9": pd.Series(dtype="int64"),
+         "spam_candidate": pd.Series(dtype="int64")}
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["_k"] == "g"][["node", "v9"]].rename(columns={"v9": "r9"})
+        t = g[g["_k"] == "t"][["node", "v9"]].rename(columns={"v9": "t9"})
+        if not len(r):
+            return empty.copy()
+        m = r.merge(t, on="node", how="left")
+        m["t9"] = m["t9"].fillna(0).astype("int64")
+        diff = np.maximum(m["r9"].to_numpy() - m["t9"].to_numpy(), 0)
+        # int64-safe: r9 ≤ 10^9 (rank ≤ 1), so diff × 10^9 ≤ 10^18 < 2^63
+        mass = np.where(
+            m["r9"].to_numpy() > 0, diff * 10**9, 0
+        ) // np.maximum(m["r9"].to_numpy(), 1)
+        return pd.DataFrame(
+            {"node": m["node"].astype("int64"),
+             "rank_x1e9": m["r9"].astype("int64"),
+             "trust_x1e9": m["t9"].astype("int64"),
+             "spam_mass_x1e9": mass.astype("int64"),
+             "spam_candidate":
+                 (mass >= candidate_threshold_x1e9).astype("int64")}
+        )
+
+    return (
+        ranks.map_batches(tag("g"), batch_format="pandas")
+        .union(trust.map_batches(tag("t"), batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_nb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def reference_spam_mass(sf_dir: str, n_iters: int = 4) -> "ray.data.Dataset":
+    """Spam mass over the reference graph: global PageRank vs
+    TrustRank restarted at the curated projekt seed list (doc_id %
+    30 == 0 — the focused-crawl seed rule), both at the gate's fixed
+    iteration count."""
+    return spam_mass_ds(
+        reference_graph_pagerank(sf_dir, n_iters=n_iters),
+        focused_frontier_rank(sf_dir, n_iters=n_iters),
+    )

@@ -4768,3 +4768,31 @@ def test_q22_lapsed_opportunity_matches_duckdb_and_degenerates_empty():
     assert (
         lapsed_customer_opportunity(SF, cutoff="1995-01-01").count() == 0
     )
+
+
+def test_spam_mass_properties_and_seed_whiteness():
+    from dfg_gepris_crawler_ray.ops.graph import reference_spam_mass
+
+    got = reference_spam_mass(SF).to_pandas().sort_values("node")
+    # mass is a fraction on the integer-billionths grid
+    assert got["spam_mass_x1e9"].between(0, 10**9).all()
+    # the int arithmetic contract: mass == max(r9-t9,0)*1e9 // r9
+    import numpy as np
+
+    diff = np.maximum(
+        got["rank_x1e9"].to_numpy() - got["trust_x1e9"].to_numpy(), 0
+    )
+    want = np.where(
+        got["rank_x1e9"].to_numpy() > 0,
+        diff * 10**9 // np.maximum(got["rank_x1e9"].to_numpy(), 1),
+        0,
+    )
+    assert (got["spam_mass_x1e9"].to_numpy() == want).all()
+    # trusted seeds (projekt nodes, doc_id % 30 == 0) receive restart
+    # mass directly — none can be a demotion candidate
+    seeds = got[(got["node"] >= 1000) & ((got["node"] - 1000) % 30 == 0)
+                & ((got["node"] - 1000) % 3 == 0)]
+    assert len(seeds) > 0 and (seeds["spam_candidate"] == 0).all()
+    # the signal separates: both candidates and non-candidates exist
+    assert got["spam_candidate"].nunique() == 2
+    assert (got["spam_candidate"] == 1).sum() > 0
