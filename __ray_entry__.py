@@ -1115,6 +1115,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collocation mining: top-k co-occurring token pairs (per-batch
         # pair partials → one pair-hash exchange → bucket top-k prune)
         "text_cooccurrence_topk": textstats.cooccurrence_topk,
+        # TextRank keywords (Mihalcea–Tarau): the cooccurrence pair
+        # machinery feeds the weighted PageRank kernel; dense token
+        # ids assigned by sorted-vocab scan-then-offset (driver reads
+        # block-count rows, never the vocabulary); unrolled-CTE oracle
+        "text_textrank_keywords": textstats.textrank_keywords,
         # TPC-H Q5 star join: two fact-fact bucket exchanges + dim
         # broadcast, integer-exact revenue (no float drift)
         "rel_q5_nation_revenue": relational.regional_nation_revenue,
@@ -1271,6 +1276,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (host, digit-collapsed URL template) via salted exact-distinct
         # cells; inventory-CTE oracle with the same regexp in SQL
         "crawl_trap_templates": _q_trap_templates,
+        # CDX index: the sorted, binary-searchable capture index a
+        # replay/dedup service reads — SURT keys, ONE global sort,
+        # positions from block partials (driver reads block counts)
+        "crawl_cdx_index": _q_cdx_index,
         # mirror-host detection (Bharat & Broder, WWW '99): host pairs
         # scored by fingerprint-set resemblance through three
         # shrinking keyed exchanges — totals attach in-exchange, no
@@ -2521,6 +2530,19 @@ def _q_host_distinct_urls(sf_dir: str):
     return host_distinct_urls(ensure_pages(sf_dir))
 
 
+def _q_cdx_index(sf_dir: str):
+    """Wayback-style CDX index in SURT order (crawlhealth.cdx_index):
+    one row per capture, global positions via scan-then-offset.
+    Inventory-CTE oracle expands refresh captures (n_snapshots = 2 →
+    the cached copy sits exactly 1 h before latest_ts_us, mirroring
+    testdata/gen_pages.py) and applies the identical SURT expression
+    in SQL."""
+    from dfg_gepris_crawler_ray.ops.crawlhealth import cdx_index
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return cdx_index(ensure_pages(sf_dir))
+
+
 def _q_trap_templates(sf_dir: str):
     """Crawler-trap census (ops/crawlhealth.py::url_template_stats):
     exact distinct-URL count per (host, digit-collapsed URL template),
@@ -3319,15 +3341,32 @@ def oracle_sql() -> dict[str, str]:
     # 9-dp grid, so no float division exists on either side
     _g_steps = ",".join(
         f"""
-        gd{i} AS (SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0)
+        gd{i} AS MATERIALIZED (
+            SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0)
                     AS m FROM g{i - 1}),
-        gc{i} AS (SELECT e.dst AS node, sum(r.rank / r.outdeg) AS s
+        gc{i} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(r.rank / r.outdeg) AS s
                   FROM edges e JOIN g{i - 1} r ON e.src = r.node GROUP BY e.dst),
-        g{i} AS (SELECT n.node, n.outdeg,
+        g{i} AS MATERIALIZED (SELECT n.node, n.outdeg,
                         0.15/nn.n + 0.85*gd{i}.m/nn.n
                           + 0.85*coalesce(gc{i}.s, 0) AS rank
                  FROM g{i - 1} n CROSS JOIN nn CROSS JOIN gd{i}
                  LEFT JOIN gc{i} ON n.node = gc{i}.node)"""
+        for i in range(1, 5)
+    )
+    _ppr_steps_mat = ",".join(
+        f"""
+        pd{i} AS MATERIALIZED (
+            SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN rank END), 0)
+                   AS m FROM r{i - 1}),
+        pc{i} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(r.rank / r.outdeg) AS s
+                 FROM edges e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst),
+        r{i} AS MATERIALIZED (SELECT n.node, n.outdeg, n.seed,
+                        n.seed * (0.15 + 0.85 * pd{i}.m) / ns.n
+                          + 0.85 * coalesce(pc{i}.s, 0) AS rank
+                 FROM r{i - 1} n CROSS JOIN ns CROSS JOIN pd{i}
+                 LEFT JOIN pc{i} ON n.node = pc{i}.node)"""
         for i in range(1, 5)
     )
     oracles["crawl_spam_mass"] = f"""
@@ -3342,22 +3381,25 @@ def oracle_sql() -> dict[str, str]:
         deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
         allnodes AS (SELECT DISTINCT src AS node FROM edges
                      UNION SELECT DISTINCT dst FROM edges),
-        gnodes AS (SELECT a.node, coalesce(deg.outdeg, 0) AS outdeg
+        gnodes AS MATERIALIZED (
+            SELECT a.node, coalesce(deg.outdeg, 0) AS outdeg
                    FROM allnodes a LEFT JOIN deg ON a.node = deg.node),
         nn AS (SELECT count(*) AS n FROM gnodes),
-        g0 AS (SELECT node, outdeg, 1.0/nn.n AS rank
+        g0 AS MATERIALIZED (SELECT node, outdeg, 1.0/nn.n AS rank
                FROM gnodes CROSS JOIN nn),
         {_g_steps},
         sd AS (SELECT CAST(1000 + doc_id AS BIGINT) AS node
                FROM documents WHERE doc_id % 30 = 0),
-        nodes AS (SELECT a.node, coalesce(deg.outdeg, 0) AS outdeg,
+        nodes AS MATERIALIZED (
+            SELECT a.node, coalesce(deg.outdeg, 0) AS outdeg,
                          CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS seed
                   FROM allnodes a LEFT JOIN deg ON a.node = deg.node
                   LEFT JOIN sd ON a.node = sd.node),
         ns AS (SELECT sum(seed) AS n FROM nodes),
-        r0 AS (SELECT node, outdeg, seed, seed * 1.0 / ns.n AS rank
+        r0 AS MATERIALIZED (
+            SELECT node, outdeg, seed, seed * 1.0 / ns.n AS rank
                FROM nodes CROSS JOIN ns),
-        {_ppr_steps},
+        {_ppr_steps_mat},
         j AS (SELECT g.node,
                      CAST(round(g.rank * 1000000000.0) AS BIGINT) AS r9,
                      CAST(round(t.rank * 1000000000.0) AS BIGINT) AS t9
@@ -3513,6 +3555,30 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT split_part(url, '/', 3) AS host,
                count(DISTINCT url) AS distinct_urls
            FROM allpages GROUP BY 1"""
+    )
+    oracles["crawl_cdx_index"] = (
+        "WITH " + _inventory_ctes
+        + """, caprows AS (
+             SELECT url,
+                    CASE WHEN n_snapshots = 2
+                         THEN latest_ts_us - 3600000000
+                         ELSE latest_ts_us END AS warc_ts_us
+             FROM allpages
+             UNION ALL
+             SELECT url, latest_ts_us FROM allpages WHERE n_snapshots = 2),
+           s AS (
+             SELECT lower(array_to_string(
+                      list_reverse(string_split(
+                        split_part(url, '/', 3), '.')), ',')
+                    || ')'
+                    || substr(url, 9 + length(split_part(url, '/', 3))))
+                      AS surt,
+                    warc_ts_us::BIGINT AS warc_ts_us, url
+             FROM caprows)
+           SELECT row_number() OVER (ORDER BY surt, warc_ts_us, url)
+                    AS position,
+                  surt, warc_ts_us, url
+           FROM s ORDER BY surt, warc_ts_us, url"""
     )
     oracles["crawl_trap_templates"] = (
         "WITH " + _inventory_ctes
@@ -3810,6 +3876,68 @@ def oracle_sql() -> dict[str, str]:
     # Q5 star join, revenue as integer ten-thousandths; full Q5
     # contract incl. the one-year order-date window (1996 — the
     # synthetic corpus spans 1995–2001)
+    # TextRank keywords: the cooccurrence pair contract (cap + hub
+    # rule) builds a token graph; the weighted PageRank recurrence
+    # (exactly pagerank_ds(weight_col='w'), the host-rank arithmetic)
+    # unrolls as chained CTEs; vocab ids are row_number over sorted
+    # tokens — the same dense-id rule the op assigns distributively
+    _tr_steps = ",".join(
+        f"""
+        td{i} AS MATERIALIZED (
+            SELECT coalesce(sum(CASE WHEN outw = 0 THEN rank END), 0)
+                    AS m FROM tr{i - 1}),
+        tc{i} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(r.rank * e.w / r.outw) AS s
+                  FROM tedges e JOIN tr{i - 1} r ON e.src = r.node
+                  WHERE r.outw > 0 GROUP BY e.dst),
+        tr{i} AS MATERIALIZED (SELECT n.node, n.outw,
+                         0.15/tnn.n + 0.85*td{i}.m/tnn.n
+                           + 0.85*coalesce(tc{i}.s, 0) AS rank
+                  FROM tr{i - 1} n CROSS JOIN tnn CROSS JOIN td{i}
+                  LEFT JOIN tc{i} ON n.node = tc{i}.node)"""
+        for i in range(1, 5)
+    )
+    oracles["text_textrank_keywords"] = f"""
+        WITH tf AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents)
+          GROUP BY 1, 2),
+        dt AS MATERIALIZED (SELECT doc_id, tok FROM tf
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tf DESC, tok ASC) <= 1000),
+        dfc AS MATERIALIZED (SELECT tok, count(DISTINCT doc_id) AS df
+                FROM dt GROUP BY 1),
+        vocab AS MATERIALIZED (SELECT tok,
+                  row_number() OVER (ORDER BY tok) - 1 AS tid
+                  FROM dfc WHERE df >= 2),
+        p AS MATERIALIZED (SELECT a.tok AS ta, b.tok AS tb, count(*) AS w
+              FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2),
+        pe AS MATERIALIZED (SELECT va.tid AS src, vb.tid AS dst,
+                      p.w::DOUBLE AS w
+               FROM p JOIN vocab va ON p.ta = va.tok
+                      JOIN vocab vb ON p.tb = vb.tok),
+        tedges AS MATERIALIZED (SELECT src, dst, w FROM pe
+                   UNION ALL SELECT dst, src, w FROM pe),
+        tdeg AS MATERIALIZED (SELECT src AS node, sum(w) AS outw
+                 FROM tedges GROUP BY 1),
+        tall AS (SELECT DISTINCT src AS node FROM tedges),
+        tnodes AS MATERIALIZED (SELECT a.node, coalesce(tdeg.outw, 0)
+                     AS outw
+                   FROM tall a LEFT JOIN tdeg ON a.node = tdeg.node),
+        tnn AS (SELECT count(*) AS n FROM tnodes),
+        tr0 AS MATERIALIZED (SELECT node, outw, 1.0/tnn.n AS rank
+                FROM tnodes CROSS JOIN tnn),
+        {_tr_steps},
+        kw AS (SELECT v.tok AS keyword,
+                      CAST(round(r.rank * 1000000000.0) AS BIGINT)
+                        AS rank_x1e9
+               FROM tr4 r JOIN vocab v ON r.node = v.tid)
+        SELECT row_number() OVER (ORDER BY rank_x1e9 DESC, keyword)
+                 AS position,
+               keyword, rank_x1e9
+        FROM kw ORDER BY rank_x1e9 DESC, keyword LIMIT 25
+    """
     oracles["rel_q5_nation_revenue"] = """
         SELECT n_name,
                SUM(CAST(round(l_extendedprice*100) AS BIGINT)

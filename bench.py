@@ -661,6 +661,9 @@ def main():
     from dfg_gepris_crawler_ray.ops.graph import reference_spam_mass
     timed("crawl_spam_mass",
           lambda: reference_spam_mass(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.textstats import textrank_keywords
+    timed("text_textrank_keywords",
+          lambda: textrank_keywords(SF_DIR))
     # note: the seen-filter streaming count (crawl_url_seen) is
     # excluded here — its map_batches tasks block on actor RPCs, which
     # local single-node mode serves with heavy worker churn after a big

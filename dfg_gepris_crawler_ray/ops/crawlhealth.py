@@ -251,3 +251,94 @@ def mirror_host_pairs(
         .groupby("_b3")
         .map_groups(reduce_b, batch_format="pandas")
     )
+
+
+def cdx_index(pages_dir: str) -> "ray.data.Dataset":
+    """(position, surt, warc_ts_us, url) — a Wayback-style CDX index
+    over the page corpus: one row per capture, globally ordered by
+    (SURT key, capture time, url) with ``position`` the global row
+    number — the binary-searchable layout a CDX server serves lookups
+    from (IIPC CDX/SURT conventions; pywb/OpenWayback publish the
+    format).  SURT ("Sort-friendly URI Reordering Transform") reverses
+    the host labels so every capture of a registered domain — across
+    subdomains — is one contiguous key range:
+    ``https://sub.example.org/p?q=1`` → ``org,example,sub)/p?q=1``
+    (scheme dropped, key lowercased).
+
+    Scale shape: ONE column-pruned scan (url, warc_ts only — html
+    never leaves the files) computes SURT vectorized; ONE global
+    ``Dataset.sort`` — the index IS the sort, there is no cheaper
+    shape; positions come from the scan-then-offset pattern (per-block
+    (first-key, n_rows) partials, driver reads ≤ block-count rows,
+    never captures). The sorted output is what you'd
+    ``write_parquet`` per key-range for resumable index shards."""
+    import ray
+
+    from ..sources.pages import read_pages
+
+    ds = read_pages(pages_dir, columns=["url", "warc_ts"])
+
+    def surt_rows(batch: pa.Table) -> pd.DataFrame:
+        url = batch.column("url").to_pandas()
+        ts = batch.column("warc_ts").cast(pa.int64()).to_pandas()
+        host = url.str.split("/").str[2]
+        # path+query starts after 'https://' (8 chars) + host
+        rest = pd.Series(
+            [u[8 + len(h):] for u, h in zip(url, host)], dtype="object"
+        )
+        surt = (
+            host.str.split(".").map(lambda p: ",".join(reversed(p)))
+            + ")" + rest
+        ).str.lower()
+        return pd.DataFrame(
+            {"surt": surt, "warc_ts_us": ts.astype("int64"),
+             "url": url.astype(str)}
+        )
+
+    idx = (
+        ds.map_batches(surt_rows, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .sort(["surt", "warc_ts_us", "url"])
+        .materialize()
+    )
+
+    empty = pd.DataFrame(
+        {"first": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+    )
+    parts = (
+        idx.map_batches(
+            lambda df: pd.DataFrame(
+                {"first": [df["surt"].iloc[0] + "\x00"
+                           + str(int(df["warc_ts_us"].iloc[0])) + "\x00"
+                           + df["url"].iloc[0]],
+                 "n": [len(df)]}
+            ) if len(df) else empty.copy(),
+            batch_format="pandas", batch_size=None,
+        )
+        .to_pandas()  # ≤ block-count rows
+        .sort_values("first")
+    )
+    starts = parts["n"].cumsum().shift(fill_value=0)
+    offs = dict(zip(parts["first"], starts.astype(int)))
+    off_ref = ray.put(offs)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"position": pd.Series(dtype="int64"),
+                 "surt": pd.Series(dtype="object"),
+                 "warc_ts_us": pd.Series(dtype="int64"),
+                 "url": pd.Series(dtype="object")}
+            )
+        key = (df["surt"].iloc[0] + "\x00"
+               + str(int(df["warc_ts_us"].iloc[0])) + "\x00"
+               + df["url"].iloc[0])
+        start = ray.get(off_ref)[key]
+        out = df.reset_index(drop=True)
+        out.insert(
+            0, "position",
+            start + 1 + np.arange(len(out), dtype=np.int64),
+        )
+        return out
+
+    return idx.map_batches(assign, batch_format="pandas", batch_size=None)

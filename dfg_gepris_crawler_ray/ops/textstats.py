@@ -1412,3 +1412,285 @@ def length_deciles(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         .groupby("_b")
         .map_groups(per_length, batch_format="pandas")
     )
+
+
+def textrank_keywords(
+    sf_dir: str,
+    k: int = 25,
+    n_iters: int = 4,
+    min_df: int = 2,
+    max_doc_tokens: int = 1000,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """(position, keyword, rank_x1e9) — TextRank (Mihalcea & Tarau,
+    EMNLP 2004; doc-level co-occurrence variant): corpus keywords
+    ranked by weighted PageRank over the token graph where
+    token_a—token_b is an edge iff both appear in the same document
+    (distinct pairs over the capped per-doc token set — the exact
+    ``cooccurrence_topk`` contract, hub rule included), edge weight =
+    number of such documents, graph symmetrized, damping 0.85, fixed
+    ``n_iters``. Ranks land on the 9-dp grid as int64 billionths;
+    ties break by keyword ascending.
+
+    Composition op: the pair machinery of :func:`cooccurrence_topk`
+    feeds the weighted kernel of ``graph.pagerank_ds``. Token strings
+    get dense int64 ids first (sorted vocab + scan-then-offset id
+    assignment — the ``sequence packing`` pattern) because the rank
+    kernel keys by int64; ids are SQL-mirrorable as ``row_number()
+    OVER (ORDER BY token)``.
+
+    Scale shape:
+
+    - per-batch capped distinct-pair partials (hub rule ENFORCED),
+      ONE pair-hash exchange sums them into edge weights;
+    - document frequency is ONE token-keyed exchange; the df >=
+      ``min_df`` gate prunes the vocabulary before ids exist;
+    - vocab ids: global token sort, then per-block (first_token,
+      n_rows) partials — the driver reads <= block-count rows, never
+      the vocabulary;
+    - two token-keyed exchanges map pair endpoints to ids (the
+      id-attach join doubles as the df filter — inner join drops
+      low-df endpoints);
+    - the rank loop is pagerank_ds's two keyed exchanges per
+      iteration; ONE id-keyed exchange joins ranks back to keyword
+      strings; only k rows reach the driver (distributed sort +
+      limit)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ..kernels.hashing import stable_hash64_array
+    from .graph import pagerank_ds
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    nb = adaptive_buckets(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows,
+        requested=num_buckets,
+    )
+
+    def _capped(batch: pa.Table) -> pd.DataFrame:
+        tf = _tf_rows(batch).to_pandas()
+        tf = tf.sort_values(
+            ["doc_id", "tf", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return tf.groupby("doc_id", sort=False).head(max_doc_tokens)[
+            ["doc_id", "token"]
+        ]
+
+    # --- document frequency (one token-keyed exchange) -> vocab ids
+    def df_partials(batch: pa.Table) -> pd.DataFrame:
+        dt = _capped(batch)
+        out = dt.groupby("token", as_index=False).size()
+        out.columns = ["token", "n"]
+        h = stable_hash64_array(out["token"].tolist())
+        return out.assign(_b=(h % np.uint64(nb)).astype(np.int32))
+
+    def df_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", as_index=False)["n"].sum()
+        s = s[s["n"] >= min_df]
+        return s[["token"]]
+
+    vocab_sorted = (
+        ds.map_batches(df_partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(df_reduce, batch_format="pandas")
+        .sort("token")
+        .materialize()
+    )
+
+    empty_part = pd.DataFrame(
+        {"first": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")}
+    )
+    parts = (
+        vocab_sorted.map_batches(
+            lambda df: pd.DataFrame(
+                {"first": [df["token"].iloc[0]], "n": [len(df)]}
+            ) if len(df) else empty_part.copy(),
+            batch_format="pandas", batch_size=None,
+        )
+        .to_pandas()  # <= block-count rows
+        .sort_values("first")
+    )
+    starts = parts["n"].cumsum().shift(fill_value=0)
+    offs = dict(zip(parts["first"], starts.astype(int)))
+    off_ref = ray.put(offs)
+
+    def assign_ids(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"token": pd.Series(dtype="object"),
+                 "tid": pd.Series(dtype="int64")}
+            )
+        start = ray.get(off_ref)[df["token"].iloc[0]]
+        return pd.DataFrame(
+            {"token": df["token"],
+             "tid": start + np.arange(len(df), dtype=np.int64)}
+        )
+
+    vocab = vocab_sorted.map_batches(
+        assign_ids, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    # --- pair weights (the cooccurrence contract, un-pruned)
+    def pair_partials(batch: pa.Table) -> pd.DataFrame:
+        dt = _capped(batch)
+        m = dt.merge(dt, on="doc_id")
+        m = m[m["token_x"] < m["token_y"]]
+        out = m.groupby(["token_x", "token_y"], as_index=False).size()
+        out.columns = ["ta", "tb", "w"]
+        h = stable_hash64_array(
+            [a + "\x00" + b for a, b in zip(out["ta"], out["tb"])]
+        )
+        return out.assign(_b=(h % np.uint64(nb)).astype(np.int32))
+
+    def pair_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["ta", "tb"], as_index=False)["w"].sum()
+        s["w"] = s["w"].astype("int64")
+        return s
+
+    pairs = (
+        ds.map_batches(pair_partials, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(nb)
+        .groupby("_b")
+        .map_groups(pair_reduce, batch_format="pandas")
+    )
+
+    # --- attach ids: two token-keyed exchanges (inner join = df gate).
+    # Union frames share ONE canonical schema (key, ta, tb, w, ida,
+    # tid, _tb, _k) — dummies fill the side that lacks a column.
+    def _canon(key, ta, tb, w, ida, tid, k):
+        h = stable_hash64_array(key.tolist())
+        return pd.DataFrame(
+            {"key": key.astype(str), "ta": ta.astype(str),
+             "tb": tb.astype(str), "w": w.astype("int64"),
+             "ida": ida.astype("int64"), "tid": tid.astype("int64"),
+             "_tb": (h % np.uint64(nb)).astype(np.int32), "_k": k}
+        )
+
+    def tag_vocab_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        z = pd.Series([""] * len(df))
+        m1 = pd.Series([-1] * len(df))
+        return _canon(df["token"], z, z, m1, m1, df["tid"], "v")
+
+    def tag_pairs_a(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        m1 = pd.Series([-1] * len(df))
+        return _canon(df["ta"], df["ta"], df["tb"], df["w"], m1, m1, "p")
+
+    def join_a(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["_k"] == "v"][["key", "tid"]]
+        p = g[g["_k"] == "p"][["key", "ta", "tb", "w"]]
+        m = p.merge(v, on="key", how="inner")
+        return pd.DataFrame(
+            {"ta": m["ta"], "tb": m["tb"], "w": m["w"].astype("int64"),
+             "ida": m["tid"].astype("int64")}
+        )
+
+    step1 = (
+        pairs.map_batches(tag_pairs_a, batch_format="pandas")
+        .union(vocab.map_batches(tag_vocab_rows, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_tb")
+        .map_groups(join_a, batch_format="pandas")
+    )
+
+    def tag_pairs_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        return _canon(
+            df["tb"], df["ta"], df["tb"], df["w"], df["ida"],
+            pd.Series([-1] * len(df)), "p",
+        )
+
+    def join_b(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[g["_k"] == "v"][["key", "tid"]]
+        p = g[g["_k"] == "p"][["key", "w", "ida"]]
+        m = p.merge(v, on="key", how="inner")
+        return pd.DataFrame(
+            {"w": m["w"].astype("int64"), "ida": m["ida"].astype("int64"),
+             "idb": m["tid"].astype("int64")}
+        )
+
+    with_ids = (
+        step1.map_batches(tag_pairs_b, batch_format="pandas")
+        .union(vocab.map_batches(tag_vocab_rows, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_tb")
+        .map_groups(join_b, batch_format="pandas")
+    )
+
+    # --- symmetric weighted edges -> fixed-iteration PageRank
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        fwd = pd.DataFrame(
+            {"src": df["ida"].astype("int64"),
+             "dst": df["idb"].astype("int64"),
+             "w": df["w"].astype("float64")}
+        )
+        rev = pd.DataFrame(
+            {"src": df["idb"].astype("int64"),
+             "dst": df["ida"].astype("int64"),
+             "w": df["w"].astype("float64")}
+        )
+        return pd.concat([fwd, rev], ignore_index=True)
+
+    edges = with_ids.map_batches(symmetrize, batch_format="pandas")
+    if edges.count() == 0:
+        return pa.table(
+            {"position": pa.array([], type=pa.int64()),
+             "keyword": pa.array([], type=pa.string()),
+             "rank_x1e9": pa.array([], type=pa.int64())}
+        )
+    ranks = pagerank_ds(edges, n_iters=n_iters, weight_col="w")
+
+    # --- ranks back to keywords (one id-keyed exchange), top-k out
+    def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"tid": df["node"].astype("int64"),
+             "token": "",
+             "r9": (df["rank"].to_numpy(np.float64) * 1e9)
+                   .round().astype("int64"),
+             "_ib": (df["node"].astype("int64") % nb).astype("int32"),
+             "_k": "r"}
+        )
+
+    def tag_vocab_id(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"tid": df["tid"].astype("int64"),
+             "token": df["token"],
+             "r9": -1,
+             "_ib": (df["tid"].astype("int64") % nb).astype("int32"),
+             "_k": "v"}
+        )
+
+    def join_kw(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["_k"] == "r"][["tid", "r9"]]
+        v = g[g["_k"] == "v"][["tid", "token"]]
+        m = r.merge(v, on="tid", how="inner")
+        return pd.DataFrame(
+            {"keyword": m["token"], "rank_x1e9": m["r9"].astype("int64")}
+        )
+
+    top = (
+        ranks.map_batches(tag_rank, batch_format="pandas")
+        .union(vocab.map_batches(tag_vocab_id, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_ib")
+        .map_groups(join_kw, batch_format="pandas")
+        .sort(["rank_x1e9", "keyword"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top.insert(0, "position", pd.RangeIndex(1, len(top) + 1).astype("int64"))
+    return pa.table(
+        {"position": pa.array(top["position"], type=pa.int64()),
+         "keyword": pa.array(top["keyword"], type=pa.string()),
+         "rank_x1e9": pa.array(
+             top["rank_x1e9"].to_numpy(np.int64), type=pa.int64()
+         )}
+    )

@@ -4796,3 +4796,98 @@ def test_spam_mass_properties_and_seed_whiteness():
     # the signal separates: both candidates and non-candidates exist
     assert got["spam_candidate"].nunique() == 2
     assert (got["spam_candidate"] == 1).sum() > 0
+
+
+def test_textrank_keywords_matches_brute_dense_pagerank():
+    """Independent ground truth: dense numpy power iteration over the
+    doc-level co-occurrence graph (cap + min_df contract) must agree
+    with the distributed composition to sub-grid tolerance."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.textstats import textrank_keywords
+
+    import pandas as pd
+
+    docs = pq.read_table(SF + "/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    # capped distinct tokens per doc (tf desc, token asc; cap 1000)
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        from collections import Counter
+
+        cnt = Counter(text.split(" "))
+        toks = sorted(cnt, key=lambda t: (-cnt[t], t))[:1000]
+        rows.extend((did, t) for t in toks)
+    dt = pd.DataFrame(rows, columns=["doc_id", "tok"])
+    dfc = dt.groupby("tok")["doc_id"].nunique()
+    vocab = sorted(dfc[dfc >= 2].index)
+    vid = {t: i for i, t in enumerate(vocab)}
+    import itertools as it
+
+    from collections import Counter
+
+    w = Counter()
+    for _, g in dt.groupby("doc_id"):
+        ts = sorted(set(g["tok"]) & set(vocab))
+        for a, b in it.combinations(ts, 2):
+            w[(a, b)] += 1
+    n = len(vocab)
+    W = np.zeros((n, n))
+    for (a, b), c in w.items():
+        W[vid[a], vid[b]] += c
+        W[vid[b], vid[a]] += c
+    keep = W.sum(axis=1) > 0
+    outw = W.sum(axis=1)
+    r = np.full(n, 1.0 / keep.sum())
+    r[~keep] = 0.0  # isolated vocab tokens never enter the graph
+    nn = int(keep.sum())
+    rr = np.full(nn, 1.0 / nn)
+    Wk = W[np.ix_(keep, keep)]
+    ow = Wk.sum(axis=1)
+    for _ in range(4):
+        contrib = (rr / ow) @ Wk
+        rr = 0.15 / nn + 0.85 * contrib
+    brute = pd.DataFrame(
+        {"keyword": np.array(vocab)[keep], "rank": rr}
+    ).sort_values(["rank", "keyword"], ascending=[False, True]).head(25)
+
+    got = textrank_keywords(SF).to_pandas()
+    assert got["keyword"].tolist() == brute["keyword"].tolist()
+    np.testing.assert_allclose(
+        got["rank_x1e9"].to_numpy() / 1e9,
+        brute["rank"].to_numpy(), rtol=0, atol=1e-6,
+    )
+    assert got["position"].tolist() == list(range(1, 26))
+
+
+def test_cdx_index_surt_order_and_positions():
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import cdx_index
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    got = cdx_index(pages_dir).to_pandas().sort_values("position")
+    # positions are the contiguous global row numbering
+    assert got["position"].tolist() == list(range(1, len(got) + 1))
+    # the listing is genuinely in (surt, ts, url) order
+    keys = list(zip(got["surt"], got["warc_ts_us"], got["url"]))
+    assert keys == sorted(keys)
+    # SURT reverses host labels and drops the scheme
+    row = got[got["url"].str.contains("/gepris/projekt/1000\\?")].iloc[0]
+    assert row["surt"].startswith("org,example,gepris)/gepris/projekt/")
+    # every capture is indexed exactly once (refresh copies included)
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT count(*) FROM read_parquet('{pages_dir}/*.parquet')"
+    ).fetchone()[0]
+    assert len(got) == n
+    # subdomain grouping: all captures of one registered domain are one
+    # contiguous surt range (org,example,... sorts together)
+    dom = got["surt"].str.startswith("org,example,")
+    assert dom.sum() > 0 and (~dom).sum() > 0
+    # contiguity: the True block is one run
+    runs = (dom != dom.shift()).cumsum()[dom].nunique()
+    assert runs == 1
