@@ -1229,6 +1229,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # max-merge is order-free → deterministic → staged brute
         # register-evolution oracle
         "crawl_hyperball": _q_hyperball,
+        # HyperANF readout: neighborhood function N(r) (one driver
+        # scalar per round) + interpolated 90%-effective diameter in
+        # int64 millionths — staged-truth oracle recomputes the same
+        # formula in SQL
+        "crawl_effective_diameter": _q_effective_diameter,
         # HyperBall harmonic centrality: per-round ball deltas folded
         # into H(n) = Σ (N_r − N_{r−1})/r — one extra node-keyed
         # exchange per round; same determinism, staged brute oracle
@@ -1887,6 +1892,55 @@ def _q_hyperball(sf_dir: str):
     )
     _stage_truth("crawl_hyperball", truth)
     return reference_hyperball(sf_dir)
+
+
+def _q_effective_diameter(sf_dir: str):
+    """Neighborhood function + 90%-effective diameter (ops/graph.py::
+    reference_effective_diameter — HyperANF's N(r) readout). Brute:
+    the same driver register replay as _q_hyperball, summing each
+    round's estimates into N(r); the staged truth is the (radius, nf)
+    table, and the oracle recomputes the interpolated diameter from
+    it with the IDENTICAL int64 millionths formula — so the gate
+    value-checks both the sketch evolution and the readout math."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.kernels.hashing import splitmix64
+    from dfg_gepris_crawler_ray.ops.graph import (
+        reference_effective_diameter,
+    )
+    from dfg_gepris_crawler_ray.ops.textstats import (
+        _hll_estimate,
+        _hll_registers,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    adj: dict[int, set] = {}
+    for d in range(0, n_docs, 3):
+        for k in (1, 2, 3, 4):
+            pr = person_ref(d, k, n_docs)
+            adj.setdefault(1000 + d, set()).add(pr)
+            adj.setdefault(pr, set()).add(1000 + d)
+    regs = {
+        n: _hll_registers(
+            splitmix64(np.array([n], dtype=np.uint64)), 8
+        )
+        for n in adj
+    }
+    nf = [int(sum(_hll_estimate(r) for r in regs.values()))]
+    for _ in range(4):
+        nxt = {n: r.copy() for n, r in regs.items()}
+        for n, nbrs in adj.items():
+            for nb_ in nbrs:
+                np.maximum(nxt[nb_], regs[n], out=nxt[nb_])
+        regs = nxt
+        nf.append(int(sum(_hll_estimate(r) for r in regs.values())))
+    _stage_truth(
+        "crawl_effective_diameter",
+        pd.DataFrame({"radius": pd.Series(range(len(nf)), dtype="int64"),
+                      "nf": pd.Series(nf, dtype="int64")}),
+    )
+    return reference_effective_diameter(sf_dir)
 
 
 def _q_harmonic(sf_dir: str):
@@ -4110,6 +4164,23 @@ def oracle_sql() -> dict[str, str]:
     oracles["crawl_hyperball"] = f"""
         SELECT node, ball_est
         FROM read_parquet('{_STAGE_DIR}/crawl_hyperball.parquet')
+    """
+    oracles["crawl_effective_diameter"] = f"""
+        WITH t AS (SELECT radius, nf
+                   FROM read_parquet('{_STAGE_DIR}/crawl_effective_diameter.parquet')),
+        mx AS (SELECT max(radius) AS rmax FROM t),
+        nr AS (SELECT nf AS n_r FROM t, mx WHERE radius = rmax),
+        hit AS (SELECT min(radius) AS r FROM t, nr
+                WHERE 10 * nf >= 9 * n_r),
+        d AS (SELECT CASE WHEN hit.r = 0 THEN 0
+                     ELSE (hit.r - 1) * 1000000
+                          + ((9 * nr.n_r - 10 * lo.nf) * 1000000)
+                            // (10 * (hi.nf - lo.nf)) END AS d6
+              FROM hit CROSS JOIN nr
+              LEFT JOIN t lo ON lo.radius = hit.r - 1
+              LEFT JOIN t hi ON hi.radius = hit.r)
+        SELECT t.radius, t.nf, d.d6 AS eff_diam_x1e6
+        FROM t CROSS JOIN d ORDER BY t.radius
     """
     oracles["crawl_harmonic_centrality"] = f"""
         SELECT node, ball_est, harmonic

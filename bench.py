@@ -601,6 +601,9 @@ def main():
           lambda: url_template_stats(pages_dir).materialize())
     timed("crawl_mirror_hosts",
           lambda: mirror_host_pairs(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.crawlhealth import cdx_index
+    timed("crawl_cdx_index",
+          lambda: cdx_index(pages_dir).materialize())
     from dfg_gepris_crawler_ray.ops.graph import reference_graph_hits
     timed("crawl_hits",
           lambda: reference_graph_hits(SF_DIR).materialize())
@@ -641,6 +644,11 @@ def main():
     from dfg_gepris_crawler_ray.ops.graph import reference_harmonic
     timed("crawl_harmonic_centrality",
           lambda: reference_harmonic(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import (
+        reference_effective_diameter,
+    )
+    timed("crawl_effective_diameter",
+          lambda: reference_effective_diameter(SF_DIR))
     from dfg_gepris_crawler_ray.ops.recrawl import decayed_activity
     timed("rel_decayed_activity",
           lambda: decayed_activity(SF_DIR).materialize())

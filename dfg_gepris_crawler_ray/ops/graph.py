@@ -1556,6 +1556,7 @@ def hyperball_ds(
     p: int = 8,
     num_buckets: int = 64,
     harmonic: bool = False,
+    nf_out: "list[int] | None" = None,
 ) -> "ray.data.Dataset":
     """(node, ball_est) — HyperBall (Boldi–Vigna 2013): per-node
     approximate |ball(node, r)| (nodes reachable within ``rounds``
@@ -1588,6 +1589,13 @@ def hyperball_ds(
     - no driver value at all until the final estimates scan
       (a production run would also read the per-round global
       register sum to detect convergence — one scalar).
+
+    ``nf_out``: an optional list the call APPENDS the neighborhood
+    function to — N(r) = Σ_node ball_est(node, r) for r = 0..rounds,
+    one driver SCALAR per round (per-batch partial sums tree-reduce;
+    never per-node rows). This is HyperANF's N(r) readout (Boldi,
+    Rosa & Vigna, WWW 2011) — effective diameter, average distance
+    and connectivity mass all derive from it.
     """
     from ..kernels.hashing import splitmix64
     from ..kernels.partitioning import adaptive_buckets, cut_lineage
@@ -1702,6 +1710,24 @@ def hyperball_ds(
         return out.assign(_hb=(out["node"] % nb).astype("int32"),
                           _k="a" if as_acc else "e")
 
+    def _nf_scalar(st: "ray.data.Dataset") -> int:
+        """Σ ball_est over all nodes — per-batch partials, one scalar."""
+        return int(
+            st.map_batches(
+                lambda df: pd.DataFrame(
+                    {"s": [int(sum(
+                        _hll_estimate(np.frombuffer(b, dtype=np.uint8))
+                        for b in df["regs"]
+                    ))]}
+                ),
+                batch_format="pandas",
+            ).sum("s")
+            or 0
+        )
+
+    if nf_out is not None:
+        nf_out.append(_nf_scalar(state))  # N(0): the {self} estimates
+
     # harmonic accumulator: H(n) = Σ_r (N_r − N_{r−1}) / r over the
     # per-round ball estimates (Boldi–Vigna's centrality readout);
     # N_0 = the single-element estimate of {self}
@@ -1723,6 +1749,8 @@ def hyperball_ds(
             .map_groups(absorb, batch_format="pandas")
             .materialize()
         )
+        if nf_out is not None:
+            nf_out.append(_nf_scalar(state))
         if harmonic:
             def upd(g: pd.DataFrame, _r=r) -> pd.DataFrame:
                 a = g[g["_k"] == "a"][["node", "prev", "hc"]]
@@ -2897,3 +2925,81 @@ def reference_spam_mass(sf_dir: str, n_iters: int = 4) -> "ray.data.Dataset":
         reference_graph_pagerank(sf_dir, n_iters=n_iters),
         focused_frontier_rank(sf_dir, n_iters=n_iters),
     )
+
+
+def effective_diameter_rows(
+    nf: "list[int]", q_num: int = 9, q_den: int = 10
+) -> "pd.DataFrame":
+    """(radius, nf, eff_diam_x1e6) from a neighborhood function
+    N(0..R) — HyperANF's effective-diameter readout (Boldi, Rosa &
+    Vigna, WWW 2011): the smallest (interpolated) radius d such that
+    N(d) ≥ q·N(R), linear interpolation between the bracketing
+    rounds. All arithmetic is int64 on the millionths grid
+    (``q = q_num/q_den`` compared as ``q_den·N(r) ≥ q_num·N(R)``;
+    interpolation numerator × 10⁶ floor-divided) so op and oracle
+    hash-match with no float division. Bounds: N ≤ ~9·10¹¹ keeps
+    ``q_num·N·10⁶`` inside int64 — beyond that, pre-scale N (the
+    sketch error exceeds the grid long before).
+
+    The same value is stamped on every row so the per-round N(r)
+    table AND the headline scalar live in one gate-checkable result.
+    """
+    n_r = nf[-1]
+    target_num = q_num * n_r  # compare q_den·N(r) ≥ q_num·N(R)
+    d_x1e6 = 0
+    for r, n in enumerate(nf):
+        if q_den * n >= target_num:
+            if r == 0:
+                d_x1e6 = 0
+            else:
+                lo, hi = nf[r - 1], n
+                d_x1e6 = (r - 1) * 10**6 + (
+                    (target_num - q_den * lo) * 10**6
+                ) // (q_den * (hi - lo))
+            break
+    return pd.DataFrame(
+        {"radius": pd.Series(range(len(nf)), dtype="int64"),
+         "nf": pd.Series(nf, dtype="int64"),
+         "eff_diam_x1e6": pd.Series([d_x1e6] * len(nf), dtype="int64")}
+    )
+
+
+def reference_effective_diameter(
+    sf_dir: str, rounds: int = 4
+) -> "pd.DataFrame":
+    """(radius, nf, eff_diam_x1e6) — neighborhood function and
+    90%-effective diameter of the symmetrized reference graph, from
+    the same HyperBall run ``crawl_hyperball`` gates: per round ONE
+    extra driver scalar (the global ball-size sum), then the
+    interpolation is (rounds+1)-int driver math."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        src, dst = [], []
+        for d in ids:
+            for k in (1, 2, 3, 4):
+                pr = person_ref(d, k, n_docs)
+                src += [1000 + d, pr]
+                dst += [pr, 1000 + d]
+        return pd.DataFrame(
+            {"src": pd.Series(src, dtype="int64"),
+             "dst": pd.Series(dst, dtype="int64")}
+        )
+
+    nf: list[int] = []
+    # the per-round materializes inside hyperball_ds run the loop (and
+    # fill nf) during the call — the per-node estimate scan the
+    # returned Dataset would add is not needed here
+    hyperball_ds(
+        docs.map_batches(edge_rows, batch_format="pyarrow"),
+        rounds=rounds, num_buckets=16, nf_out=nf,
+    )
+    return effective_diameter_rows(nf)

@@ -4891,3 +4891,22 @@ def test_cdx_index_surt_order_and_positions():
     # contiguity: the True block is one run
     runs = (dom != dom.shift()).cumsum()[dom].nunique()
     assert runs == 1
+
+
+def test_effective_diameter_interpolation_kernel():
+    """Pure-kernel pins for effective_diameter_rows: exact bracketing,
+    interpolation on the int grid, and the r=0 degenerate case."""
+    from dfg_gepris_crawler_ray.ops.graph import effective_diameter_rows
+
+    # N = [1, 10, 100]: target = 0.9*100 = 90 → bracket (10, 100):
+    # d = 1 + (90-10)/(100-10) = 1.888888…
+    out = effective_diameter_rows([1, 10, 100])
+    assert out["nf"].tolist() == [1, 10, 100]
+    assert out["eff_diam_x1e6"].nunique() == 1
+    assert out["eff_diam_x1e6"].iloc[0] == 1_000_000 + (80 * 10**6) // 90
+    # already-converged at r=0 (edgeless graph): diameter 0
+    out0 = effective_diameter_rows([5, 5])
+    assert out0["eff_diam_x1e6"].iloc[0] == 0
+    # exact hit on a round boundary: N = [1, 90, 100] → d = 1.0
+    out1 = effective_diameter_rows([1, 90, 100])
+    assert out1["eff_diam_x1e6"].iloc[0] == 1_000_000
