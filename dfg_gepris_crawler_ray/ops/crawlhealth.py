@@ -282,10 +282,9 @@ def cdx_index(pages_dir: str) -> "ray.data.Dataset":
         url = batch.column("url").to_pandas()
         ts = batch.column("warc_ts").cast(pa.int64()).to_pandas()
         host = url.str.split("/").str[2]
-        # path+query starts after 'https://' (8 chars) + host
-        rest = pd.Series(
-            [u[8 + len(h):] for u, h in zip(url, host)], dtype="object"
-        )
+        # path+query = the URL with scheme+authority stripped
+        # (vectorized; equivalent to url[8 + len(host):] for https URLs)
+        rest = url.str.replace(r"^https://[^/]*", "", regex=True)
         surt = (
             host.str.split(".").map(lambda p: ",".join(reversed(p)))
             + ")" + rest
