@@ -1223,6 +1223,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shared 9-dp grid — the link-spam demotion signal the
         # frontier applies before honoring rank order
         "crawl_spam_mass": graph.reference_spam_mass,
+        # label-propagation communities (Raghavan et al. 2007), made
+        # deterministic: synchronous rounds, integer multiplicity
+        # weights on the symmetrized graph, tie -> min label. Two
+        # keyed exchanges per round, ZERO driver reads per round —
+        # the density-driven site-neighbourhood partitioning signal
+        # (finer than crawl_components connectivity); unrolled
+        # MATERIALIZED-CTE oracle
+        "crawl_communities": graph.reference_label_communities,
         # HyperBall (Boldi–Vigna): per-node ball-size estimates via
         # HLL counters flowing along edges — 2 keyed exchanges per
         # round with the PageRank pre-merge combiner; register
@@ -3468,6 +3476,46 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN mass9 >= 500000000 THEN 1 ELSE 0 END)::BIGINT
                  AS spam_candidate
         FROM m ORDER BY node
+    """
+    # label propagation unrolled: per round, (node, label) weight
+    # votes u{i} (join + groupby), then argmax with min-label
+    # tie-break via row_number. Every step MATERIALIZED (the chained
+    # self-referencing CTE form re-evaluates exponentially otherwise
+    # — the crawl_hits / textrank lesson). All-integer: counts and
+    # mins only, so the hash compare is exact by construction.
+    _lpa_steps = ",".join(
+        f"""
+        u{i} AS MATERIALIZED (
+            SELECT e.dst AS node, l.label, sum(e.w) AS wt
+            FROM sedges e JOIN l{i - 1} l ON e.src = l.node GROUP BY 1, 2),
+        l{i} AS MATERIALIZED (
+            SELECT n.node, coalesce(b.label, n.label) AS label
+            FROM l{i - 1} n LEFT JOIN (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (
+                         PARTITION BY node ORDER BY wt DESC, label ASC) AS rn
+                FROM u{i}) WHERE rn = 1) b ON n.node = b.node)"""
+        for i in range(1, 5)
+    )
+    oracles["crawl_communities"] = f"""
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        dedges AS (
+          SELECT CAST(1000 + d.doc_id AS BIGINT) AS src,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS dst
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        sedges AS MATERIALIZED (
+          SELECT src, dst, count(*)::BIGINT AS w FROM (
+            SELECT src, dst FROM dedges
+            UNION ALL SELECT dst AS src, src AS dst FROM dedges)
+          GROUP BY 1, 2),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT src AS node, src AS label FROM sedges),
+        {_lpa_steps}
+        SELECT node, label FROM l4 ORDER BY node
     """
     oracles["crawl_frontier_pagerank"] = _pagerank_oracle_sql(
         n_iters=4,

@@ -3003,3 +3003,185 @@ def reference_effective_diameter(
         rounds=rounds, num_buckets=16, nf_out=nf,
     )
     return effective_diameter_rows(nf)
+
+
+def label_propagation_ds(
+    edges: "ray.data.Dataset", n_rounds: int = 4
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) over a directed edge Dataset (``src``,
+    ``dst`` int64), made fully deterministic: the graph is symmetrized
+    with integer multiplicity weights (a parallel edge counts twice),
+    labels start as the node id, and each of the fixed ``n_rounds``
+    synchronous rounds moves every node to the label with the largest
+    total incident weight among its neighbours, ties broken by the
+    SMALLEST label id. Every quantity is int64 — counts and mins, no
+    floats anywhere — so op and oracle hash-match exactly.
+
+    Communities are the crawl-side "site neighbourhood" signal
+    (reference analogy: the J9 reference-edge views cluster projekt/
+    person/institution entities that cite each other — a frontier
+    partitioned by community keeps an entity's neighbourhood on one
+    politeness shard, like ``reference_graph_components`` but at a
+    finer, density-driven granularity than pure connectivity).
+
+    Scale shape (identical to ``pagerank_ds``): per round TWO keyed
+    exchanges — shuffle 1 by src-bucket joins current labels to
+    out-edges and pre-sums (dst, label) weight partials INSIDE the
+    group task (≤ one row per distinct (dst,label) per bucket);
+    shuffle 2 by dst-bucket reduces the argmax per node, nodes riding
+    along so every node keeps a row. ZERO driver reads per round (no
+    scalar funnel at all); lineage is cut per round. Returns
+    ``(node, label)``.
+    """
+    import ray
+
+    from ..kernels.partitioning import adaptive_buckets, cut_lineage
+
+    def sym_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].astype("int64")
+        d = df["dst"].astype("int64")
+        return pd.DataFrame(
+            {"src": pd.concat([s, d], ignore_index=True),
+             "dst": pd.concat([d, s], ignore_index=True),
+             "w": np.int64(1)}
+        )
+
+    edges = edges.map_batches(sym_edges, batch_format="pandas").materialize()
+    nb = adaptive_buckets(edges.count())
+
+    def _bl(s: pd.Series) -> pd.Series:
+        return (s.astype("int64") % nb).astype("int32")
+
+    # labels init: every endpoint is a node, label = own id (one
+    # keyed exchange dedupes endpoints; multiplicity is NOT collapsed
+    # in the edge set itself — w=1 rows sum to the multiplicity in
+    # the vote, which is the same total by commutativity)
+    labels = (
+        edges.map_batches(
+            lambda df: pd.DataFrame({"node": df["src"].astype("int64")})
+            .drop_duplicates()
+            .assign(_nb=lambda d: _bl(d["node"])),
+            batch_format="pandas",
+        )
+        .groupby("_nb")
+        .map_groups(
+            lambda g: g[["node"]]
+            .drop_duplicates()
+            .assign(label=lambda d: d["node"].astype("int64")),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    for _ in range(n_rounds):
+        # shuffle 1 (src bucket): current labels meet out-edges;
+        # (dst, label) weight partials pre-summed inside the group
+        def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["node"].astype("int64"), "dst": np.int64(-1),
+                 "w": np.int64(0), "lab": df["label"].astype("int64"),
+                 "_sb": _bl(df["node"]), "_k": "l"}
+            )
+
+        def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["src"].astype("int64"),
+                 "dst": df["dst"].astype("int64"),
+                 "w": df["w"].astype("int64"), "lab": np.int64(-1),
+                 "_sb": _bl(df["src"]), "_k": "e"}
+            )
+
+        def votes(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["_k"] == "l"][["key", "lab"]]
+            e = g[g["_k"] == "e"][["key", "dst", "w"]]
+            m = e.merge(lab, on="key")
+            out = (
+                m.groupby(["dst", "lab"], as_index=False)["w"].sum()
+                .rename(columns={"dst": "node"})
+            )
+            out["_nb"] = _bl(out["node"])
+            return out
+
+        vote = (
+            labels.map_batches(tag_label, batch_format="pandas")
+            .union(edges.map_batches(tag_edge, batch_format="pandas"))
+            .repartition(nb)
+            .groupby("_sb")
+            .map_groups(votes, batch_format="pandas")
+        )
+
+        # shuffle 2 (dst bucket): argmax(total w, tie -> min label)
+        # per node; current labels ride along so a node with no
+        # in-votes (impossible after symmetrization, kept for safety)
+        # retains its label
+        def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": df["node"].astype("int64"), "lab": df["label"],
+                 "w": np.int64(-1), "_nb": _bl(df["node"]), "_k": "n"}
+            )
+
+        def tag_vote(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(_k="v")[["node", "lab", "w", "_nb", "_k"]]
+
+        def reduce_label(g: pd.DataFrame) -> pd.DataFrame:
+            nd = g[g["_k"] == "n"][["node", "lab"]]
+            v = g[g["_k"] == "v"]
+            if len(v):
+                v = v.groupby(["node", "lab"], as_index=False)["w"].sum()
+                # argmax by weight, tie -> smallest label: sort then first
+                v = v.sort_values(
+                    ["node", "w", "lab"], ascending=[True, False, True]
+                ).drop_duplicates("node")
+                best = dict(zip(v["node"], v["lab"]))
+            else:
+                best = {}
+            new = nd["node"].map(best)
+            return pd.DataFrame(
+                {"node": nd["node"].astype("int64"),
+                 "label": new.fillna(nd["lab"]).astype("int64")}
+            )
+
+        labels = cut_lineage(
+            labels.map_batches(tag_node, batch_format="pandas")
+            .union(vote.map_batches(tag_vote, batch_format="pandas"))
+            .repartition(nb)
+            .groupby("_nb")
+            .map_groups(reduce_label, batch_format="pandas")
+            .materialize()
+        )
+
+    return labels
+
+
+def reference_label_communities(
+    sf_dir: str, n_rounds: int = 4
+) -> "ray.data.Dataset":
+    """(node, label) — label-propagation communities over the
+    reference projekt→person graph (symmetrized inside the op) at the
+    gate's fixed round count."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        src, dst = [], []
+        for d in ids:
+            for k in (1, 2, 3, 4):
+                src.append(1000 + d)
+                dst.append(person_ref(d, k, n_docs))
+        return pd.DataFrame(
+            {"src": pd.Series(src, dtype="int64"),
+             "dst": pd.Series(dst, dtype="int64")}
+        )
+
+    return label_propagation_ds(
+        docs.map_batches(edge_rows, batch_format="pyarrow"),
+        n_rounds=n_rounds,
+    )

@@ -4910,3 +4910,82 @@ def test_effective_diameter_interpolation_kernel():
     # exact hit on a round boundary: N = [1, 90, 100] → d = 1.0
     out1 = effective_diameter_rows([1, 90, 100])
     assert out1["eff_diam_x1e6"].iloc[0] == 1_000_000
+
+
+def test_label_propagation_matches_brute_sync_lpa():
+    """label_propagation_ds equals a driver replay of deterministic
+    synchronous LPA (majority incident weight, tie -> min label) on
+    random digraphs plus structured cases: two triangles joined by a
+    bridge (two stable communities) and a star (leaves adopt the
+    hub's initial label in round 1). Also pins run-to-run
+    determinism."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    import ray.data
+
+    from dfg_gepris_crawler_ray.ops.graph import label_propagation_ds
+
+    def brute(edge_list, rounds):
+        adj = defaultdict(lambda: defaultdict(int))
+        for s, d in edge_list:
+            adj[s][d] += 1
+            adj[d][s] += 1
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n, nbrs in adj.items():
+                wt = defaultdict(int)
+                for m, w in nbrs.items():
+                    wt[lab[m]] += w
+                new[n] = sorted(wt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            lab = new
+        return lab
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for _ in range(3):
+        n = 25
+        m = rng.random((n, n)) < 0.08
+        np.fill_diagonal(m, False)
+        cases.append([(int(i), int(j)) for i, j in zip(*np.nonzero(m))])
+    # two triangles + bridge
+    cases.append([(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10),
+                  (2, 10)])
+    # star: hub 5, leaves 6..11
+    cases.append([(5, k) for k in range(6, 12)])
+    for i, edge_list in enumerate(cases):
+        if not edge_list:
+            continue
+        df = pd.DataFrame(edge_list, columns=["src", "dst"]).astype("int64")
+        got = (
+            label_propagation_ds(ray.data.from_pandas(df), n_rounds=4)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        want = brute(edge_list, 4)
+        want_df = (
+            pd.DataFrame(sorted(want.items()), columns=["node", "label"])
+            .astype("int64")
+        )
+        pd.testing.assert_frame_equal(
+            got[["node", "label"]].astype("int64"), want_df
+        ), f"case {i}"
+
+    # determinism: an independent second run is bit-identical
+    df = pd.DataFrame(cases[0], columns=["src", "dst"]).astype("int64")
+    a = (label_propagation_ds(ray.data.from_pandas(df), n_rounds=4)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (label_propagation_ds(ray.data.from_pandas(df), n_rounds=4)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # two triangles + bridge: exactly the two expected communities
+    tri = pd.DataFrame(cases[3], columns=["src", "dst"]).astype("int64")
+    out = (label_propagation_ds(ray.data.from_pandas(tri), n_rounds=4)
+           .to_pandas())
+    lab = dict(zip(out["node"], out["label"]))
+    assert lab[0] == lab[1] == lab[2]
+    assert lab[10] == lab[11] == lab[12]
+    assert lab[0] != lab[10]
