@@ -1231,6 +1231,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (finer than crawl_components connectivity); unrolled
         # MATERIALIZED-CTE oracle
         "crawl_communities": graph.reference_label_communities,
+        # degree assortativity (Newman 2002): Pearson over edges of
+        # (outdeg(src), indeg(dst)) — the web-graph mixing prior
+        # (link farms are assortative, citation webs are not).
+        # Integer-exact: six int64 edge-moments tree-summed to the
+        # driver, headline is SIGNED r^2 on the 9-dp grid via
+        # non-negative floor-div (HUGEINT in the oracle) — no float
+        # division on either side
+        "crawl_assortativity": graph.reference_assortativity,
         # HyperBall (Boldi–Vigna): per-node ball-size estimates via
         # HLL counters flowing along edges — 2 keyed exchanges per
         # round with the PageRank pre-merge combiner; register
@@ -3516,6 +3524,41 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT src AS node, src AS label FROM sedges),
         {_lpa_steps}
         SELECT node, label FROM l4 ORDER BY node
+    """
+    oracles["crawl_assortativity"] = """
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        edges AS MATERIALIZED (
+          SELECT CAST(1000 + d.doc_id AS BIGINT) AS src,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS dst
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        od AS (SELECT src AS node, count(*)::BIGINT AS outd
+               FROM edges GROUP BY 1),
+        idg AS (SELECT dst AS node, count(*)::BIGINT AS ind
+                FROM edges GROUP BY 1),
+        xy AS (SELECT od.outd AS x, idg.ind AS y
+               FROM edges e
+               JOIN od ON e.src = od.node
+               JOIN idg ON e.dst = idg.node),
+        mo AS (SELECT count(*)::HUGEINT AS n,
+                      sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                      sum(x::HUGEINT * y) AS sxy,
+                      sum(x::HUGEINT * x) AS sxx,
+                      sum(y::HUGEINT * y) AS syy
+               FROM xy),
+        f AS (SELECT n, sx, sy, sxy, sxx, syy,
+                     n*sxy - sx*sy AS num,
+                     (n*sxx - sx*sx) * (n*syy - sy*sy) AS den
+              FROM mo)
+        SELECT n::BIGINT AS n_edges, sx::BIGINT AS sx, sy::BIGINT AS sy,
+               sxy::BIGINT AS sxy, sxx::BIGINT AS sxx, syy::BIGINT AS syy,
+               (CASE WHEN den <= 0 THEN 0
+                     WHEN num >= 0 THEN (num*num*1000000000) // den
+                     ELSE -((num*num*1000000000) // den)
+                END)::BIGINT AS assort_r2_x1e9
+        FROM f
     """
     oracles["crawl_frontier_pagerank"] = _pagerank_oracle_sql(
         n_iters=4,

@@ -3185,3 +3185,190 @@ def reference_label_communities(
         docs.map_batches(edge_rows, batch_format="pyarrow"),
         n_rounds=n_rounds,
     )
+
+
+def degree_assortativity_ds(edges: "ray.data.Dataset") -> "pd.DataFrame":
+    """Directed degree assortativity (Newman 2002, Phys. Rev. Lett.
+    89): the Pearson correlation, over EDGES, between the source's
+    out-degree and the target's in-degree — the web-graph mixing
+    signal (assortative ≈ hubs citing hubs: link farms / mirror
+    rings; disassortative ≈ hubs citing leaves: natural citation
+    webs). A crawler reads it as a cheap structural prior before
+    trusting rank order.
+
+    Everything is integer-exact end to end: degrees are counts, the
+    six edge-moments (n, Σx, Σy, Σxy, Σx², Σy²) are int64 sums, and
+    the headline is SIGNED r² on the 9-dp grid —
+    ``sign(num) · num²·10⁹ // (den1·den2)`` with
+    num = n·Σxy − Σx·Σy, den1 = n·Σx² − (Σx)², den2 = n·Σy² − (Σy)²
+    — evaluated in unbounded Python ints (HUGEINT in the oracle), so
+    there is no float division anywhere and op/oracle hash-match
+    exactly. r itself is the signed square root (reported for humans
+    in the docstring only; the gated value is the rational r²).
+
+    Scale shape: degree tables from per-batch partial counts merged
+    in ONE keyed exchange; degrees attach to edges via TWO keyed
+    exchanges (by src, then by dst — the standard fact-dim pattern);
+    moment partials collapse per batch and tree-sum to SIX driver
+    scalars. Driver I/O is O(1) regardless of edge count. Returns a
+    one-row DataFrame.
+    """
+    import ray
+
+    from ..kernels.partitioning import adaptive_buckets
+
+    edges = edges.map_batches(
+        lambda df: pd.DataFrame({"src": df["src"].astype("int64"),
+                                 "dst": df["dst"].astype("int64")}),
+        batch_format="pandas",
+    ).materialize()
+    nb = adaptive_buckets(edges.count())
+
+    def _bl(s: pd.Series) -> pd.Series:
+        return (s.astype("int64") % nb).astype("int32")
+
+    # degree tables: per-batch (node, out_partial, in_partial) counts
+    # merged in one keyed exchange
+    def deg_partials(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.groupby("src").size().rename("outd")
+        i = df.groupby("dst").size().rename("ind")
+        m = pd.concat([o, i], axis=1).fillna(0).reset_index(names="node")
+        return pd.DataFrame(
+            {"node": m["node"].astype("int64"),
+             "outd": m["outd"].astype("int64"),
+             "ind": m["ind"].astype("int64"),
+             "_nb": _bl(m["node"])}
+        )
+
+    deg = (
+        edges.map_batches(deg_partials, batch_format="pandas")
+        .groupby("_nb")
+        .map_groups(
+            lambda g: g.groupby("node", as_index=False)[["outd", "ind"]].sum(),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    # exchange 1 (by src): attach x = outdeg(src) to each edge
+    def tag_deg_src(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["node"].astype("int64"), "dst": np.int64(-1),
+             "x": df["outd"].astype("int64"),
+             "_sb": _bl(df["node"]), "_k": "d"}
+        )
+
+    def tag_edge_src(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["src"].astype("int64"),
+             "dst": df["dst"].astype("int64"), "x": np.int64(0),
+             "_sb": _bl(df["src"]), "_k": "e"}
+        )
+
+    def join_src(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["_k"] == "d"][["key", "x"]]
+        e = g[g["_k"] == "e"][["key", "dst"]]
+        m = e.merge(d, on="key")
+        return pd.DataFrame(
+            {"dst": m["dst"].astype("int64"), "x": m["x"].astype("int64"),
+             "_db": _bl(m["dst"])}
+        )
+
+    ex = (
+        deg.map_batches(tag_deg_src, batch_format="pandas")
+        .union(edges.map_batches(tag_edge_src, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_sb")
+        .map_groups(join_src, batch_format="pandas")
+    )
+
+    # exchange 2 (by dst): attach y = indeg(dst), collapse to moment
+    # partials INSIDE the group task
+    def tag_deg_dst(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["node"].astype("int64"), "x": np.int64(-1),
+             "y": df["ind"].astype("int64"),
+             "_db": _bl(df["node"]), "_k": "d"}
+        )
+
+    def tag_ex(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["dst"].astype("int64"), "x": df["x"].astype("int64"),
+             "y": np.int64(-1), "_db": df["_db"], "_k": "e"}
+        )
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["_k"] == "d"][["key", "y"]]
+        e = g[g["_k"] == "e"][["key", "x"]]
+        m = e.merge(d, on="key")
+        x = m["x"].to_numpy(dtype="int64")
+        y = m["y"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {"n": [np.int64(len(m))], "sx": [x.sum()], "sy": [y.sum()],
+             "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+             "syy": [(y * y).sum()]}
+        )
+
+    part = (
+        deg.map_batches(tag_deg_dst, batch_format="pandas")
+        .union(ex.map_batches(tag_ex, batch_format="pandas"))
+        .repartition(nb)
+        .groupby("_db")
+        .map_groups(moments, batch_format="pandas")
+    )
+    # SIX driver scalars (tree aggregate over ≤nb one-row partials)
+    tot = {c: int(part.sum(c) or 0) for c in
+           ("n", "sx", "sy", "sxy", "sxx", "syy")}
+
+    n, sx, sy = tot["n"], tot["sx"], tot["sy"]
+    sxy, sxx, syy = tot["sxy"], tot["sxx"], tot["syy"]
+    num = n * sxy - sx * sy
+    den1 = n * sxx - sx * sx
+    den2 = n * syy - sy * sy
+    den = den1 * den2
+    if den > 0:
+        # floor-div on NON-NEGATIVE operands only (trunc == floor),
+        # then apply the sign — keeps op and SQL oracle bit-identical
+        mag = (num * num * 10**9) // den
+        r2_9 = mag if num >= 0 else -mag
+    else:
+        r2_9 = 0  # degenerate: a degree is constant over edges
+    return pd.DataFrame(
+        {"n_edges": pd.Series([n], dtype="int64"),
+         "sx": pd.Series([sx], dtype="int64"),
+         "sy": pd.Series([sy], dtype="int64"),
+         "sxy": pd.Series([sxy], dtype="int64"),
+         "sxx": pd.Series([sxx], dtype="int64"),
+         "syy": pd.Series([syy], dtype="int64"),
+         "assort_r2_x1e9": pd.Series([r2_9], dtype="int64")}
+    )
+
+
+def reference_assortativity(sf_dir: str) -> "pd.DataFrame":
+    """One-row (n_edges, Σx, Σy, Σxy, Σx², Σy², signed r²·10⁹) —
+    out-degree→in-degree assortativity of the directed reference
+    projekt→person graph."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        src, dst = [], []
+        for d in ids:
+            for k in (1, 2, 3, 4):
+                src.append(1000 + d)
+                dst.append(person_ref(d, k, n_docs))
+        return pd.DataFrame(
+            {"src": pd.Series(src, dtype="int64"),
+             "dst": pd.Series(dst, dtype="int64")}
+        )
+
+    return degree_assortativity_ds(
+        docs.map_batches(edge_rows, batch_format="pyarrow")
+    )

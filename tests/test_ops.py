@@ -4989,3 +4989,40 @@ def test_label_propagation_matches_brute_sync_lpa():
     assert lab[0] == lab[1] == lab[2]
     assert lab[10] == lab[11] == lab[12]
     assert lab[0] != lab[10]
+
+
+def test_assortativity_matches_numpy_pearson():
+    """degree_assortativity_ds's integer moments and signed r²·10⁹
+    equal a numpy replay (np.corrcoef over per-edge (outdeg(src),
+    indeg(dst))) on random digraphs, plus the degenerate
+    constant-degree case (den = 0 -> 0)."""
+    import pandas as pd
+
+    import ray.data
+
+    from dfg_gepris_crawler_ray.ops.graph import degree_assortativity_ds
+
+    rng = np.random.default_rng(23)
+    for _ in range(3):
+        n = 40
+        m = rng.random((n, n)) < 0.12
+        np.fill_diagonal(m, False)
+        src, dst = np.nonzero(m)
+        df = pd.DataFrame({"src": src, "dst": dst}).astype("int64")
+        got = degree_assortativity_ds(ray.data.from_pandas(df))
+        outd = df.groupby("src").size()
+        ind = df.groupby("dst").size()
+        x = df["src"].map(outd).to_numpy(dtype="int64")
+        y = df["dst"].map(ind).to_numpy(dtype="int64")
+        row = got.iloc[0]
+        assert row["n_edges"] == len(df)
+        assert row["sx"] == x.sum() and row["sy"] == y.sum()
+        assert row["sxy"] == (x * y).sum()
+        assert row["sxx"] == (x * x).sum() and row["syy"] == (y * y).sum()
+        r = float(np.corrcoef(x, y)[0, 1])
+        want = np.sign(r) * r * r
+        assert abs(row["assort_r2_x1e9"] / 1e9 - want) < 1e-6
+    # constant degree: a 4-cycle (every outdeg = indeg = 1) -> den 0
+    cyc = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]}).astype("int64")
+    got = degree_assortativity_ds(ray.data.from_pandas(cyc))
+    assert got.iloc[0]["assort_r2_x1e9"] == 0
