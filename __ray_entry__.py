@@ -1301,6 +1301,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # replay/dedup service reads — SURT keys, ONE global sort,
         # positions from block partials (driver reads block counts)
         "crawl_cdx_index": _q_cdx_index,
+        # WARC revisit records (WARC 1.1 archive payload dedup): one
+        # digest scan + one url-keyed exchange; per capture, revisit=1
+        # iff the digest equals the url's immediately preceding
+        # capture. Inventory-CTE oracle checks the op's real digests
+        # end-to-end (equal payload ⇔ non-changing refresh kind)
+        "crawl_warc_revisits": _q_warc_revisits,
         # mirror-host detection (Bharat & Broder, WWW '99): host pairs
         # scored by fingerprint-set resemblance through three
         # shrinking keyed exchanges — totals attach in-exchange, no
@@ -2613,6 +2619,18 @@ def _q_cdx_index(sf_dir: str):
     return cdx_index(ensure_pages(sf_dir))
 
 
+def _q_warc_revisits(sf_dir: str):
+    """Per-capture WARC revisit records (archive-level payload
+    dedup): one scan digests payloads, one url-keyed exchange
+    shift-compares digests per url. Inventory-CTE oracle: the
+    refresh capture is a revisit iff its kind does not change the
+    payload (error → identical copy, langretry → changed copy)."""
+    from dfg_gepris_crawler_ray.ops.crawlhealth import warc_revisits
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return warc_revisits(ensure_pages(sf_dir))
+
+
 def _q_trap_templates(sf_dir: str):
     """Crawler-trap census (ops/crawlhealth.py::url_template_stats):
     exact distinct-URL count per (host, digit-collapsed URL template),
@@ -3724,6 +3742,28 @@ def oracle_sql() -> dict[str, str]:
                     AS position,
                   surt, warc_ts_us, url
            FROM s ORDER BY surt, warc_ts_us, url"""
+    )
+    # revisit ⇔ the second capture's payload equals the first's —
+    # true exactly for the non-changing refresh kind ('error'; the
+    # 'langretry' refresh swaps in the corrected page). First
+    # captures are never revisits. The op computes real md5 digests;
+    # this reconstruction is the generator's byte-equality contract.
+    oracles["crawl_warc_revisits"] = (
+        "WITH " + _inventory_ctes
+        + """, caps AS (
+             SELECT url,
+                    CASE WHEN n_snapshots = 2
+                         THEN latest_ts_us - 3600000000
+                         ELSE latest_ts_us END AS warc_ts_us,
+                    0 AS revisit
+             FROM allpages
+             UNION ALL
+             SELECT url, latest_ts_us,
+                    CASE WHEN changed THEN 0 ELSE 1 END
+             FROM allpages WHERE n_snapshots = 2)
+           SELECT url, warc_ts_us::BIGINT AS warc_ts_us,
+                  revisit::BIGINT AS revisit
+           FROM caps ORDER BY url, warc_ts_us"""
     )
     oracles["crawl_trap_templates"] = (
         "WITH " + _inventory_ctes

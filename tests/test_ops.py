@@ -5026,3 +5026,46 @@ def test_assortativity_matches_numpy_pearson():
     cyc = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]}).astype("int64")
     got = degree_assortativity_ds(ray.data.from_pandas(cyc))
     assert got.iloc[0]["assort_r2_x1e9"] == 0
+
+
+def test_warc_revisits_matches_brute_and_corpus_shape():
+    """warc_revisits equals a driver replay (md5-digest LAG per url)
+    over the sf0.001 corpus, and the corpus exercises both branches:
+    the 'error' refresh copy IS a revisit (byte-identical payload),
+    the 'langretry' refresh copy is NOT (corrected page)."""
+    import hashlib
+
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import warc_revisits
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    got = (
+        warc_revisits(pages_dir)
+        .to_pandas()
+        .sort_values(["url", "warc_ts_us"])
+        .reset_index(drop=True)
+    )
+
+    raw = pq.read_table(pages_dir, columns=["url", "warc_ts", "html"]).to_pandas()
+    raw["warc_ts_us"] = raw["warc_ts"].astype("int64")
+    raw["h"] = [hashlib.md5(h).hexdigest() for h in raw["html"]]
+    raw = raw.sort_values(["url", "warc_ts_us", "h"], kind="stable")
+    same = raw["url"].shift() == raw["url"]
+    raw["revisit"] = (same & (raw["h"].shift() == raw["h"])).astype("int64")
+    want = (
+        raw[["url", "warc_ts_us", "revisit"]]
+        .sort_values(["url", "warc_ts_us"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # both branches present: some revisit captures (error kind),
+    # and some 2-capture urls whose refresh is NOT a revisit
+    assert got["revisit"].sum() > 0
+    multi = got.groupby("url").size()
+    two_cap = got[got["url"].isin(multi[multi == 2].index)]
+    per_url_rv = two_cap.groupby("url")["revisit"].sum()
+    assert (per_url_rv == 0).any() and (per_url_rv == 1).any()
