@@ -1307,6 +1307,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # capture. Inventory-CTE oracle checks the op's real digests
         # end-to-end (equal payload ⇔ non-changing refresh kind)
         "crawl_warc_revisits": _q_warc_revisits,
+        # URL-parameter hygiene census: per (host, query-param)
+        # capture/url/value/stripped/digest cardinalities + a
+        # content-invariance verdict (strip-safe params) — the
+        # corpus-derived form of Nutch/Heritrix canonicalizer strip
+        # lists; three keyed exchanges, distinct-member counting
+        # spread over the bucket space (no hot-param reduce task)
+        "crawl_param_hygiene": _q_param_hygiene,
         # mirror-host detection (Bharat & Broder, WWW '99): host pairs
         # scored by fingerprint-set resemblance through three
         # shrinking keyed exchanges — totals attach in-exchange, no
@@ -2631,6 +2638,23 @@ def _q_warc_revisits(sf_dir: str):
     return warc_revisits(ensure_pages(sf_dir))
 
 
+def _q_param_hygiene(sf_dir: str):
+    """URL-parameter hygiene census
+    (ops/crawlhealth.py::param_hygiene): per (host, query-param)
+    capture/url/value/stripped-url/digest cardinalities plus the
+    content-invariance verdict a URL canonicalizer strips on.
+    Inventory-CTE oracle rebuilds the capture set WITH each page's
+    extracted text (every page of a doc carries the doc text
+    verbatim; listing/monitor pages carry '' —
+    testdata/gen_pages.py::pages_for_doc), so digest distinctness is
+    text distinctness and the op's md5-64 digests are checked
+    end-to-end."""
+    from dfg_gepris_crawler_ray.ops.crawlhealth import param_hygiene
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return param_hygiene(ensure_pages(sf_dir))
+
+
 def _q_trap_templates(sf_dir: str):
     """Crawler-trap census (ops/crawlhealth.py::url_template_stats):
     exact distinct-URL count per (host, digit-collapsed URL template),
@@ -3765,6 +3789,89 @@ def oracle_sql() -> dict[str, str]:
                   revisit::BIGINT AS revisit
            FROM caps ORDER BY url, warc_ts_us"""
     )
+    # param hygiene: the inventory rebuilt WITH text (doc pages carry
+    # the doc text verbatim on every snapshot/language; OCTOPUS pages
+    # carry '') — digest distinctness ⇔ text distinctness, so the
+    # op's md5-64 canonical digests are value-checked end-to-end
+    oracles["crawl_param_hygiene"] = """
+        WITH d AS (
+          SELECT doc_id, text,
+            CASE doc_id % 3 WHEN 0 THEN 'projekt' WHEN 1 THEN 'person'
+                 ELSE 'institution' END AS ctx,
+            CASE WHEN doc_id % 10 < 7 THEN 'gepris.example.org'
+                 ELSE 'host' || CAST(doc_id % 16 AS VARCHAR)
+                      || '.example.net' END AS host,
+            CAST(1000 + doc_id AS VARCHAR) AS eid,
+            CASE WHEN doc_id % 101 = 5 THEN 'moved'
+                 WHEN doc_id % 103 = 7 THEN 'error'
+                 WHEN doc_id % 97 = 3 THEN 'langretry' ELSE 'ok' END AS kind
+          FROM documents),
+        u AS (
+          SELECT 'https://' || host || '/gepris/' || ctx || '/' || eid
+                   || '?language=de' AS url,
+                 text,
+                 CASE WHEN kind IN ('error','langretry') THEN 2 ELSE 1
+                 END AS n_caps
+          FROM d
+          UNION ALL
+          SELECT 'https://' || host || '/gepris/projekt/' || eid
+                   || '?language=en', text, 1
+          FROM d WHERE ctx = 'projekt'
+          UNION ALL
+          SELECT 'https://' || host || '/gepris/projekt/' || eid
+                   || '/ergebnisse?language=' || l.lang, text, 1
+          FROM d, (SELECT unnest(['de','en']) AS lang) l
+          WHERE ctx = 'projekt' AND doc_id % 5 = 0
+          UNION ALL
+          SELECT 'https://gepris.example.org/gepris/OCTOPUS?context=' || ctx
+                   || '&task=doSearchExtended&hitsPerPage=200&index='
+                   || CAST(unnest(generate_series(0, total - 1, 200))
+                           AS VARCHAR),
+                 '', 1
+          FROM (SELECT ctx, CAST(count(*) AS BIGINT) AS total
+                FROM d GROUP BY ctx)
+          UNION ALL
+          SELECT 'https://gepris.example.org/gepris/OCTOPUS?task=showMonitor',
+                 '', 1),
+        x AS (
+          SELECT split_part(url, '?', 1) AS base,
+                 split_part(url, '/', 3) AS host,
+                 string_split(split_part(url, '?', 2), '&') AS kvs,
+                 unnest(string_split(split_part(url, '?', 2), '&')) AS kvp,
+                 url, text, n_caps
+          FROM u),
+        p AS (
+          SELECT host, url, text, n_caps,
+                 split_part(kvp, '=', 1) AS param,
+                 split_part(kvp, '=', 2) AS value,
+                 base || CASE WHEN len(rest) > 0
+                              THEN '?' || array_to_string(rest, '&')
+                              ELSE '' END AS stripped
+          FROM (SELECT *, list_filter(kvs,
+                    k -> split_part(k, '=', 1) <> split_part(kvp, '=', 1))
+                      AS rest
+                FROM x)),
+        g AS (
+          SELECT host, param, stripped,
+                 count(DISTINCT text) AS cd,
+                 count(DISTINCT url) AS nu,
+                 sum(n_caps) AS nc
+          FROM p GROUP BY 1, 2, 3),
+        v AS (
+          SELECT host, param,
+                 count(DISTINCT value) AS nv,
+                 count(DISTINCT text) AS nd
+          FROM p GROUP BY 1, 2)
+        SELECT g.host, g.param,
+               sum(g.nc)::BIGINT AS n_captures,
+               sum(g.nu)::BIGINT AS n_urls,
+               any_value(v.nv)::BIGINT AS n_vals,
+               count(*)::BIGINT AS n_stripped,
+               any_value(v.nd)::BIGINT AS n_digests,
+               (max(g.cd) = 1)::BIGINT AS content_invariant
+        FROM g JOIN v ON g.host = v.host AND g.param = v.param
+        GROUP BY 1, 2
+    """
     oracles["crawl_trap_templates"] = (
         "WITH " + _inventory_ctes
         + """ SELECT split_part(url, '/', 3) AS host,

@@ -620,6 +620,20 @@ def main():
     from dfg_gepris_crawler_ray.ops.crawlhealth import cdx_index
     timed("crawl_cdx_index",
           lambda: cdx_index(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.crawlhealth import warc_revisits
+    timed("crawl_warc_revisits",
+          lambda: warc_revisits(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.crawlhealth import param_hygiene
+    timed("crawl_param_hygiene",
+          lambda: param_hygiene(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import reference_assortativity
+    timed("crawl_assortativity",
+          lambda: reference_assortativity(SF_DIR))
+    # crawl_label_communities is NOT timed here for the same reason as
+    # bowtie/condensation-layers: iterative rounds on the 334-node
+    # reference graph are stage-launch overhead, not volume. It stays
+    # gate-checked; label-propagation volume shares the --graph-scale
+    # exchange machinery.
     from dfg_gepris_crawler_ray.ops.graph import reference_graph_hits
     timed("crawl_hits",
           lambda: reference_graph_hits(SF_DIR).materialize())

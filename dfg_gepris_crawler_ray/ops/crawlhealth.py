@@ -406,3 +406,206 @@ def warc_revisits(pages_dir: str) -> "ray.data.Dataset":
         .groupby("bucket")
         .map_groups(mark, batch_format="pandas")
     )
+
+
+def param_hygiene(
+    pages_dir: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(host, param, n_captures, n_urls, n_vals, n_stripped,
+    n_digests, content_invariant) — per (host, query-parameter) URL
+    hygiene census: the statistics a production canonicalizer uses to
+    decide which parameters to STRIP from frontier URLs (session ids,
+    tracking tags, params that never change the served content).
+    Nutch/Heritrix ship hand-maintained strip lists; this derives the
+    evidence from the corpus itself. Reference analogy: the fixed
+    ``?language=`` handling in the URL key algebra
+    (gepris_helper.py:86-106) is a hand-coded instance of exactly this
+    decision.
+
+    Per (host, param) over every capture whose URL carries ``param``:
+
+    - ``n_captures``: capture count (param occurrences × snapshots);
+    - ``n_urls``: distinct URLs;
+    - ``n_vals``: distinct parameter values;
+    - ``n_stripped``: distinct URLs after removing the parameter
+      (remaining params keep their order; a bare ``?`` is dropped);
+    - ``n_digests``: distinct canonical content digests across those
+      URLs (canonical digest of a URL = digest of its earliest
+      capture's extracted text, ties to the smallest digest);
+    - ``content_invariant``: 1 iff EVERY stripped-URL group serves
+      exactly one distinct canonical digest — i.e. the parameter
+      value never changes the extracted content, so stripping it is
+      safe (the de/en twins of this corpus carry identical extracted
+      text, so ``language`` is invariant here by design — the
+      html-level variance is the CDX/revisit layer's concern).
+
+    Distributed shape — three keyed exchanges, none corpus-sized
+    downstream of the first:
+
+    1. url exchange: text digested in the scan (text never leaves the
+       scan task), captures collapse to one row per URL (canonical
+       digest + capture count) in url-hash buckets;
+    2. mixed key exchange: URL rows explode row-locally into one row
+       per param occurrence, routed THREE ways in one exchange —
+       stripped-group rows by hash(host,param,stripped), value rows
+       by hash(host,param,value), digest rows by
+       hash(host,param,digest). Each bucket reduces to per-(host,
+       param) PARTIALS (sums / group counts / AND of group
+       invariance / distinct-value and distinct-digest counts —
+       additive across buckets because each distinct member lands in
+       exactly one bucket);
+    3. final exchange: ≤ 3 × ``num_buckets`` partial rows per key
+       sum/AND into the verdict row. A hot parameter (``language`` on
+       a 10^9-page host) spreads its distinct-member counting over
+       the bucket space instead of melting one reduce task; only the
+       per-stripped-group rows share a bucket, and those groups are
+       bounded by the variants of ONE base URL.
+    """
+    import hashlib
+
+    from ..sources.pages import read_pages
+
+    ds = read_pages(pages_dir, columns=["url", "warc_ts", "text"])
+    nbk = num_buckets
+
+    def _b64(s: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(s.encode()).digest()[:8], "big", signed=True
+        )
+
+    def digest_scan(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        ts = batch.column("warc_ts").cast(pa.int64())
+        d64 = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big",
+                            signed=True)
+             for t in batch.column("text").to_pylist()),
+            dtype=np.int64, count=len(batch),
+        )
+        bucket = np.fromiter(
+            (_b64(u) % nbk for u in urls.to_pylist()),
+            dtype=np.int64, count=len(batch),
+        )
+        return pa.table({"url": urls, "ts_us": ts, "d64": pa.array(d64),
+                         "bucket": pa.array(bucket)})
+
+    def url_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "ts_us", "d64"], kind="stable")
+        first = g.drop_duplicates("url", keep="first")
+        n_caps = g.groupby("url", sort=False).size()
+        return pd.DataFrame(
+            {"url": first["url"].astype(str),
+             "d64": first["d64"].astype("int64"),
+             "n_caps": first["url"].map(n_caps).astype("int64")}
+        )
+
+    def explode_params(df: pd.DataFrame) -> pd.DataFrame:
+        part = df["url"].str.partition("?")
+        has = part[2] != ""
+        if not has.any():
+            return pd.DataFrame(
+                {"kind": pd.Series(dtype=str), "host": pd.Series(dtype=str),
+                 "param": pd.Series(dtype=str), "skey": pd.Series(dtype=str),
+                 "d64": pd.Series(dtype="int64"),
+                 "n_caps": pd.Series(dtype="int64"),
+                 "bucket2": pd.Series(dtype="int64")}
+            )
+        base = part[0][has]
+        host = base.str.split("/").str[2]
+        kvs = part[2][has].str.split("&")
+        d64 = df["d64"][has]
+        n_caps = df["n_caps"][has]
+        rows: list[tuple] = []
+        for b, h, kl, d, nc in zip(base, host, kvs, d64, n_caps):
+            for kv in kl:
+                p = kv.partition("=")[0]
+                v = kv.partition("=")[2]
+                rest = "&".join(x for x in kl if x.partition("=")[0] != p)
+                stripped = b + ("?" + rest if rest else "")
+                rows.append(("s", h, p, stripped, d, nc))
+                rows.append(("v", h, p, v, d, nc))
+                rows.append(("d", h, p, str(d), d, nc))
+        out = pd.DataFrame(
+            rows, columns=["kind", "host", "param", "skey", "d64", "n_caps"]
+        )
+        # value/digest rows only carry distinctness: dedup per batch
+        # so the exchange never re-ships a hot value
+        dup = (out["kind"] != "s") & out.duplicated(
+            ["kind", "host", "param", "skey"]
+        )
+        out = out[~dup]
+        out["bucket2"] = [
+            _b64(f"{k}|{h}|{p}|{s}") % nbk
+            for k, h, p, s in zip(out["kind"], out["host"], out["param"],
+                                  out["skey"])
+        ]
+        return out.astype({"d64": "int64", "n_caps": "int64",
+                           "bucket2": "int64"})
+
+    def partial_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        s = g[g["kind"] == "s"]
+        if len(s):
+            grp = s.groupby(["host", "param", "skey"], sort=False).agg(
+                cd=("d64", "nunique"), nu=("skey", "size"),
+                nc=("n_caps", "sum"))
+            agg = grp.reset_index().groupby(["host", "param"], sort=False)
+            outs.append(pd.DataFrame(
+                {"n_captures": agg["nc"].sum(),
+                 "n_urls": agg["nu"].sum(),
+                 "n_stripped": agg["nc"].size(),
+                 "inv": (agg["cd"].max() == 1).astype("int64"),
+                 "n_vals": 0, "n_digests": 0}).reset_index())
+        for kind, col in (("v", "n_vals"), ("d", "n_digests")):
+            k = g[g["kind"] == kind]
+            if len(k):
+                n = (k.drop_duplicates(["host", "param", "skey"])
+                     .groupby(["host", "param"], sort=False).size())
+                f = pd.DataFrame({col: n}).reset_index()
+                for c in ("n_captures", "n_urls", "n_stripped"):
+                    f[c] = 0
+                f["inv"] = 1
+                if col == "n_vals":
+                    f["n_digests"] = 0
+                else:
+                    f["n_vals"] = 0
+                outs.append(f)
+        cols = ["host", "param", "n_captures", "n_urls", "n_stripped",
+                "inv", "n_vals", "n_digests"]
+        if not outs:
+            return pd.DataFrame(columns=cols).astype(
+                {c: "int64" for c in cols[2:]})
+        return pd.concat([o[cols] for o in outs], ignore_index=True)
+
+    def final_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["host", "param"], sort=False).agg(
+            n_captures=("n_captures", "sum"), n_urls=("n_urls", "sum"),
+            n_vals=("n_vals", "sum"), n_stripped=("n_stripped", "sum"),
+            n_digests=("n_digests", "sum"),
+            content_invariant=("inv", "min")).reset_index()
+        return agg.astype({c: "int64" for c in agg.columns[2:]})
+
+    urls = (
+        ds.map_batches(digest_scan, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(nbk)
+        .groupby("bucket")
+        .map_groups(url_reduce, batch_format="pandas")
+    )
+    partials = (
+        urls.map_batches(explode_params, batch_format="pandas")
+        .repartition(nbk)
+        .groupby("bucket2")
+        .map_groups(partial_reduce, batch_format="pandas")
+    )
+    return (
+        partials.map_batches(
+            lambda df: df.assign(
+                bucket3=[_b64(f"{h}|{p}") % nbk
+                         for h, p in zip(df["host"], df["param"])]),
+            batch_format="pandas")
+        .repartition(8)
+        .groupby("bucket3")
+        .map_groups(final_reduce, batch_format="pandas")
+    )

@@ -5069,3 +5069,91 @@ def test_warc_revisits_matches_brute_and_corpus_shape():
     two_cap = got[got["url"].isin(multi[multi == 2].index)]
     per_url_rv = two_cap.groupby("url")["revisit"].sum()
     assert (per_url_rv == 0).any() and (per_url_rv == 1).any()
+
+
+def test_param_hygiene_matches_bruteforce():
+    """Three-exchange param-hygiene census equals a driver-side pandas
+    recomputation from the raw pages parquet: canonical digest per url
+    (earliest capture's text), per-(host,param) capture/url/value/
+    stripped/digest cardinalities and the content-invariance verdict."""
+    import glob as _glob
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import param_hygiene
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    got = (
+        param_hygiene(pages_dir)
+        .to_pandas()
+        .sort_values(["host", "param"])
+        .reset_index(drop=True)
+    )
+
+    frames = [
+        pq.read_table(f, columns=["url", "warc_ts", "text"]).to_pandas()
+        for f in sorted(_glob.glob(f"{pages_dir}/*.parquet"))
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    df["d64"] = [
+        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big", signed=True)
+        for t in df["text"]
+    ]
+    df["ts"] = df["warc_ts"].astype("int64")
+    canon = (
+        df.sort_values(["url", "ts", "d64"], kind="stable")
+        .groupby("url")
+        .agg(d64=("d64", "first"), n_caps=("d64", "size"))
+    )
+
+    rows = []
+    for url, r in canon.iterrows():
+        if "?" not in url:
+            continue
+        base, _, qs = url.partition("?")
+        host = base.split("/")[2]
+        kvs = qs.split("&")
+        for kv in kvs:
+            p = kv.partition("=")[0]
+            v = kv.partition("=")[2]
+            rest = "&".join(x for x in kvs if x.partition("=")[0] != p)
+            rows.append(
+                (host, p, url, v, base + ("?" + rest if rest else ""),
+                 r["d64"], r["n_caps"])
+            )
+    b = pd.DataFrame(
+        rows, columns=["host", "param", "url", "value", "stripped", "d64",
+                       "n_caps"]
+    )
+    grp = b.groupby(["host", "param", "stripped"]).agg(
+        cd=("d64", "nunique"), nu=("url", "nunique"), nc=("n_caps", "sum")
+    )
+    want = (
+        grp.reset_index()
+        .groupby(["host", "param"])
+        .agg(
+            n_captures=("nc", "sum"),
+            n_urls=("nu", "sum"),
+            n_stripped=("nc", "size"),
+            content_invariant=("cd", lambda s: int(s.max() == 1)),
+        )
+        .join(
+            b.groupby(["host", "param"]).agg(
+                n_vals=("value", "nunique"), n_digests=("d64", "nunique")
+            )
+        )
+        .reset_index()
+        .sort_values(["host", "param"])
+        .reset_index(drop=True)
+    )
+    want = want[list(got.columns)].astype(
+        {c: "int64" for c in got.columns[2:]}
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the census is non-trivial on this corpus: multiple params, the
+    # language param present on every host, everything text-invariant
+    assert set(want["param"]) >= {"language", "task", "index"}
+    assert (want["content_invariant"] == 1).all()
