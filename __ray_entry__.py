@@ -839,6 +839,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_data_monitor": _q_data_monitor,
         # --- training-data ops --------------------------------------------
         "dedup_exact": dedup.exact_dedup,
+        # soft deduplication: keep every exact duplicate but weight it
+        # 1/dup-count (integer ppm) — one md5-bucket exchange, sizes
+        # joined back in the bucket task
+        "text_softdedup_weights": dedup.softdedup_weights,
         # deterministic end-to-end (fixed-seed signatures → fixed
         # banding → exact integer-ratio Jaccard) → staged brute-census
         # oracle, graduated from rows-only
@@ -1231,6 +1235,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (finer than crawl_components connectivity); unrolled
         # MATERIALIZED-CTE oracle
         "crawl_communities": graph.reference_label_communities,
+        # deterministic DeepWalk corpus (Perozzi et al. 2014): one
+        # walk per node over the symmetrized reference graph, next
+        # hop = neighbors_sorted[md5(node|step|walk) % deg] — an
+        # RNG-free draw, so the walk corpus is a pure function of
+        # the graph and the unrolled MATERIALIZED-CTE oracle
+        # hash-matches row for row. One src-bucket adjacency
+        # exchange + one keyed exchange per step, lineage cut
+        "crawl_random_walks": graph.reference_random_walks,
         # degree assortativity (Newman 2002): Pearson over edges of
         # (outdeg(src), indeg(dst)) — the web-graph mixing prior
         # (link farms are assortative, citation webs are not).
@@ -3119,6 +3131,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_md5, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
         """,
+        "text_softdedup_weights": """
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY text) AS dup_count,
+                   1000000 // count(*) OVER (PARTITION BY text)
+                     AS weight_ppm
+            FROM documents
+        """,
         "dedup_clusters": """
             WITH RECURSIVE g AS (
               SELECT doc_id,
@@ -3533,6 +3552,44 @@ def oracle_sql() -> dict[str, str]:
     # self-referencing CTE form re-evaluates exponentially otherwise
     # — the crawl_hits / textrank lesson). All-integer: counts and
     # mins only, so the hash compare is exact by construction.
+    # random walks: one hash-indexed draw per (walk, step) — each
+    # step CTE must be MATERIALIZED (the exponential-reeval lesson)
+    _walk_steps = ",".join(
+        f"""
+        w{t + 1} AS MATERIALIZED (
+          SELECT w.start, {t + 1} AS step, a.dst AS node
+          FROM w{t} w JOIN adj a ON a.src = w.node
+          WHERE a.idx = ('0x' || substr(md5(CAST(w.node AS VARCHAR)
+                    || '|{t}|' || CAST(w.start AS VARCHAR)), 1, 15))::BIGINT
+                  % a.deg)"""
+        for t in range(4)
+    )
+    oracles["crawl_random_walks"] = f"""
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        dedges AS (
+          SELECT CAST(1000 + d.doc_id AS BIGINT) AS src,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS dst
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        sedges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM dedges
+            UNION ALL SELECT dst, src FROM dedges)),
+        adj AS MATERIALIZED (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+                 count(*) OVER (PARTITION BY src) AS deg
+          FROM sedges),
+        w0 AS MATERIALIZED (
+          SELECT DISTINCT src AS start, 0 AS step, src AS node
+          FROM sedges),{_walk_steps}
+        SELECT start, step::BIGINT AS step, node
+        FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+              UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+              UNION ALL SELECT * FROM w4)
+    """
     _lpa_steps = ",".join(
         f"""
         u{i} AS MATERIALIZED (

@@ -367,6 +367,21 @@ def _graph_scale():
     hb.materialize()
     hb_wall = round(time.perf_counter() - t0, 3)
 
+    # random walks at volume: one walk per node of the symmetrized
+    # hash graph, 4 hash-indexed steps — per step the exchange carries
+    # the full adjacency (~2×10^7 ranked rows) plus ~10^6 walk-state
+    # rows, the DeepWalk-corpus regime (adjacency re-keyed per step,
+    # never a driver-side neighbor table)
+    from dfg_gepris_crawler_ray.ops.graph import random_walks_ds
+
+    walk_edges = ray.data.range(n_edges).map_batches(
+        edge_rows, batch_format="numpy"
+    )
+    t0 = time.perf_counter()
+    wk = random_walks_ds(walk_edges, n_steps=4).materialize()
+    walks_wall = round(time.perf_counter() - t0, 3)
+    n_walk_rows = wk.count()
+
     out = {
         "mode": "graph_scale",
         "n_edges": n_edges,
@@ -388,6 +403,8 @@ def _graph_scale():
         "hyperball_rounds": 2,
         "hyperball_wall_sec": hb_wall,
         "hyperball_nf": nf,
+        "walks_rows": int(n_walk_rows),
+        "walks_wall_sec": walks_wall,
         "num_cpus": NUM_CPUS,
     }
     ray.shutdown()
@@ -505,6 +522,8 @@ def main():
         timed = lambda name, fn: None  # scaling runs use the headline only
 
     timed("dedup_exact", lambda: dedup.exact_dedup(SF_DIR).materialize())
+    timed("text_softdedup_weights",
+          lambda: dedup.softdedup_weights(SF_DIR).materialize())
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_dedup(SF_DIR).materialize())
     timed("dedup_ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(SF_DIR).materialize())
     timed("dedup_containment", lambda: dedup.containment_pairs(SF_DIR).materialize())
@@ -629,11 +648,11 @@ def main():
     from dfg_gepris_crawler_ray.ops.graph import reference_assortativity
     timed("crawl_assortativity",
           lambda: reference_assortativity(SF_DIR))
-    # crawl_label_communities is NOT timed here for the same reason as
-    # bowtie/condensation-layers: iterative rounds on the 334-node
-    # reference graph are stage-launch overhead, not volume. It stays
-    # gate-checked; label-propagation volume shares the --graph-scale
-    # exchange machinery.
+    # crawl_label_communities / crawl_random_walks are NOT timed here
+    # for the same reason as bowtie/condensation-layers: iterative
+    # rounds on the 334-node reference graph are stage-launch
+    # overhead, not volume. Both stay gate-checked; walks are timed at
+    # 10^7-edge volume in --graph-scale.
     from dfg_gepris_crawler_ray.ops.graph import reference_graph_hits
     timed("crawl_hits",
           lambda: reference_graph_hits(SF_DIR).materialize())

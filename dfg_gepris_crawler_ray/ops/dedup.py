@@ -63,6 +63,60 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     return hashed.groupby("bucket").map_groups(bucket_min, batch_format="pandas")
 
 
+def softdedup_weights(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, dup_count, weight_ppm) — soft deduplication: instead
+    of DROPPING exact duplicates, each document keeps a sampling
+    weight 1/duplicate-count (integer ppm, 10^6 // count) so the
+    training sampler sees every duplicated text with total mass ~1
+    (the reweight-don't-remove strand of the dedup literature, e.g.
+    SoftDeDup — He et al. 2024; the down-weighting analogue of
+    ``exact_dedup``'s keep-min). Exact duplicates only; the near-dup
+    analogue composes ``dedup_clusters`` sizes the same way.
+
+    Shape: the ``exact_dedup`` discipline — one md5-bucket keyed
+    exchange, group sizes computed vectorized per bucket and joined
+    back to the group's doc rows IN the bucket task (a text's
+    duplicates all share its md5 bucket), so the exchange carries
+    24-byte fingerprint rows and no second pass over the corpus is
+    needed. weight_ppm = 10^6 // dup_count exactly (floor), so op
+    and oracle hash-match without float division."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(t.encode()).hexdigest()
+                for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "content_md5": pa.array(md5s),
+                "bucket": pa.array(
+                    [int(m[:2], 16) % 64 for m in md5s], type=pa.int32()
+                ),
+            }
+        )
+
+    hashed = ds.map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def bucket_weights(group: pd.DataFrame) -> pd.DataFrame:
+        n = group.groupby("content_md5")["doc_id"].transform("size")
+        n = n.astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": group["doc_id"].astype("int64"),
+                "dup_count": n,
+                "weight_ppm": (1_000_000 // n).astype("int64"),
+            }
+        )
+
+    return hashed.groupby("bucket").map_groups(
+        bucket_weights, batch_format="pandas"
+    )
+
+
 # --- shingling + minhash ---------------------------------------------------
 
 def _token_hashes(text: str) -> np.ndarray:

@@ -3372,3 +3372,186 @@ def reference_assortativity(sf_dir: str) -> "pd.DataFrame":
     return degree_assortativity_ds(
         docs.map_batches(edge_rows, batch_format="pyarrow")
     )
+
+
+def random_walks_ds(
+    edges: "ray.data.Dataset", n_steps: int = 4
+) -> "ray.data.Dataset":
+    """Deterministic unbiased random walks (the DeepWalk corpus
+    generator — Perozzi, Al-Rfou & Skiena, KDD 2014) over a directed
+    edge Dataset (``src``, ``dst`` int64): the graph is symmetrized
+    and its parallel edges collapsed (unweighted neighbor sets), one
+    walk starts at EVERY node, and at step ``t`` the walk at ``node``
+    moves to ``neighbors_sorted[H % deg]`` where
+    ``H = md5("{node}|{t}|{start}")``'s leading 60 bits — a
+    per-(walk, step, node) hash instead of an RNG stream, so the walk
+    corpus is a pure function of the graph (op and SQL oracle
+    hash-match row for row; the embedding-training consumer only
+    needs walk co-occurrence statistics, which hash-indexed draws
+    preserve). Returns ``(start, step, node)``, steps 0..``n_steps``.
+
+    Scale shape: adjacency is built by ONE src-bucket exchange that
+    assigns each neighbor its rank (``idx``) and degree — the walk
+    draw needs only (deg, idx), never the whole neighbor list on the
+    driver. Each step is ONE keyed exchange: walk-state rows route to
+    their node's src bucket alongside the adjacency rows, the group
+    task draws the hash index and emits the next state — walk state
+    never concentrates (it stays one row per live walk, hash-spread
+    over buckets), and lineage is cut per step. ``n_steps`` exchanges
+    total; at 10^10 nodes each carries |walks| ≈ |nodes| fingerprint
+    rows, the same profile as a PageRank round.
+    """
+    import hashlib
+
+    import ray
+
+    from ..kernels.partitioning import adaptive_buckets, cut_lineage
+
+    def sym_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].astype("int64")
+        d = df["dst"].astype("int64")
+        out = pd.DataFrame(
+            {"src": pd.concat([s, d], ignore_index=True),
+             "dst": pd.concat([d, s], ignore_index=True)}
+        )
+        return out.drop_duplicates()
+
+    sedges = edges.map_batches(sym_edges, batch_format="pandas").materialize()
+    nb = adaptive_buckets(sedges.count())
+
+    def _bl(s: pd.Series) -> pd.Series:
+        return (s.astype("int64") % nb).astype("int32")
+
+    def adj_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates(["src", "dst"])
+             .sort_values(["src", "dst"], kind="stable"))
+        return pd.DataFrame(
+            {"src": g["src"].astype("int64"),
+             "dst": g["dst"].astype("int64"),
+             "idx": g.groupby("src").cumcount().astype("int64"),
+             "deg": g.groupby("src")["dst"].transform("size")
+                     .astype("int64")}
+        )
+
+    adj = (
+        sedges.map_batches(
+            lambda df: df.drop_duplicates().assign(_sb=_bl(df["src"])),
+            batch_format="pandas")
+        .repartition(nb)
+        .groupby("_sb")
+        .map_groups(adj_group, batch_format="pandas")
+        .materialize()
+    )
+
+    # walk state (start, node); one walk per node of the symmetrized
+    # graph (every endpoint appears as a src after symmetrization)
+    state = (
+        adj.map_batches(
+            lambda df: pd.DataFrame(
+                {"start": df["src"].astype("int64")}).drop_duplicates()
+            .assign(node=lambda d: d["start"]),
+            batch_format="pandas")
+        .materialize()
+    )
+
+    def out_rows(step: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"start": df["start"].astype("int64"),
+                 "step": np.int64(step),
+                 "node": df["node"].astype("int64")}
+            )
+        return f
+
+    outputs = [state.map_batches(out_rows(0), batch_format="pandas")]
+
+    def _h60(node: int, step: int, start: int) -> int:
+        key = f"{node}|{step}|{start}".encode()
+        return int(hashlib.md5(key).hexdigest()[:15], 16)
+
+    for t in range(n_steps):
+        def tag_state(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["node"].astype("int64"),
+                 "start": df["start"].astype("int64"),
+                 "dst": np.int64(-1), "idx": np.int64(-1),
+                 "deg": np.int64(-1),
+                 "_sb": _bl(df["node"]), "_k": "s"}
+            )
+
+        def tag_adj(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"key": df["src"].astype("int64"),
+                 "start": np.int64(-1),
+                 "dst": df["dst"].astype("int64"),
+                 "idx": df["idx"].astype("int64"),
+                 "deg": df["deg"].astype("int64"),
+                 "_sb": _bl(df["src"]), "_k": "a"}
+            )
+
+        def step_reduce(g: pd.DataFrame, _t=t) -> pd.DataFrame:
+            s = g[g["_k"] == "s"][["key", "start"]]
+            a = g[g["_k"] == "a"][["key", "dst", "idx", "deg"]]
+            if not len(s) or not len(a):
+                return pd.DataFrame(
+                    {"start": pd.Series(dtype="int64"),
+                     "node": pd.Series(dtype="int64")}
+                )
+            m = s.merge(a.drop_duplicates("key")[["key", "deg"]], on="key")
+            m["idx"] = np.fromiter(
+                (_h60(k, _t, st) % dg
+                 for k, st, dg in zip(m["key"], m["start"], m["deg"])),
+                dtype=np.int64, count=len(m),
+            )
+            nxt = m.merge(a[["key", "idx", "dst"]], on=["key", "idx"])
+            return pd.DataFrame(
+                {"start": nxt["start"].astype("int64"),
+                 "node": nxt["dst"].astype("int64")}
+            )
+
+        state = cut_lineage(
+            state.map_batches(tag_state, batch_format="pandas")
+            .union(adj.map_batches(tag_adj, batch_format="pandas"))
+            .repartition(nb)
+            .groupby("_sb")
+            .map_groups(step_reduce, batch_format="pandas")
+            .materialize()
+        )
+        outputs.append(state.map_batches(out_rows(t + 1),
+                                         batch_format="pandas"))
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out
+
+
+def reference_random_walks(sf_dir: str, n_steps: int = 4) -> "ray.data.Dataset":
+    """(start, step, node) — deterministic DeepWalk-style walk corpus
+    over the symmetrized projekt→person reference graph (J5/J9
+    edges), one walk per node, ``n_steps`` hash-indexed draws."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        ids = [int(i) for i in batch.column("doc_id").to_pylist() if i % 3 == 0]
+        src, dst = [], []
+        for d in ids:
+            for k in (1, 2, 3, 4):
+                src.append(1000 + d)
+                dst.append(person_ref(d, k, n_docs))
+        return pd.DataFrame(
+            {"src": pd.Series(src, dtype="int64"),
+             "dst": pd.Series(dst, dtype="int64")}
+        )
+
+    return random_walks_ds(
+        docs.map_batches(edge_rows, batch_format="pyarrow"),
+        n_steps=n_steps,
+    )

@@ -5157,3 +5157,90 @@ def test_param_hygiene_matches_bruteforce():
     # language param present on every host, everything text-invariant
     assert set(want["param"]) >= {"language", "task", "index"}
     assert (want["content_invariant"] == 1).all()
+
+
+def test_random_walks_match_bruteforce():
+    """The distributed per-step exchanges reproduce a driver-side walk
+    simulation exactly: same symmetrized adjacency, same
+    md5(node|step|start)-indexed draws, every step follows an edge."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.graph import reference_random_walks
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    got = (
+        reference_random_walks(SF)
+        .to_pandas()
+        .sort_values(["start", "step"])
+        .reset_index(drop=True)
+    )
+
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    adj: dict[int, set[int]] = {}
+    for d in range(0, n_docs, 3):
+        for k in (1, 2, 3, 4):
+            s, t = 1000 + d, person_ref(d, k, n_docs)
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+    adj_sorted = {u: sorted(vs) for u, vs in adj.items()}
+
+    def h60(node: int, step: int, start: int) -> int:
+        return int(
+            hashlib.md5(f"{node}|{step}|{start}".encode()).hexdigest()[:15],
+            16,
+        )
+
+    rows = []
+    for start in sorted(adj_sorted):
+        node = start
+        rows.append((start, 0, node))
+        for t in range(4):
+            nbrs = adj_sorted[node]
+            node = nbrs[h60(node, t, start) % len(nbrs)]
+            rows.append((start, t + 1, node))
+    want = pd.DataFrame(rows, columns=["start", "step", "node"]).astype(
+        "int64"
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # every consecutive (node -> node') pair is a real edge
+    for start, g in want.groupby("start"):
+        seq = g.sort_values("step")["node"].tolist()
+        for a, b in zip(seq, seq[1:]):
+            assert b in adj_sorted[a]
+    # the walks leave their start (the draw isn't degenerate)
+    assert (want[want["step"] > 0]["node"]
+            != want[want["step"] > 0]["start"]).any()
+
+
+def test_softdedup_weights_match_bruteforce():
+    """Soft-dedup weights equal a driver-side recomputation, and every
+    duplicate group's total weight is ≤ 1e6 with the floor deficit
+    bounded by the group size."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.dedup import softdedup_weights
+
+    got = (
+        softdedup_weights(SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    n = docs.groupby("text")["doc_id"].transform("size").astype("int64")
+    want = pd.DataFrame(
+        {"doc_id": docs["doc_id"].astype("int64"), "dup_count": n,
+         "weight_ppm": (1_000_000 // n).astype("int64")}
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    tot = got.groupby("dup_count")["weight_ppm"].first() * got[
+        "dup_count"
+    ].drop_duplicates().set_axis(got["dup_count"].drop_duplicates())
+    assert (tot <= 1_000_000).all()
+    assert (got["weight_ppm"] >= 1).all()
