@@ -1104,6 +1104,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (degree-oriented node-iterator, all stages keyed exchanges,
         # no driver-resident degree map or edge set)
         "crawl_triangles": _q_triangles,
+        # co-citation strength (Dean & Henzinger WWW '99 related
+        # pages; Small 1973): per canonical target pair, the number
+        # of sources citing both — pair partials vectorized in the
+        # scan (triu over the per-source target grid, hub-capped),
+        # ONE pair-hash exchange
+        "crawl_cocitation": _q_cocitation,
         # link-importance crawl order (PageRank-ranked frontier head)
         "crawl_frontier_pagerank": _q_frontier_pagerank,
         # degree-based priority signal: top-k persons by inbound
@@ -2708,6 +2714,15 @@ def _q_hits(sf_dir: str):
     )
 
 
+def _q_cocitation(sf_dir: str):
+    """Co-citation pair strength over the projekt→person graph
+    (ops/graph.py::cocitation_pairs); formula edge set makes the
+    self-join oracle exact, hub cap symmetric on both sides."""
+    from dfg_gepris_crawler_ray.ops.graph import cocitation_pairs
+
+    return cocitation_pairs(sf_dir)
+
+
 def _q_triangles(sf_dir: str):
     """Triangle census of the person co-participation projection
     (ops/graph.py::person_projection_triangles) — the formula edge set
@@ -4134,6 +4149,21 @@ def oracle_sql() -> dict[str, str]:
                ELSE 'other' END AS cls
         FROM scc s""",
     )
+    oracles["crawl_cocitation"] = """
+        WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+        e AS (
+          SELECT DISTINCT CAST(1000 + d.doc_id AS BIGINT) AS src,
+                 CAST(1000 + 3*((d.doc_id*7 + k.k) % ((nd.n_docs+1)//3)) + 1
+                      AS BIGINT) AS dst
+          FROM documents d CROSS JOIN nd
+          CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+          WHERE d.doc_id % 3 = 0),
+        ok AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 64)
+        SELECT e1.dst AS a, e2.dst AS b, count(*)::BIGINT AS n_citers
+        FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN ok ON ok.src = e1.src
+        GROUP BY 1, 2
+    """
     oracles["crawl_triangles"] = """
         WITH nd AS (SELECT count(*) AS n_docs FROM documents),
         pp AS (

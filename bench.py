@@ -572,6 +572,9 @@ def main():
     timed("rel_running_totals", lambda: relational.running_totals(SF_DIR).materialize())
     from dfg_gepris_crawler_ray.ops.graph import person_projection_triangles
     timed("crawl_triangles", lambda: person_projection_triangles(SF_DIR).materialize())
+    from dfg_gepris_crawler_ray.ops.graph import cocitation_pairs
+    timed("crawl_cocitation",
+          lambda: cocitation_pairs(SF_DIR).materialize())
     from dfg_gepris_crawler_ray.ops.multimodal import media_phash_pairs
     timed("media_phash_pairs", lambda: media_phash_pairs(SF_DIR))  # returns pa.Table
     timed("rel_window_distinct_hll",

@@ -3555,3 +3555,84 @@ def reference_random_walks(sf_dir: str, n_steps: int = 4) -> "ray.data.Dataset":
         docs.map_batches(edge_rows, batch_format="pyarrow"),
         n_steps=n_steps,
     )
+
+
+def cocitation_pairs(
+    sf_dir: str, max_out_deg: int = 64, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """(a, b, n_citers) — co-citation strength over the directed
+    projekt→person reference graph (J5/J9 edges): for every canonical
+    target pair ``a < b``, the number of sources citing BOTH. This is
+    the classic "related pages" signal (Dean & Henzinger, WWW 1999:
+    pages co-cited by many common sources are related; Small 1973 in
+    bibliometrics) — a crawler uses it to expand a seed set sideways,
+    complementing ``focused_frontier_rank``'s forward expansion.
+
+    A source with more than ``max_out_deg`` distinct targets is
+    dropped SYMMETRICALLY in op and oracle (a directory/boilerplate
+    page that cites everyone relates nothing) — the same hub rule as
+    ``mirror_host_pairs``, and the bound that caps the per-source
+    pair fan-out at C(cap, 2) rows so no scan task can melt at
+    open-web scale.
+
+    Shape: pair partials form inside the scan (vectorized triu over
+    the per-source target grid, per-batch pre-summed), then ONE
+    pair-hash keyed exchange sums counts — co-citation never builds
+    a node-keyed adjacency and ships only (pair, count) fingerprint
+    rows.
+    """
+    import pyarrow.parquet as pq
+
+    from ..kernels.hashing import stable_hash64_array
+    from ..kernels.partitioning import adaptive_buckets
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    nb = adaptive_buckets(n_docs, requested=num_buckets)
+
+    def pair_partials(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = doc_ids[doc_ids % 3 == 0].astype(np.int64)
+        m = (n_docs + 1) // 3
+        ps = 1000 + 3 * ((ids[:, None] * 7 + np.arange(1, 5)[None, :]) % m) + 1
+        ps = np.sort(ps, axis=1)
+        # hub rule, vectorized: distinct-target count per source
+        ndist = (np.diff(ps, axis=1) != 0).sum(axis=1) + 1
+        keep_src = ndist <= max_out_deg
+        ps, ids = ps[keep_src], ids[keep_src]
+        ii, jj = np.triu_indices(ps.shape[1], k=1)
+        a, b = ps[:, ii].ravel(), ps[:, jj].ravel()
+        src = np.repeat(ids, len(ii))
+        keep = a != b  # duplicate targets collapse (sorted rows)
+        df = (
+            pd.DataFrame({"s": src[keep], "a": a[keep], "b": b[keep]})
+            .drop_duplicates()  # one vote per (source, pair)
+            .groupby(["a", "b"], as_index=False).size()
+            .rename(columns={"size": "c"})
+        )
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"),
+                 "b": pd.Series(dtype="int64"),
+                 "c": pd.Series(dtype="int64"),
+                 "_pb": pd.Series(dtype="int32")}
+            )
+        h = stable_hash64_array(
+            [f"{x}\x00{y}" for x, y in zip(df["a"].tolist(),
+                                           df["b"].tolist())]
+        )
+        df["c"] = df["c"].astype("int64")
+        df["_pb"] = (h % np.uint64(nb)).astype("int32")
+        return df
+
+    return (
+        docs.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(
+            lambda g: g.groupby(["a", "b"], as_index=False)["c"].sum()
+            .rename(columns={"c": "n_citers"}),
+            batch_format="pandas",
+        )
+    )

@@ -5244,3 +5244,41 @@ def test_softdedup_weights_match_bruteforce():
     ].drop_duplicates().set_axis(got["dup_count"].drop_duplicates())
     assert (tot <= 1_000_000).all()
     assert (got["weight_ppm"] >= 1).all()
+
+
+def test_cocitation_matches_bruteforce():
+    """One-exchange co-citation counts equal a driver-side recomputation
+    over the formula edge set (distinct targets per source, all C(n,2)
+    canonical pairs, one vote per source)."""
+    from collections import Counter
+    from itertools import combinations
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.graph import cocitation_pairs
+    from dfg_gepris_crawler_ray.testdata.gen_pages import person_ref
+
+    got = (
+        cocitation_pairs(SF)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    counts: Counter = Counter()
+    for d in range(0, n_docs, 3):
+        tgts = sorted({person_ref(d, k, n_docs) for k in (1, 2, 3, 4)})
+        for a, b in combinations(tgts, 2):
+            counts[(a, b)] += 1
+    want = (
+        pd.DataFrame(
+            [(a, b, c) for (a, b), c in counts.items()],
+            columns=["a", "b", "n_citers"],
+        )
+        .astype("int64")
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["n_citers"] >= 1).all() and got["n_citers"].max() >= 2
