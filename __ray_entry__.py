@@ -1325,6 +1325,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # capture. Inventory-CTE oracle checks the op's real digests
         # end-to-end (equal payload ⇔ non-changing refresh kind)
         "crawl_warc_revisits": _q_warc_revisits,
+        # per-URL change-rate estimate (Cho & Garcia-Molina 2003 X/T
+        # frequency estimator) from the full capture history — one
+        # digest scan + one url-keyed exchange, integer-ppm rate
+        "crawl_revisit_rate": _q_revisit_rate,
         # URL-parameter hygiene census: per (host, query-param)
         # capture/url/value/stripped/digest cardinalities + a
         # content-invariance verdict (strip-safe params) — the
@@ -2644,6 +2648,18 @@ def _q_cdx_index(sf_dir: str):
     return cdx_index(ensure_pages(sf_dir))
 
 
+def _q_revisit_rate(sf_dir: str):
+    """Per-URL change-rate estimate from the capture history
+    (ops/crawlhealth.py::revisit_rate). Inventory-CTE oracle: the
+    generator's byte-equality contract (a 2-snapshot url changed iff
+    kind='langretry') gives n_changes and the 1-hour refresh span
+    exactly, so the op's real digests are value-checked."""
+    from dfg_gepris_crawler_ray.ops.crawlhealth import revisit_rate
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return revisit_rate(ensure_pages(sf_dir))
+
+
 def _q_warc_revisits(sf_dir: str):
     """Per-capture WARC revisit records (archive-level payload
     dedup): one scan digests payloads, one url-keyed exchange
@@ -3944,6 +3960,19 @@ def oracle_sql() -> dict[str, str]:
         FROM g JOIN v ON g.host = v.host AND g.param = v.param
         GROUP BY 1, 2
     """
+    oracles["crawl_revisit_rate"] = (
+        "WITH " + _inventory_ctes
+        + """ SELECT url,
+               n_snapshots::BIGINT AS n_obs,
+               (CASE WHEN n_snapshots = 2 AND changed THEN 1 ELSE 0
+                END)::BIGINT AS n_changes,
+               (CASE WHEN n_snapshots = 2 THEN 3600000000 ELSE 0
+                END)::BIGINT AS span_us,
+               (CASE WHEN n_snapshots = 2 AND changed
+                     THEN (86400000000 * 1000000) // 3600000000
+                     ELSE 0 END)::BIGINT AS rate_ppm_day
+           FROM allpages"""
+    )
     oracles["crawl_trap_templates"] = (
         "WITH " + _inventory_ctes
         + """ SELECT split_part(url, '/', 3) AS host,

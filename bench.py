@@ -648,6 +648,9 @@ def main():
     from dfg_gepris_crawler_ray.ops.crawlhealth import param_hygiene
     timed("crawl_param_hygiene",
           lambda: param_hygiene(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.crawlhealth import revisit_rate
+    timed("crawl_revisit_rate",
+          lambda: revisit_rate(pages_dir).materialize())
     from dfg_gepris_crawler_ray.ops.graph import reference_assortativity
     timed("crawl_assortativity",
           lambda: reference_assortativity(SF_DIR))

@@ -5282,3 +5282,55 @@ def test_cocitation_matches_bruteforce():
     )
     pd.testing.assert_frame_equal(got, want)
     assert (got["n_citers"] >= 1).all() and got["n_citers"].max() >= 2
+
+
+def test_revisit_rate_matches_bruteforce():
+    """X/T change-rate rows equal a driver-side recomputation from the
+    raw captures, and the integer rate formula is exact."""
+    import glob as _glob
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import revisit_rate
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    got = (
+        revisit_rate(pages_dir)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    frames = [
+        pq.read_table(f, columns=["url", "warc_ts", "html"]).to_pandas()
+        for f in sorted(_glob.glob(f"{pages_dir}/*.parquet"))
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    df["d"] = [
+        int.from_bytes(hashlib.md5(h).digest()[:8], "big", signed=True)
+        for h in df["html"]
+    ]
+    df["ts"] = df["warc_ts"].astype("int64")
+    rows = []
+    for url, g in df.sort_values(["ts", "d"]).groupby("url"):
+        ds_ = g["d"].tolist()
+        nch = sum(a != b for a, b in zip(ds_, ds_[1:]))
+        span = int(g["ts"].max() - g["ts"].min())
+        rate = nch * 86_400_000_000 * 1_000_000 // span if span > 0 else 0
+        rows.append((url, len(g), nch, span, rate))
+    want = (
+        pd.DataFrame(rows, columns=["url", "n_obs", "n_changes", "span_us",
+                                    "rate_ppm_day"])
+        .astype({c: "int64" for c in ("n_obs", "n_changes", "span_us",
+                                      "rate_ppm_day")})
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the corpus exercises all three regimes: single capture, refresh
+    # without change, refresh with change (24 changes/day in ppm)
+    assert (want["n_obs"] == 1).any()
+    assert ((want["n_obs"] == 2) & (want["n_changes"] == 0)).any()
+    assert (want["rate_ppm_day"] == 24_000_000).any()
