@@ -3940,11 +3940,15 @@ def oracle_sql() -> dict[str, str]:
                       AS rest
                 FROM x)),
         g AS (
+          -- dedup occurrences to one row per (url, param): a URL with
+          -- a repeated param name must count once in n_urls/n_captures
           SELECT host, param, stripped,
                  count(DISTINCT text) AS cd,
                  count(DISTINCT url) AS nu,
                  sum(n_caps) AS nc
-          FROM p GROUP BY 1, 2, 3),
+          FROM (SELECT DISTINCT host, param, stripped, url, text, n_caps
+                FROM p)
+          GROUP BY 1, 2, 3),
         v AS (
           SELECT host, param,
                  count(DISTINCT value) AS nv,

@@ -425,7 +425,8 @@ def param_hygiene(
 
     Per (host, param) over every capture whose URL carries ``param``:
 
-    - ``n_captures``: capture count (param occurrences × snapshots);
+    - ``n_captures``: total captures of the distinct URLs carrying
+      the param (a repeated param name in one URL counts once);
     - ``n_urls``: distinct URLs;
     - ``n_vals``: distinct parameter values;
     - ``n_stripped``: distinct URLs after removing the parameter
@@ -518,14 +519,22 @@ def param_hygiene(
         n_caps = df["n_caps"][has]
         rows: list[tuple] = []
         for b, h, kl, d, nc in zip(base, host, kvs, d64, n_caps):
+            # group occurrences by param NAME first: a URL with a
+            # repeated param (?a=1&a=2) must contribute ONE 's' row
+            # per (url, param) — n_urls/n_captures count distinct
+            # URLs, not occurrences — while every occurrence's value
+            # still feeds the distinct-value census ('v' rows)
+            by_name: dict[str, list[str]] = {}
             for kv in kl:
-                p = kv.partition("=")[0]
-                v = kv.partition("=")[2]
+                p, _, v = kv.partition("=")
+                by_name.setdefault(p, []).append(v)
+            for p, vals in by_name.items():
                 rest = "&".join(x for x in kl if x.partition("=")[0] != p)
                 stripped = b + ("?" + rest if rest else "")
                 rows.append(("s", h, p, stripped, d, nc))
-                rows.append(("v", h, p, v, d, nc))
                 rows.append(("d", h, p, str(d), d, nc))
+                for v in vals:
+                    rows.append(("v", h, p, v, d, nc))
         out = pd.DataFrame(
             rows, columns=["kind", "host", "param", "skey", "d64", "n_caps"]
         )
@@ -672,12 +681,26 @@ def revisit_rate(pages_dir: str) -> "ray.data.Dataset":
         ).reset_index()
         span = (agg["last_ts"] - agg["first_ts"]).astype("int64")
         nch = agg["n_changes"].astype("int64")
-        rate = np.where(
-            span.to_numpy() > 0,
-            nch.to_numpy() * DAY_US * 1_000_000
-            // np.maximum(span.to_numpy(), 1),
-            0,
-        )
+        # n_changes * 8.64e16 overflows int64 silently once
+        # n_changes >= 107 (long capture histories), so the vectorized
+        # product only covers rows where it provably fits; the rare
+        # overflow rows recompute with arbitrary-precision Python ints
+        # (still integer-exact, so op and oracle stay hash-identical)
+        C = DAY_US * 1_000_000
+        spn = span.to_numpy()
+        nchv = nch.to_numpy()
+        rate = np.zeros(len(spn), dtype=np.int64)
+        pos = spn > 0
+        fits = nchv <= (2**63 - 1) // C
+        m = pos & fits
+        rate[m] = nchv[m] * C // spn[m]
+        big = pos & ~fits
+        if big.any():
+            rate[big] = np.fromiter(
+                (int(n) * C // int(s)
+                 for n, s in zip(nchv[big], spn[big])),
+                dtype=np.int64, count=int(big.sum()),
+            )
         return pd.DataFrame(
             {"url": agg["url"].astype(str),
              "n_obs": agg["n_obs"].astype("int64"),

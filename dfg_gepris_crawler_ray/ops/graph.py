@@ -3444,11 +3444,18 @@ def random_walks_ds(
     )
 
     # walk state (start, node); one walk per node of the symmetrized
-    # graph (every endpoint appears as a src after symmetrization)
+    # graph (every endpoint appears as a src after symmetrization).
+    # Each src owns EXACTLY ONE idx==0 adjacency row (the rank-0
+    # neighbor assigned in adj_group), so filtering on it yields one
+    # start per node no matter how map_batches splits the bucket
+    # blocks — a per-batch drop_duplicates over src would emit
+    # duplicate walks whenever a src's adjacency rows straddled the
+    # default 1024-row batch boundary (exactly the >=1024-rows-per-
+    # bucket regime of the --graph-scale volume runs).
     state = (
         adj.map_batches(
             lambda df: pd.DataFrame(
-                {"start": df["src"].astype("int64")}).drop_duplicates()
+                {"start": df.loc[df["idx"] == 0, "src"].astype("int64")})
             .assign(node=lambda d: d["start"]),
             batch_format="pandas")
         .materialize()

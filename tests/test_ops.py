@@ -3248,6 +3248,24 @@ def test_q21_sole_late_supplier_matches_duckdb():
     assert got["numwait"].tolist() == want["numwait"].tolist()
 
 
+def test_fetch_waves_prefix_is_exchange_local():
+    """No driver-resident structure in fetch_waves grows with distinct-
+    host cardinality: the (host, changed, ts_bucket) prefix table must
+    be computed inside a host-keyed exchange and attached through the
+    rank exchange — never collected to the driver (`.to_pandas()`) or
+    broadcast (`ray.put` of the cum table). The only permitted ray.put
+    is the explicitly documented quota_by_host map."""
+    import inspect
+
+    from dfg_gepris_crawler_ray.ops import recrawl
+
+    src = inspect.getsource(recrawl.fetch_waves)
+    assert ".to_pandas()" not in src
+    puts = [ln for ln in src.splitlines()
+            if "ray.put(" in ln and not ln.lstrip().startswith("#")]
+    assert len(puts) == 1 and "quota_by_host" in puts[0]
+
+
 def test_fetch_waves_matches_brute_rank_and_spreads_hot_host():
     from dfg_gepris_crawler_ray.ops.recrawl import fetch_waves, recrawl_delta
 
@@ -3437,6 +3455,25 @@ def test_host_budget_allocation_sums_exactly_and_orders_remainders():
             worst_bonus = rem[bonus].min()
             best_skipped = rem[~bonus].max()
             assert worst_bonus >= best_skipped
+
+
+def test_host_budget_allocation_leftover_collect_is_prereduced():
+    """The leftover-candidate collect is bounded by 8 × leftover on
+    the driver regardless of block count: the per-block prune must be
+    followed by a repartition(8) + block-complete second prune before
+    `.to_pandas()` (regression: a single prune stage collected
+    leftover × num_blocks rows — block-count-bounded, not
+    budget-bounded)."""
+    import inspect
+
+    from dfg_gepris_crawler_ray.ops import recrawl
+
+    src = inspect.getsource(recrawl.host_budget_allocation)
+    collect = src.index(".to_pandas()")
+    assert ".repartition(8)" in src[:collect]
+    # the second prune runs block-complete so the 8-block bound is
+    # real (default 1024-row batching would void it for big budgets)
+    assert "batch_size=None" in src[src.index(".repartition(8)"):collect]
 
 
 def test_plan_audit_pins_documented_shuffle_shapes():
@@ -5128,8 +5165,14 @@ def test_param_hygiene_matches_bruteforce():
         rows, columns=["host", "param", "url", "value", "stripped", "d64",
                        "n_caps"]
     )
-    grp = b.groupby(["host", "param", "stripped"]).agg(
-        cd=("d64", "nunique"), nu=("url", "nunique"), nc=("n_caps", "sum")
+    # one row per (url, param) for the url/capture counts: a repeated
+    # param name within one URL must not double-count (mirrors the
+    # DISTINCT subquery in the SQL oracle)
+    grp = (
+        b.drop_duplicates(["host", "param", "stripped", "url"])
+        .groupby(["host", "param", "stripped"])
+        .agg(cd=("d64", "nunique"), nu=("url", "nunique"),
+             nc=("n_caps", "sum"))
     )
     want = (
         grp.reset_index()
@@ -5157,6 +5200,47 @@ def test_param_hygiene_matches_bruteforce():
     # language param present on every host, everything text-invariant
     assert set(want["param"]) >= {"language", "task", "index"}
     assert (want["content_invariant"] == 1).all()
+
+
+def test_param_hygiene_repeated_param_counts_url_once(tmp_path):
+    """A URL with a repeated query-param name (?a=1&a=2) counts ONCE in
+    n_urls/n_captures while both occurrence values feed n_vals
+    (regression: per-occurrence 's' rows double-counted the URL)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import param_hygiene
+
+    urls = [
+        "https://h.example.net/p/1?a=1&a=2&b=9",  # repeated param a
+        "https://h.example.net/p/1?a=3&b=9",
+        "https://h.example.net/p/2?b=9",
+    ]
+    df = pd.DataFrame(
+        {"url": urls,
+         "warc_ts": pd.to_datetime([0, 1, 2], unit="s"),
+         "text": ["same", "same", "same"]}
+    )
+    tbl = pa.Table.from_pandas(df)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("warc_ts"), "warc_ts",
+        tbl.column("warc_ts").cast(pa.timestamp("us")),
+    )
+    pq.write_table(tbl, str(tmp_path / "pages.parquet"))
+    got = (
+        param_hygiene(str(tmp_path))
+        .to_pandas()
+        .set_index("param")
+    )
+    a = got.loc["a"]
+    assert int(a["n_urls"]) == 2          # the dup-param URL once
+    assert int(a["n_captures"]) == 2
+    assert int(a["n_vals"]) == 3          # values 1, 2, 3 all counted
+    assert int(a["n_stripped"]) == 1      # both strip to ...?b=9
+    assert int(a["content_invariant"]) == 1
+    b = got.loc["b"]
+    assert int(b["n_urls"]) == 3 and int(b["n_vals"]) == 1
 
 
 def test_random_walks_match_bruteforce():
@@ -5213,6 +5297,38 @@ def test_random_walks_match_bruteforce():
     # the walks leave their start (the draw isn't degenerate)
     assert (want[want["step"] > 0]["node"]
             != want[want["step"] > 0]["start"]).any()
+
+
+def test_random_walks_hub_degree_exceeds_batch_size():
+    """One walk per node even when a hub's adjacency rows span many
+    map_batches batches (regression: a per-batch drop_duplicates over
+    adjacency src emitted duplicate walks once a src's rows straddled
+    the default 1024-row batch boundary — invisible at toy scale where
+    adaptive_buckets keeps every block under 1024 rows)."""
+    import pandas as pd
+    import ray
+
+    from dfg_gepris_crawler_ray.ops.graph import random_walks_ds
+
+    # star graph: hub 0 with 2500 spokes -> after symmetrization the
+    # hub owns 2500 contiguous adjacency rows in one bucket block,
+    # guaranteed to be split across >=3 default-size batches
+    n = 2500
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {"src": pd.Series([0] * n, dtype="int64"),
+             "dst": pd.Series(range(1, n + 1), dtype="int64")}
+        )
+    )
+    out = random_walks_ds(edges, n_steps=2).to_pandas()
+    # exactly one walk per node per step: no (start, step) duplicates
+    assert not out.duplicated(["start", "step"]).any()
+    step0 = out[out["step"] == 0]
+    assert len(step0) == n + 1
+    assert set(step0["start"]) == set(range(n + 1))
+    # hub spokes all walk hub-ward at step 1 (degree-1 nodes)
+    s1 = out[(out["step"] == 1) & (out["start"] > 0)]
+    assert (s1["node"] == 0).all()
 
 
 def test_softdedup_weights_match_bruteforce():
@@ -5334,3 +5450,45 @@ def test_revisit_rate_matches_bruteforce():
     assert (want["n_obs"] == 1).any()
     assert ((want["n_obs"] == 2) & (want["n_changes"] == 0)).any()
     assert (want["rate_ppm_day"] == 24_000_000).any()
+
+
+def test_revisit_rate_long_history_no_int64_overflow(tmp_path):
+    """A 200-capture history (n_changes=199) stays integer-exact:
+    199 * 8.64e16 overflows a naive int64 product (wraps negative at
+    n_changes >= 107), so the kernel must route long-history rows
+    through arbitrary-precision arithmetic."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import revisit_rate
+
+    n = 200
+    hour_us = 3_600_000_000
+    df = pd.DataFrame(
+        {
+            "url": ["https://example.org/hot"] * n + ["https://example.org/cold"] * 2,
+            "warc_ts": pd.to_datetime(
+                [i * hour_us for i in range(n)] + [0, hour_us], unit="us"
+            ),
+            # every capture differs from the previous -> 199 changes
+            "html": [f"<p>v{i}</p>".encode() for i in range(n)]
+            + [b"<p>same</p>", b"<p>same</p>"],
+        }
+    )
+    tbl = pa.Table.from_pandas(df)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("warc_ts"), "warc_ts",
+        tbl.column("warc_ts").cast(pa.timestamp("us")),
+    )
+    pq.write_table(tbl, str(tmp_path / "pages.parquet"))
+    got = revisit_rate(str(tmp_path)).to_pandas().set_index("url")
+
+    hot = got.loc["https://example.org/hot"]
+    span = (n - 1) * hour_us
+    want_rate = (n - 1) * 86_400_000_000 * 1_000_000 // span
+    assert int(hot["n_changes"]) == n - 1
+    assert int(hot["rate_ppm_day"]) == want_rate  # = 24e6 exactly
+    assert int(hot["rate_ppm_day"]) > 0  # not a wrapped negative
+    cold = got.loc["https://example.org/cold"]
+    assert int(cold["n_changes"]) == 0 and int(cold["rate_ppm_day"]) == 0
