@@ -314,16 +314,21 @@ def fetch_waves(
     1. ``recrawl_delta`` gives one (url, changed, latest_ts_us) row per
        URL (HTML never leaves that scan);
     2. ts range (2 scalars) → a monotone ts→bucket map; a per-(host,
-       changed, ts_bucket) histogram reduces to ≤ hosts × 2 ×
-       ``ts_buckets`` rows on the driver — bounded by the bucket
-       geometry, independent of URL count — and prefix-sums IN THE
-       ORDER KEY'S ORDER into an exclusive cum-below table, broadcast
-       via ``ray.put``;
-    3. ONE exchange keyed on hash(host, changed, ts_bucket): each
+       changed, ts_bucket) histogram pre-reduces to ≤ 8 × cells rows
+       (cells ≤ hosts × 2 × ``ts_buckets``, bucket-geometry-bounded,
+       independent of URL count), then a HOST-keyed exchange computes
+       each host's exclusive cum-below prefix IN THE ORDER KEY'S
+       ORDER inside its group task — the cell table never lands on
+       the driver and is never broadcast (at 10^7–10^8 hosts it would
+       be a multi-GB driver structure);
+    3. ONE exchange keyed on hash(host, changed, ts_bucket) carrying
+       the URL rows UNION the prefix rows (a cell's cum row shares
+       its cell hash, so it co-locates with the cell's URLs): each
        group sorts its slice by (ts, url) — the within-bucket residual
-       of the order key — so rank = cum_below + position, and the wave
-       follows row-locally.  The hot host spreads across
-       2 × ``ts_buckets`` groups instead of one."""
+       of the order key — attaches cum group-locally, so rank =
+       cum_below + position, and the wave follows row-locally.  The
+       hot host spreads across 2 × ``ts_buckets`` groups instead of
+       one; no driver-resident structure grows with host count."""
     from ray.data.aggregate import Max, Min
 
     delta = recrawl_delta(sf_dir, replicate)
@@ -364,51 +369,93 @@ def fetch_waves(
 
     # fanin-bounded pre-reduce instead of a Ray sort-aggregate (the
     # string-keyed Aggregate measured 62.6 s to produce 22k rows at
-    # 1.9M URLs; this shape: 2.4 s). Driver reads ≤ 8 × cells rows.
-    hist = (
+    # 1.9M URLs; this shape: 2.4 s), then the per-host EXCLUSIVE
+    # prefix is computed inside a host-keyed exchange — cells ≈ hosts
+    # × 2 × ts_buckets NEVER touch the driver (a driver cumsum +
+    # ray.put broadcast would be a multi-GB table at 10^7–10^8 hosts,
+    # exactly the funnel class the repo's driver-funnel discipline
+    # forbids). A host's ≤ 2 × ts_buckets cells sort-and-cumsum in
+    # one group task; the cell volume is bucket-geometry-bounded, so
+    # this exchange carries ~1/quota-th of the URL exchange's rows.
+    def _cell_g(host: pd.Series, changed: pd.Series,
+                tsb_col: pd.Series) -> np.ndarray:
+        # vectorized deterministic cell hash (C-speed, fixed hash key —
+        # identical cells co-locate across batches and processes)
+        key = host + "\x00" + changed.astype(int).astype(str) \
+            + "\x00" + tsb_col.astype(str)
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        return (h % np.uint64(num_groups)).astype(np.int32)
+
+    def host_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["host", "changed", "tsb"], as_index=False)[
+            "cnt"
+        ].sum()
+        # exclusive cumsum per host in the ORDER KEY's order:
+        # changed DESC, ts_bucket ASC
+        g = g.sort_values(
+            ["host", "changed", "tsb"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        cum = g.groupby("host", sort=False)["cnt"].cumsum() - g["cnt"]
+        out = pd.DataFrame(
+            {"url": "", "host": g["host"].astype(str),
+             "changed": g["changed"].astype(bool),
+             "ts_us": np.int64(-1), "tsb": g["tsb"].astype("int64"),
+             "cum": cum.astype("int64").to_numpy(), "_k": "c"}
+        )
+        out["_g"] = _cell_g(out["host"], out["changed"], out["tsb"])
+        return out
+
+    def _hb(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df["host"] + "\x01", index=False
+        ).to_numpy()
+        return df.assign(_hb=(h % np.uint64(16)).astype(np.int32))
+
+    cum_rows = (
         per_url.map_batches(hist_partial, batch_format="pandas")
         .repartition(8)
         .map_batches(merge_cells, batch_format="pandas")
-        .to_pandas()
+        .map_batches(_hb, batch_format="pandas")
+        .repartition(16)
+        .groupby("_hb")
+        .map_groups(host_prefix, batch_format="pandas")
     )
-    hist = hist.groupby(["host", "changed", "tsb"], as_index=False)["cnt"].sum()
-    # exclusive cumsum per host in the ORDER KEY's order:
-    # changed DESC, ts_bucket ASC
-    hist = hist.sort_values(
-        ["host", "changed", "tsb"], ascending=[True, False, True],
-        kind="mergesort",
-    )
-    cum = hist.groupby("host", sort=False)["cnt"].cumsum() - hist["cnt"]
-    cum_tbl = pd.DataFrame(
-        {"host": hist["host"].to_numpy(), "changed": hist["changed"].astype(bool),
-         "tsb": hist["tsb"].astype("int64"), "cum": cum.astype("int64").to_numpy()}
-    )
-    cum_ref = ray.put(cum_tbl)
 
     def tag_group(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.assign(tsb=tsb(df["ts_us"].to_numpy()))
-        # vectorized deterministic cell hash (C-speed, fixed hash key —
-        # identical cells co-locate across batches and processes)
-        key = d["host"] + "\x00" + d["changed"].astype(int).astype(str) \
-            + "\x00" + d["tsb"].astype(str)
-        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
-        d["_g"] = (h % np.uint64(num_groups)).astype(np.int32)
-        return d
+        d = df.assign(tsb=tsb(df["ts_us"].to_numpy()),
+                      cum=np.int64(-1), _k="u")
+        d["_g"] = _cell_g(d["host"], d["changed"], d["tsb"])
+        return d[["url", "host", "changed", "ts_us", "tsb", "cum",
+                  "_k", "_g"]]
 
     quota_ref = ray.put(quota_by_host) if quota_by_host is not None else None
 
     def rank_waves(g: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(cum_ref)
+        # a cell's cum row and ALL its URL rows share the cell hash,
+        # so they land in the same group: the prefix attach is a
+        # group-local merge, no driver table and no broadcast
+        lookup = g.loc[g["_k"] == "c",
+                       ["host", "changed", "tsb", "cum"]]
+        g = g[g["_k"] == "u"]
+        if not len(g):
+            return pd.DataFrame(
+                {"url": pd.Series(dtype=str),
+                 "host": pd.Series(dtype=str),
+                 "wave": pd.Series(dtype="int64")}
+            )
         # residual order inside one (host, changed, tsb) cell: ts, url
         g = g.sort_values(
             ["host", "changed", "tsb", "ts_us", "url"],
             ascending=[True, False, True, True, True], kind="mergesort",
         )
         pos = g.groupby(["host", "changed", "tsb"], sort=False).cumcount()
-        # vectorized cum-below attach (merge preserves g's sorted order)
-        base = g.merge(lookup, on=["host", "changed", "tsb"], how="left")[
-            "cum"
-        ].to_numpy(dtype=np.int64)
+        # vectorized cum-below attach (merge preserves g's sorted
+        # order); every nonempty cell has exactly one cum row by
+        # construction (the histogram is built from the same per_url)
+        base = g.drop(columns=["cum"]).merge(
+            lookup, on=["host", "changed", "tsb"], how="left"
+        )["cum"].to_numpy(dtype=np.int64)
         rank = base + pos.to_numpy()
         if quota_ref is not None:
             # budget-aware waves: each host's wave size is ITS quota
@@ -428,6 +475,7 @@ def fetch_waves(
 
     return (
         per_url.map_batches(tag_group, batch_format="pandas")
+        .union(cum_rows)
         .groupby("_g")
         .map_groups(rank_waves, batch_format="pandas")
     )
@@ -456,9 +504,10 @@ def host_budget_allocation(
     - the leftover ``budget − Σ floors`` is < #hosts by construction
       (each host contributes < 1 of remainder); selecting WHICH hosts
       get +1 is a global top-``leftover`` by (remainder desc, host
-      asc) — per-block prune to ``leftover`` rows first, so the
-      driver assembles from ≤ blocks × leftover rows, bounded by the
-      budget, never by host cardinality."""
+      asc) — per-block prune to ``leftover`` rows, re-block to 8,
+      prune again, so the driver assembles from ≤ 8 × leftover rows,
+      bounded by the budget alone — independent of both host
+      cardinality AND block count."""
     from ..ops.boilerplate import host_distinct_urls
 
     weights = host_distinct_urls(pages_dir).materialize()
@@ -487,7 +536,17 @@ def host_budget_allocation(
 
     bonus_hosts: set = set()
     if leftover > 0:
-        cand = fl_ds.map_batches(prune, batch_format="pandas").to_pandas()
+        # two-stage prune (the weighted_sample pattern): per-block
+        # top-leftover, re-block to 8, prune again — the driver reads
+        # ≤ 8 × leftover rows regardless of block count (a single
+        # prune stage would collect leftover × num_blocks rows)
+        cand = (
+            fl_ds.map_batches(prune, batch_format="pandas")
+            .repartition(8)
+            .map_batches(prune, batch_format="pandas",
+                         batch_size=None)  # block-complete: ≤ 8 batches
+            .to_pandas()
+        )
         cand = cand.sort_values(
             ["rem", "host"], ascending=[False, True], kind="mergesort"
         ).head(leftover)
