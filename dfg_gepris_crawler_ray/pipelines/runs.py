@@ -216,9 +216,9 @@ def run_search(store: CrawlStore, pages_dir: str, context: str) -> dict:
     results = ds.map_batches(extract_search_batch, batch_format="pyarrow").to_pandas()
 
     # ST1 duplicate-id detection across pages (warn-only in the reference)
-    duplicate_ids = [
+    duplicate_ids = sorted(
         int(i) for i, n in results["id"].value_counts().items() if n > 1
-    ]
+    )
     # pagination sanity (ST2): every page reported the same total
     totals = set(int(t) for t in results["page_total"].unique() if t >= 0)
 
@@ -665,7 +665,13 @@ def run_search_ds(store: CrawlStore, pages_dir: str, context: str) -> dict:
     n_items = results.count()
 
     # ST1 duplicate-id detection: per-batch partial counts → bucketed
-    # sum → only the duplicates (tiny by construction) reach the driver
+    # sum → the driver reads a per-bucket COUNT plus a capped id
+    # sample (≤ 64 buckets × DUP_SAMPLE_CAP rows), never the full
+    # duplicate list — on a pathological corpus where most ids
+    # duplicate, that list is state-cardinality and must not land on
+    # the driver / in the manifest
+    DUP_SAMPLE_CAP = 64
+
     def id_counts(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("id", as_index=False).size().rename(columns={"size": "n"})
         g["_b"] = (g["id"] % 64).astype("int32")
@@ -673,15 +679,22 @@ def run_search_ds(store: CrawlStore, pages_dir: str, context: str) -> dict:
 
     def dup_only(group: pd.DataFrame) -> pd.DataFrame:
         g = group.groupby("id", as_index=False)["n"].sum()
-        return g[g["n"] > 1][["id"]]
+        d = g.loc[g["n"] > 1, "id"].sort_values()
+        out = pd.DataFrame({"id": d.head(DUP_SAMPLE_CAP).astype("int64")})
+        out["_b"] = int(group["_b"].iloc[0]) if len(group) else -1
+        out["total"] = len(d)
+        return out.astype({"_b": "int32", "total": "int64"})
 
-    duplicate_ids = sorted(
-        int(r["id"])
-        for r in results.map_batches(id_counts, batch_format="pandas")
+    dup_rows = (
+        results.map_batches(id_counts, batch_format="pandas")
         .groupby("_b")
         .map_groups(dup_only, batch_format="pandas")
         .take_all()
     )
+    duplicate_count = sum(
+        {int(r["_b"]): int(r["total"]) for r in dup_rows}.values()
+    )
+    duplicate_ids = sorted(int(r["id"]) for r in dup_rows)[:DUP_SAMPLE_CAP]
 
     # ST2 pagination sanity: distinct reported totals (tiny set)
     totals: set[int] = set()
@@ -706,9 +719,11 @@ def run_search_ds(store: CrawlStore, pages_dir: str, context: str) -> dict:
         context=context,
         pages_dir=pages_dir,
         items=n_items,
-        duplicate_ids=duplicate_ids,
+        duplicate_ids=duplicate_ids,  # first-64 ascending SAMPLE
+        duplicate_count=duplicate_count,
         reported_totals=sorted(totals),
         state_backend="dataset",
     )
     return dict(run_id=run_id, items=results, duplicate_ids=duplicate_ids,
+                duplicate_count=duplicate_count,
                 totals=sorted(totals), manifest=manifest)

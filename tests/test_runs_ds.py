@@ -125,3 +125,41 @@ def test_mixed_mode_store_interop(tmp_path):
     # and back: a ds run on the pandas-era tables
     r2 = run_details_ds(store, pages, "projekt", ids_spec="db:all:0")
     assert r2["n_success"] == r["n_success"]
+
+
+def test_run_search_ds_all_duplicates_caps_diagnostic(tmp_path):
+    """On a corpus where EVERY listed id duplicates, the ds run's
+    duplicate diagnostic stays bounded: the manifest/return carry the
+    exact duplicate_count plus a first-64 ascending id SAMPLE — never
+    the full state-cardinality list (the old path take_all()'d every
+    duplicate id onto the driver and into the manifest)."""
+    import glob
+    import shutil
+
+    from dfg_gepris_crawler_ray.pipelines.runs import run_search_ds
+
+    pages = ensure_pages(SF)
+    dup_dir = tmp_path / "dup_pages"
+    dup_dir.mkdir()
+    for f in glob.glob(f"{pages}/*.parquet"):
+        base = f.split("/")[-1]
+        shutil.copy(f, dup_dir / base)
+        if base.startswith("search_pages"):
+            # second copy of every listing page: every id now appears
+            # twice across pages -> an all-duplicates pathology
+            shutil.copy(f, dup_dir / f"search_pages-dup-{base.split('-')[-1]}")
+
+    store = CrawlStore(str(tmp_path / "s"))
+    r = run_search_ds(store, str(dup_dir), "projekt")
+
+    # full duplicate census from the pandas reference run on the same
+    # corpus (driver-resident by design — the small-mode backend)
+    ra = run_search(CrawlStore(str(tmp_path / "a")), str(dup_dir), "projekt")
+    full = ra["duplicate_ids"]
+    assert len(full) > 64  # the pathology is big enough to exercise the cap
+
+    assert r["duplicate_count"] == len(full)
+    assert r["duplicate_ids"] == sorted(full)[:64]
+    assert len(r["duplicate_ids"]) == 64
+    assert r["manifest"]["duplicate_count"] == len(full)
+    assert r["manifest"]["duplicate_ids"] == sorted(full)[:64]
