@@ -152,6 +152,34 @@ class CrawlStore:
         orphan the live table."""
         import shutil
 
+        from . import state as _S
+
+        dtypes = _S.TABLE_DTYPES.get(name)
+        if dtypes is not None:
+            import pyarrow as _pa
+
+            _PA = {"int64": _pa.int64(), "float64": _pa.float64(),
+                   "string": _pa.string(), "bool": _pa.bool_()}
+
+            def canon(df, _dt=dtypes, _types=_PA):
+                # pin every block to the table's canonical Arrow types
+                # so no parquet file carries a null-typed column: an
+                # all-None block otherwise infers as Arrow `null`
+                # (Ray's pandas→Arrow write path re-infers even typed
+                # all-NaN pandas columns) and later reads then mix
+                # null with double/string blocks — the source of the
+                # pandas-3 empty/all-NA concat FutureWarning on
+                # `.to_pandas()` over the live table
+                cols = {}
+                for c in df.columns:
+                    t = _dt.get(c)
+                    cols[c] = _pa.Array.from_pandas(
+                        df[c], type=_types[t] if t else None
+                    )
+                return _pa.table(cols)
+
+            ds = ds.map_batches(canon, batch_format="pandas")
+
         ptr = self._read_pointer(name)
         seq = (ptr["seq"] + 1) if ptr else 1
         base = f"{name}_ds.v{seq}"

@@ -53,6 +53,34 @@ RUNS_COLUMNS = [
 
 HISTORY_COLUMNS = ["id", "context", "created_at", "item", "status"]
 
+# Canonical storage dtypes for the ds-resident tables: every saved
+# block must carry these so no parquet file is ever written with an
+# Arrow `null`-typed column (an all-None object column infers as null,
+# and a later read then mixes null with double/string blocks — the
+# exact source of the pandas-3 empty/all-NA concat FutureWarning on
+# `.to_pandas()`). Nullable numerics are float64 (NaN-capable),
+# strings use the pandas string dtype (round-trips as Arrow string
+# even when a whole block is None).
+STATE_DTYPES = {
+    "id": "int64",
+    "context": "string",
+    "last_available_seen": "float64",
+    "last_available_change": "float64",
+    "last_available_item": "string",
+    "last_detail_check": "float64",
+    "detail_check_needed": "bool",
+}
+
+HISTORY_DTYPES = {
+    "id": "int64",
+    "context": "string",
+    "created_at": "int64",
+    "item": "string",
+    "status": "string",
+}
+
+TABLE_DTYPES = {"state": STATE_DTYPES, "history": HISTORY_DTYPES}
+
 
 def empty_state() -> pd.DataFrame:
     return pd.DataFrame(columns=STATE_COLUMNS).astype(
@@ -68,6 +96,45 @@ def empty_history() -> pd.DataFrame:
     return pd.DataFrame(columns=HISTORY_COLUMNS)
 
 
+def _concat_rows(base: pd.DataFrame, add: pd.DataFrame) -> pd.DataFrame:
+    """Row-append without the pandas-3 empty/all-NA concat warning:
+    empty frames are excluded outright, and an all-NA column on either
+    side is pre-cast to the other side's dtype — replicating the
+    'exclude empty/all-NA entries from dtype determination' behavior
+    that pandas 3 removes, so the upsert tables keep their declared
+    dtypes on every code path."""
+    add = add.reindex(columns=base.columns)
+    if not len(add):
+        return base
+    if not len(base):
+        for c, dt in base.dtypes.items():
+            if add[c].isna().all() and add[c].dtype != dt:
+                try:
+                    add[c] = add[c].astype(dt)
+                except (TypeError, ValueError):
+                    pass
+        return add
+    casts_a, casts_b = {}, {}
+    for c in base.columns:
+        if add[c].dtype == base[c].dtype:
+            continue
+        if add[c].isna().all() and not base[c].isna().all():
+            casts_a[c] = base[c].dtype
+        elif base[c].isna().all() and not add[c].isna().all():
+            casts_b[c] = add[c].dtype
+    for c, dt in casts_a.items():
+        try:
+            add = add.assign(**{c: add[c].astype(dt)})
+        except (TypeError, ValueError):
+            pass
+    for c, dt in casts_b.items():
+        try:
+            base = base.assign(**{c: base[c].astype(dt)})
+        except (TypeError, ValueError):
+            pass
+    return pd.concat([base, add], ignore_index=True)
+
+
 def store_run(runs: pd.DataFrame, spider: str, context: str, started_at) -> tuple[pd.DataFrame, int]:
     """Monotonic run-id allocation (database.py:214-221)."""
     run_id = int(runs["id"].max()) + 1 if len(runs) else 1
@@ -79,7 +146,7 @@ def store_run(runs: pd.DataFrame, spider: str, context: str, started_at) -> tupl
         run_ended_at=None,
         total_scraped_items=None,
     )
-    return pd.concat([runs, pd.DataFrame([row])], ignore_index=True), run_id
+    return _concat_rows(runs, pd.DataFrame([row])), run_id
 
 
 def update_run_result(runs: pd.DataFrame, run_id: int, ended_at, total_items: int) -> pd.DataFrame:
@@ -140,7 +207,7 @@ def _ensure_keys(state: pd.DataFrame, keys: list[tuple[int, str]]) -> pd.DataFra
         if (i, c) not in existing
     ]
     if new_rows:
-        state = pd.concat([state, pd.DataFrame(new_rows)], ignore_index=True)
+        state = _concat_rows(state, pd.DataFrame(new_rows))
     return state
 
 
@@ -245,7 +312,7 @@ def insert_detail_items(
         to_add.append({c: row.get(c) for c in HISTORY_COLUMNS})
         latest_map[key] = (row["status"], row["item"])
     if to_add:
-        history = pd.concat([history, pd.DataFrame(to_add)], ignore_index=True)
+        history = _concat_rows(history, pd.DataFrame(to_add))
     return history
 
 
@@ -342,7 +409,7 @@ def expand_person_frontier(state: pd.DataFrame, history: pd.DataFrame, run_id: i
             for i in new_ids
         ]
     )
-    return pd.concat([state, new_rows], ignore_index=True)
+    return _concat_rows(state, new_rows)
 
 
 # --- J7/J8: moved propagation ----------------------------------------------
