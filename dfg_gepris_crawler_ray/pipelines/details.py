@@ -48,6 +48,7 @@ def run_details_extraction(
     politeness=None,
     mode: str = "clustered",
     redo_cap: int = 100_000,
+    stats_out: dict | None = None,
 ) -> "ray.data.Dataset":
     """Extract items for all (or the frontier-selected) entities.
 
@@ -77,6 +78,12 @@ def run_details_extraction(
     ``mode="shuffle"`` wholesale. Driver memory is therefore bounded
     by ``redo_cap`` keys on ANY layout, never corpus cardinality.
 
+    ``stats_out``: optional dict populated with run observability —
+    ``n_conflicts`` (the distributed conflict-census count, clustered
+    mode only) and ``path`` (``"shuffle"``, ``"clustered"``,
+    ``"clustered+redo"`` or ``"fallback_shuffle"``) — the hook the
+    redo_cap boundary test pins the broadcast/wholesale decision with.
+
     Returns a Dataset of item rows (stages.extract_stage.RESULT_SCHEMA).
     """
     if frontier_keys is not None:
@@ -88,6 +95,8 @@ def run_details_extraction(
         keys_ref = ray.put(set(frontier_keys))
         ds = semi_join_frontier(ds, keys_ref)
     if mode == "shuffle":
+        if stats_out is not None:
+            stats_out["path"] = "shuffle"
         return ds.groupby("bucket").map_groups(
             lambda b: extract_bucket(b, strict=strict, politeness=politeness),
             batch_format="pyarrow",
@@ -151,6 +160,12 @@ def run_details_extraction(
         .materialize()  # stays in the object store; driver sees a count
     )
     n_conflicts = conflicts.count()
+    if stats_out is not None:
+        stats_out["n_conflicts"] = int(n_conflicts)
+        stats_out["path"] = (
+            "fallback_shuffle" if n_conflicts > redo_cap
+            else ("clustered+redo" if n_conflicts else "clustered")
+        )
     if n_conflicts > redo_cap:
         # Adversarial layout: more split entities than the broadcast
         # redo path may hold on the driver. The clustered fast path has

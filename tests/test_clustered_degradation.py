@@ -102,3 +102,42 @@ def test_clustered_redo_cap_not_triggered_on_clustered_corpus(ray_session):
     ).to_pandas()
     key = lambda df: sorted(zip(df["id"], df["context"], df["status"], df["item"].fillna("")))
     assert key(capped) == key(base)
+
+
+def test_clustered_redo_cap_boundary(shuffled_pages, ray_session):
+    """The redo_cap decision boundary, pinned exactly: with the
+    adversarially permuted corpus producing C conflicting keys,
+    ``redo_cap=C`` takes the bounded-broadcast redo path and
+    ``redo_cap=C-1`` degrades wholesale to the shuffle exchange —
+    and BOTH sides produce byte-identical results."""
+    from dfg_gepris_crawler_ray.pipelines.details import run_details_extraction
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    probe: dict = {}
+    run_details_extraction(
+        shuffled_pages, num_buckets=8, mode="clustered", stats_out=probe
+    ).materialize()
+    c = probe["n_conflicts"]
+    assert c > 1  # the permutation must actually split entities
+    assert probe["path"] == "clustered+redo"
+
+    truth = _items(ensure_pages(SF), "shuffle", ray_session)
+    key = lambda df: sorted(
+        zip(df["id"], df["context"], df["status"], df["item"].fillna(""))
+    )
+
+    stats_at, stats_below = {}, {}
+    at_cap = run_details_extraction(
+        shuffled_pages, num_buckets=8, mode="clustered",
+        redo_cap=c, stats_out=stats_at,
+    ).to_pandas()
+    below_cap = run_details_extraction(
+        shuffled_pages, num_buckets=8, mode="clustered",
+        redo_cap=c - 1, stats_out=stats_below,
+    ).to_pandas()
+
+    assert stats_at["n_conflicts"] == stats_below["n_conflicts"] == c
+    assert stats_at["path"] == "clustered+redo"       # n_conflicts <= cap
+    assert stats_below["path"] == "fallback_shuffle"  # n_conflicts > cap
+    assert key(at_cap) == key(truth)
+    assert key(below_cap) == key(truth)
