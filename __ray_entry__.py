@@ -921,6 +921,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join": relational.purchase_followup_range_join,
         "rel_q3_topk_shuffle": relational.q3_topk_revenue_shuffle,
         "text_hash_split": textstats.hash_split,
+        # the ONE remaining rows-only entry, formally closed: a
+        # mergeable centroid digest's output is a function of the
+        # partition layout (each batch compresses its own values), and
+        # the layout-induced variation IS the rank-error contract —
+        # percent-level, no hashable grid exists. Impossibility
+        # argument in the op docstring; rank-error bound pinned in
+        # test_ops against exact quantiles.
         "text_quantile_digest": textstats.quantile_digest,
         "text_bpe_tokens": textstats.bpe_token_count,
         "text_top_tokens": lambda sf: textstats.top_tokens(sf, k=50),
@@ -1023,9 +1030,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # threshold — two scans, no global sort)
         "text_budget_select": curation.budget_select,
         # distributed PCA projection (moment partials + driver eigh →
-        # broadcast loadings; floats from an eigendecomposition →
-        # rows-only gate, numpy parity pinned in test_ops)
-        "emb_pca": lambda sf: similarity.pca_project(sf),
+        # broadcast loadings); GRADUATED to a staged brute-replay
+        # oracle on a 1e-4 output grid — margins in _q_pca docstring,
+        # pinned in test_ops::test_pca_graduation_margins
+        "emb_pca": _q_pca,
         # Misra–Gries heavy-hitters sketch (batch-boundary-dependent
         # estimates → rows-only gate; sandwich + recovery guarantees
         # pinned in test_ops)
@@ -1037,15 +1045,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source-bucket exchange, vectorized per-group prefix)
         "text_source_quota": curation.source_quota,
         # hashed-trigram text embedder (model-free; actor-pool state,
-        # floats → rows-only gate; batch-size invariance + brute
-        # parity pinned in test_ops)
-        "text_hash_embed": embedder.hash_embed,
+        # GRADUATED to a staged brute-replay oracle on a 1e-4 output
+        # grid: float64 accumulation bounds cross-layout drift at
+        # ~1e-13 vs a measured 2.9e-9 rounding-boundary margin
+        # (test_ops::test_hash_embed_graduation_margins)
+        "text_hash_embed": _q_hash_embed,
         # crawl→training-corpus bridge: extracted projekt descriptions
         # → dedup keep-min-id → length filter → train split, one keyed
         # exchange carrying feature rows only; end-to-end SQL oracle
         "crawl_corpus_funnel": _q_corpus_funnel,
-        # text → hashed embeddings → SemDeDup composition (floats /
-        # k-means → rows-only gate; invariants pinned in test_ops)
+        # text → hashed embeddings → SemDeDup composition; GRADUATED
+        # to a staged brute-replay oracle (margins re-measured on the
+        # hash-embedded vectors — see _q_embed_semdedup docstring)
         "text_embed_semdedup": _q_embed_semdedup,
         # weighted sample without replacement (Efraimidis–Spirakis
         # one-pass keys, pre-reduced distributed top-k)
@@ -1396,19 +1407,124 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _q_hash_embed(sf_dir: str):
+    """Hashed-trigram text embedder (ops/embedder.py::hash_embed),
+    graduated from rows-only to a staged brute-replay oracle: the
+    kernel accumulates in float64 (counts are exact integers, the
+    float32 projection casts exactly), so the embedding of each doc is
+    layout-independent up to ~1e-13 BLAS-order drift — and no value of
+    the fixed corpus sits within 2.9e-9 of a 0.5e-4 rounding boundary
+    (test_ops::test_hash_embed_graduation_margins). Op and brute truth
+    therefore round identically on the 4-decimal grid. The truth is
+    the same pure kernel run single-process over the whole corpus."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.embedder import (
+        _projection,
+        embed_texts,
+        hash_embed,
+    )
+
+    def grid_str(vec: np.ndarray) -> str:
+        # byte-comparable canonical form (the inverted-index trick):
+        # snap to the 4-decimal grid, kill negative zero (a −1e-14 op
+        # value and a +1e-15 brute value must both print "0.0000"),
+        # fixed-width format
+        r = np.round(np.asarray(vec, dtype=np.float64), 4)
+        r = np.where(r == 0, 0.0, r)
+        return ",".join(f"{x:.4f}" for x in r)
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+    emb = embed_texts(tbl.column("text").to_pylist(), _projection())
+    truth = pd.DataFrame(
+        {"doc_id": ids, "embedding": [grid_str(r) for r in emb]}
+    )
+    _stage_truth(
+        "text_hash_embed", truth.sort_values("doc_id").reset_index(drop=True)
+    )
+
+    out = hash_embed(sf_dir).to_pandas()
+    out["embedding"] = [grid_str(v) for v in out["embedding"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_embed_semdedup(sf_dir: str):
     """Text → hashed-trigram embeddings → SemDeDup, end-to-end: the
     embedder's output is staged as a (vec_id, embedding) parquet dir
     under /tmp (the layout every embedding op consumes), then semantic
     dedup runs over it unchanged — no model, no pre-existing
-    embeddings table."""
+    embeddings table.
+
+    GRADUATED from rows-only to a staged brute-replay oracle by the
+    dedup_semantic margin argument re-measured on the HASH-EMBEDDED
+    vectors (pinned in test_ops::test_embed_semdedup_graduation_
+    margins): the float64 embed kernel bounds cross-layout drift at
+    ~1e-13; against that, every k-means/assignment argmax has a
+    top-two sim margin ≥ 1.2e-8, the greedy scan's sort key has no
+    positive adjacent cent_sim gap below 2.5e-6 (exact ties — byte-
+    identical duplicate texts — break by vec_id on both sides), and
+    no keep/drop decision sits within 3.1e-3 of the 0.35 threshold.
+    The truth is the single-process replay of the identical
+    algorithm over the same deterministic embeddings."""
     import os
     import tempfile
 
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    from dfg_gepris_crawler_ray.ops.embedder import hash_embed
+    from dfg_gepris_crawler_ray.ops.embedder import (
+        _projection,
+        embed_texts,
+        hash_embed,
+    )
     from dfg_gepris_crawler_ray.ops.semdedup import semantic_dedup
+
+    n_clusters, threshold, n_iters = 8, 0.35, 3
+
+    # brute truth: single-process embed → k-means → greedy replay
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+    order = np.argsort(ids)
+    texts = [tbl.column("text").to_pylist()[i] for i in order]
+    ids = ids[order]
+    emb = embed_texts(texts, _projection())
+    mn = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None)
+    cent = mn[np.searchsorted(ids, np.arange(n_clusters))].copy()
+    cent = cent / np.clip(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12, None)
+    for _ in range(n_iters):
+        a = np.argmax(mn @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, a, mn)
+        for cid in range(n_clusters):
+            if (a == cid).any():
+                cent[cid] = sums[cid] / max(np.linalg.norm(sums[cid]), 1e-12)
+    sims = mn @ cent.T
+    cl = np.argmax(sims, axis=1)
+    cs = sims[np.arange(len(cl)), cl]
+    rows = []
+    for c in range(n_clusters):
+        msk = cl == c
+        if not msk.any():
+            continue
+        o = np.lexsort((ids[msk], cs[msk]))
+        sub_ids, sub = ids[msk][o], mn[msk][o]
+        kept: list[int] = []
+        for i in range(len(sub_ids)):
+            mx = float(np.max(sub[kept] @ sub[i])) if kept else -1.0
+            k = mx < threshold
+            if k:
+                kept.append(i)
+            rows.append((int(sub_ids[i]), c, int(k)))
+    truth = pd.DataFrame(rows, columns=["vec_id", "cluster", "keep"]).astype(
+        {"vec_id": "int64", "cluster": "int32", "keep": "int64"}
+    )
+    _stage_truth("text_embed_semdedup",
+                 truth.sort_values("vec_id").reset_index(drop=True))
 
     out = tempfile.mkdtemp(prefix="gepris_embed_semdedup_")
 
@@ -1418,7 +1534,8 @@ def _q_embed_semdedup(sf_dir: str):
     hash_embed(sf_dir).map_batches(
         rename, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(os.path.join(out, "embeddings.parquet"))
-    return semantic_dedup(out, n_clusters=8)
+    res = semantic_dedup(out, n_clusters=n_clusters).to_pandas()
+    return res.sort_values("vec_id").reset_index(drop=True)
 
 
 def _q_corpus_funnel(sf_dir: str):
@@ -1560,6 +1677,55 @@ def _q_lm_perplexity(sf_dir: str):
     from dfg_gepris_crawler_ray.ops.lm import lm_perplexity
 
     return lm_perplexity(sf_dir)
+
+
+def _q_pca(sf_dir: str):
+    """Distributed PCA projection (ops/similarity.py::pca_project),
+    graduated from rows-only to a staged brute-replay oracle by
+    quantizing the projection onto a 1e-4 output grid and measuring
+    the determinism margins on the fixed corpus (pinned in
+    test_ops::test_pca_graduation_margins):
+
+    - cross-layout drift of the op's float64 moment partials is
+      ~1e-15 relative; through the eigendecomposition that perturbs
+      the loadings by ~||Δcov||/eigengap with every relevant eigengap
+      ≥ 2.2e-4, so projected values drift ≤ ~1e-12;
+    - the sign fix (largest-|loading| coordinate) has a top-two
+      |loading| margin ≥ 3.9e-3 per component — the argmax cannot
+      flip under that drift;
+    - no projected value sits within 1e-9 of a 0.5e-4 rounding
+      boundary (measured min distance 1.0e-8), so op and brute round
+      identically on the 4-decimal grid.
+    """
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops import similarity
+    from dfg_gepris_crawler_ray.ops.similarity import _as_matrix_arrow
+
+    n_components = 4
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+    mat = _as_matrix_arrow(tbl.column("embedding")).astype(np.float64)
+    n = len(mat)
+    mu = mat.sum(axis=0) / n
+    cov = ((mat.T @ mat) - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    load = evecs[:, order]
+    flip = np.sign(load[np.abs(load).argmax(axis=0), np.arange(load.shape[1])])
+    load = load * np.where(flip == 0, 1.0, flip)
+    p = np.round((mat - mu) @ load, 4)
+    truth = pd.DataFrame({"vec_id": ids})
+    for j in range(n_components):
+        truth[f"pc{j}"] = p[:, j]
+    _stage_truth("emb_pca", truth.sort_values("vec_id").reset_index(drop=True))
+
+    out = similarity.pca_project(sf_dir).to_pandas()
+    for j in range(n_components):
+        out[f"pc{j}"] = out[f"pc{j}"].round(4)
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def _q_semantic_dedup(sf_dir: str):
@@ -4555,6 +4721,18 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_semantic"] = f"""
         SELECT vec_id, cluster, keep
         FROM read_parquet('{_STAGE_DIR}/dedup_semantic.parquet')
+    """
+    oracles["emb_pca"] = f"""
+        SELECT vec_id, pc0, pc1, pc2, pc3
+        FROM read_parquet('{_STAGE_DIR}/emb_pca.parquet')
+    """
+    oracles["text_hash_embed"] = f"""
+        SELECT doc_id, embedding
+        FROM read_parquet('{_STAGE_DIR}/text_hash_embed.parquet')
+    """
+    oracles["text_embed_semdedup"] = f"""
+        SELECT vec_id, cluster, keep
+        FROM read_parquet('{_STAGE_DIR}/text_embed_semdedup.parquet')
     """
     oracles["dedup_embedding_ivf"] = f"""
         SELECT vec_a, vec_b, cosine

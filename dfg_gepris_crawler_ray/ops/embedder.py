@@ -11,10 +11,11 @@ numpy array; the char-trigram rolling hash is three shifted slices
 combined arithmetically (no per-row Python, no per-gram loop); counts
 scatter into the (docs × buckets) matrix with ``np.add.at`` using
 per-doc segment offsets; the embedding is one (docs × buckets) @
-(buckets × dim) matmul, L2-normalized.  Doc-boundary-crossing windows
-are masked out, so the output is the per-doc trigram count
-projection — independent of batch size and parallelism up to float32
-matmul accumulation order (~1e-7; pinned in test_ops).
+(buckets × dim) float64 matmul, L2-normalized.  Doc-boundary-crossing
+windows are masked out, so the output is the per-doc trigram count
+projection — independent of batch size and parallelism up to float64
+matmul accumulation order (~1e-13; pinned in test_ops, and the basis
+of the text_hash_embed gate graduation on a 1e-4 output grid).
 """
 
 from __future__ import annotations
@@ -67,12 +68,17 @@ def trigram_counts(
 
 
 def embed_texts(texts: list[str], proj: np.ndarray) -> np.ndarray:
-    """(n, dim) float32 embeddings for a list of texts — pure kernel
-    shared by the Ray stage and the test oracle."""
+    """(n, dim) float64 embeddings for a list of texts — pure kernel
+    shared by the Ray stage and the test/gate oracles. Accumulates in
+    float64 (counts are exact integers, the float32 projection casts
+    exactly), so cross-batch-layout drift is ~1e-13 absolute — the
+    margin the text_hash_embed gate graduation rests on (vs the
+    2.9e-9 minimum distance of any value from a 0.5e-4 rounding
+    boundary, measured in test_hash_embed_graduation_margins)."""
     if len(texts) == 0:
-        return np.empty((0, proj.shape[1]), dtype=np.float32)
-    counts = trigram_counts(texts, proj.shape[0], dtype=np.float32)
-    emb = counts @ proj
+        return np.empty((0, proj.shape[1]), dtype=np.float64)
+    counts = trigram_counts(texts, proj.shape[0], dtype=np.float64)
+    emb = counts @ proj.astype(np.float64)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     return emb / np.clip(norms, 1e-12, None)
 

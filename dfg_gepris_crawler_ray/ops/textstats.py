@@ -383,7 +383,25 @@ def quantile_digest(
     the exchange to O(k) per group per batch; the driver merge is a
     centroid compression, not a data collect. Rank error ≈ 1/k per
     merge level (error-bound pinned in tests against the exact
-    quantiles)."""
+    quantiles).
+
+    WHY THIS STAYS A ROWS-ONLY GATE (the formal closure the other
+    float chains graduated past): a centroid digest's output is a
+    function of the PARTITION LAYOUT, not just the value multiset —
+    each batch's ``_compress_centroids`` groups whichever values
+    share its batch, so two different block/batch layouts produce
+    different (means, weights) partials and therefore different (all
+    within the rank-error bound) interpolated quantiles. Unlike the
+    emb_pca / hash_embed / embed_semdedup graduations, there is no
+    determinism margin to measure: the layout-induced variation IS
+    the estimator's approximation error (≈ value-scale × 1/k, i.e.
+    percent-level), orders of magnitude larger than any hashing grid
+    the gate could round to. Making the output layout-invariant
+    would require either a fixed partitioning (defeating the
+    streaming/mergeable point of the sketch) or an exact algorithm —
+    which exists separately as ``value_quantiles`` and carries the
+    full SQL oracle. The CONTRACT of this op is the rank-error bound,
+    and that is what tests/test_ops pins against exact quantiles."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     qs = list(qs)
 

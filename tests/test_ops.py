@@ -1573,6 +1573,42 @@ def test_budget_select_matches_sql_window():
             assert got["n_tokens"].sum() <= budget
 
 
+def test_pca_graduation_margins():
+    """The emb_pca gate graduation argument, measured on the fixed
+    corpus: (a) every relevant eigengap of the covariance is >= 1e-5,
+    so the ~1e-15 cross-layout drift of the float64 moment partials
+    perturbs the loadings by <= ~1e-10; (b) the sign-fix argmax has a
+    top-two |loading| margin >= 1e-3 per component (no flip possible);
+    (c) no projected value sits within 1e-9 of a 0.5e-4 rounding
+    boundary, so op and staged brute truth round identically on the
+    4-decimal grid the gate hashes."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.similarity import _as_matrix_arrow
+
+    for sf in (SF, "/root/testdata/sf0.01"):
+        tbl = pq.read_table(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        mat = _as_matrix_arrow(tbl.column("embedding")).astype(np.float64)
+        n = len(mat)
+        mu = mat.sum(axis=0) / n
+        cov = ((mat.T @ mat) - n * np.outer(mu, mu)) / (n - 1)
+        evals, evecs = np.linalg.eigh(cov)
+        desc = np.sort(evals)[::-1]
+        # gaps between all consecutive pairs touching the kept top-4
+        assert np.min(desc[:4] - desc[1:5]) >= 1e-5
+        order = np.argsort(evals)[::-1][:4]
+        load = evecs[:, order]
+        for j in range(4):
+            a = np.sort(np.abs(load[:, j]))[::-1]
+            assert a[0] - a[1] >= 1e-3  # sign-fix argmax margin
+        flip = np.sign(load[np.abs(load).argmax(axis=0), np.arange(4)])
+        p = (mat - mu) @ (load * np.where(flip == 0, 1.0, flip))
+        frac = np.abs((p.ravel() * 1e4) - np.floor(p.ravel() * 1e4) - 0.5)
+        assert frac.min() * 1e-4 >= 1e-9  # grid-boundary margin
+
+
 def test_pca_matches_numpy():
     """Two-scan distributed PCA equals single-process numpy PCA (same
     covariance, eigh, deterministic sign fix)."""
@@ -1727,13 +1763,97 @@ def test_hash_embed_deterministic_and_matches_brute():
     mat = np.asarray([np.asarray(v) for v in got["embedding"]])
     np.testing.assert_allclose(mat, want, atol=1e-5)
 
-    # batch-size invariance of the shared kernel (up to float32 BLAS
-    # accumulation-order jitter, ~1e-7)
+    # batch-size invariance of the shared kernel (float64
+    # accumulation: BLAS-order jitter ~1e-13, the bound the gate
+    # graduation's 2.9e-9 grid margin rests on)
     a = embed_texts(texts, proj)
     b = np.vstack([embed_texts(texts[:7], proj), embed_texts(texts[7:], proj)])
-    np.testing.assert_allclose(a, b, atol=1e-6)
+    np.testing.assert_allclose(a, b, atol=1e-12)
     # unit norm (non-degenerate docs)
     np.testing.assert_allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
+
+
+def test_hash_embed_graduation_margins():
+    """The text_hash_embed gate graduation argument, measured on the
+    fixed corpus at both gate scales: no embedding value sits within
+    1e-10 of a 0.5e-4 rounding boundary (measured minimum 2.9e-9),
+    while the float64 kernel's cross-layout drift is ~1e-13 — so the
+    distributed op and the staged single-process brute truth snap to
+    identical 4-decimal grid points."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.embedder import _projection, embed_texts
+
+    proj = _projection()
+    for sf in (SF, "/root/testdata/sf0.01"):
+        tbl = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+        emb = embed_texts(tbl.column("text").to_pylist(), proj)
+        v = emb.ravel()
+        frac = np.abs((v * 1e4) - np.floor(v * 1e4) - 0.5)
+        assert frac.min() * 1e-4 >= 1e-10
+
+
+def test_embed_semdedup_graduation_margins():
+    """The text_embed_semdedup gate graduation argument, measured on
+    the hash-embedded vectors at both gate scales: every k-means /
+    assignment argmax has a top-two sim margin >= 1e-9, the greedy
+    scan's sort key has no positive adjacent cent_sim gap below 1e-7,
+    and no keep/drop decision sits within 1e-4 of the 0.35 threshold —
+    all orders of magnitude above the ~1e-13 float64 embed-kernel
+    drift, so the distributed pipeline and the staged brute replay
+    make identical discrete decisions."""
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.embedder import _projection, embed_texts
+
+    n_clusters, threshold, n_iters = 8, 0.35, 3
+    proj = _projection()
+    for sf in (SF, "/root/testdata/sf0.01"):
+        tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+        order = np.argsort(ids)
+        texts = [tbl.column("text").to_pylist()[i] for i in order]
+        ids = ids[order]
+        emb = embed_texts(texts, proj)
+        mn = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None)
+        cent = mn[np.searchsorted(ids, np.arange(n_clusters))].copy()
+        cent /= np.clip(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12, None)
+        argmax_margin = np.inf
+        for _ in range(n_iters):
+            sims = mn @ cent.T
+            top2 = np.sort(sims, axis=1)[:, -2:]
+            argmax_margin = min(argmax_margin, float(np.min(top2[:, 1] - top2[:, 0])))
+            a = np.argmax(sims, axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, a, mn)
+            for cid in range(n_clusters):
+                if (a == cid).any():
+                    cent[cid] = sums[cid] / max(np.linalg.norm(sums[cid]), 1e-12)
+        sims = mn @ cent.T
+        top2 = np.sort(sims, axis=1)[:, -2:]
+        argmax_margin = min(argmax_margin, float(np.min(top2[:, 1] - top2[:, 0])))
+        cl = np.argmax(sims, axis=1)
+        cs = sims[np.arange(len(cl)), cl]
+        sort_gap, thr_margin = np.inf, np.inf
+        for c in range(n_clusters):
+            msk = cl == c
+            if not msk.any():
+                continue
+            o = np.lexsort((ids[msk], cs[msk]))
+            d = np.diff(cs[msk][o])
+            pos = d[d > 0]
+            if len(pos):
+                sort_gap = min(sort_gap, float(pos.min()))
+            sub = mn[msk][o]
+            kept: list[int] = []
+            for i in range(len(sub)):
+                mx = float(np.max(sub[kept] @ sub[i])) if kept else -1.0
+                thr_margin = min(thr_margin, abs(mx - threshold))
+                if mx < threshold:
+                    kept.append(i)
+        assert argmax_margin >= 1e-9
+        assert sort_gap >= 1e-7
+        assert thr_margin >= 1e-4
 
 
 def test_corpus_funnel_over_extracted_items():
@@ -1783,7 +1903,7 @@ def test_embed_semdedup_composition():
     sys.path.insert(0, "/root/repo")
     from __ray_entry__ import _q_embed_semdedup
 
-    got = _q_embed_semdedup(SF).to_pandas()
+    got = _q_embed_semdedup(SF)  # returns a sorted pandas frame
     assert len(got) == 500
     assert set(got["keep"].unique()) <= {0, 1}
     per_cluster = got.groupby("cluster")["keep"].sum()
