@@ -1581,9 +1581,13 @@ def hyperball_ds(
     discipline with registers instead of floats:
 
     - exchange 1 (by src bucket): each node's current registers meet
-      its out-edges; per-bucket pre-merge collapses the shipped rows
-      to one per (bucket, distinct dst) — O(min(E, nb·V)) exchange
-      volume, the same combiner the PageRank contributions use;
+      its out-edges; ONLY srcs whose registers changed in the last
+      round contribute (delta shipping — register-wise max makes the
+      skip exact: an unchanged src's registers were already absorbed
+      by every dst in the previous round), and a per-bucket pre-merge
+      collapses the shipped rows to one per (bucket, distinct dst) —
+      O(min(E_changed, nb·V)) exchange volume, decaying as balls
+      saturate; the same combiner the PageRank contributions use;
     - exchange 2 (by node bucket): vectorized ``maximum.reduceat``
       max-merges each node's incoming registers with its own;
     - no driver value at all until the final estimates scan
@@ -1599,7 +1603,7 @@ def hyperball_ds(
     """
     from ..kernels.hashing import splitmix64
     from ..kernels.partitioning import adaptive_buckets, cut_lineage
-    from .textstats import _hll_estimate, _hll_registers
+    from .textstats import _hll_estimate_rows, _hll_register_rows
 
     m = 1 << p
 
@@ -1611,26 +1615,38 @@ def hyperball_ds(
     ).materialize()
     nb = adaptive_buckets(edges.count(), requested=num_buckets)
 
-    def init_state(df: pd.DataFrame) -> pd.DataFrame:
+    def _bytes_rows(regmat: np.ndarray) -> list:
+        """Per-row bytes views of one contiguous buffer (no per-row
+        tobytes allocations through numpy)."""
+        blob = regmat.tobytes()
+        return [blob[i * m:(i + 1) * m] for i in range(regmat.shape[0])]
+
+    # init: ship NODE KEYS only (8 bytes/row), build registers ONCE
+    # per deduped node inside the group task, fully vectorized — the
+    # old per-singleton ``_hll_registers`` Python loop ran once per
+    # (batch, node) occurrence and dominated the whole op (~140 s of
+    # a 170 s run at 2M edges)
+    def init_keys(df: pd.DataFrame) -> pd.DataFrame:
         nodes = pd.unique(pd.concat([df["src"], df["dst"]], ignore_index=True))
-        h = splitmix64(nodes.astype(np.uint64))
         return pd.DataFrame(
             {"node": pd.Series(nodes, dtype="int64"),
-             "regs": [
-                 _hll_registers(np.array([hh], dtype=np.uint64), p).tobytes()
-                 for hh in h
-             ],
              "_nb": pd.Series(nodes % nb, dtype="int32")}
         )
 
-    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates("node")[["node", "regs"]]
+    def init_group(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(g["node"].to_numpy())
+        regmat = _hll_register_rows(splitmix64(nodes.astype(np.uint64)), p)
+        return pd.DataFrame(
+            {"node": pd.Series(nodes, dtype="int64"),
+             "regs": _bytes_rows(regmat),
+             "chg": np.uint8(1)}
+        )
 
     state = (
-        edges.map_batches(init_state, batch_format="pandas")
+        edges.map_batches(init_keys, batch_format="pandas")
         .repartition(nb)
         .groupby("_nb")
-        .map_groups(dedup_nodes, batch_format="pandas")
+        .map_groups(init_group, batch_format="pandas")
         .materialize()
     )
 
@@ -1639,13 +1655,14 @@ def hyperball_ds(
             dst=np.int64(-1),
             _b=(df["node"] % nb).astype("int32"),
             _k="s",
-        )[["node", "regs", "dst", "_b", "_k"]]
+        )[["node", "regs", "chg", "dst", "_b", "_k"]]
 
     def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         return pd.DataFrame(
             {"node": df["src"].astype("int64").to_numpy(),  # keyed by src
              "regs": [b""] * n,
+             "chg": np.uint8(0),
              "dst": df["dst"].astype("int64").to_numpy()}
         ).assign(_b=lambda d: (d["node"] % nb).astype("int32"), _k="e")
 
@@ -1660,14 +1677,19 @@ def hyperball_ds(
     def ship(g: pd.DataFrame) -> pd.DataFrame:
         s = g[g["_k"] == "s"]
         e = g[g["_k"] == "e"]
-        rows_node: list[int] = []
-        regs_rows: list[bytes] = []
         # self rows carry each node's own registers forward
-        rows_node.extend(s["node"].tolist())
-        regs_rows.extend(s["regs"].tolist())
-        if len(e) and len(s):
+        outs = [pd.DataFrame({"node": s["node"].astype("int64"),
+                              "regs": s["regs"], "self": np.uint8(1)})]
+        # DELTA SHIPPING: only srcs whose registers CHANGED in the
+        # last absorb contribute — an unchanged src's registers were
+        # already max-merged into every dst in the previous round, so
+        # re-shipping them is a no-op (register-wise max makes this
+        # exact, not approximate). The contribution volume decays as
+        # balls saturate.
+        sc = s[s["chg"].to_numpy() != 0]
+        if len(e) and len(sc):
             j = e[["node", "dst"]].merge(
-                s[["node", "regs"]], on="node", how="inner"
+                sc[["node", "regs"]], on="node", how="inner"
             )
             if len(j):
                 # pre-merge per distinct dst inside the bucket (the
@@ -1678,28 +1700,39 @@ def hyperball_ds(
                 uniq, merged = _merge_by_key(
                     j["dst"].to_numpy(), regmat
                 )
-                rows_node.extend(uniq.tolist())
-                regs_rows.extend(r.tobytes() for r in merged)
-        out = pd.DataFrame({"node": pd.Series(rows_node, dtype="int64"),
-                            "regs": regs_rows})
+                outs.append(pd.DataFrame(
+                    {"node": pd.Series(uniq, dtype="int64"),
+                     "regs": _bytes_rows(merged), "self": np.uint8(0)}
+                ))
+        out = pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
         return out.assign(_ab=(out["node"] % nb).astype("int32"))
 
     def absorb(g: pd.DataFrame) -> pd.DataFrame:
         regmat = np.frombuffer(
             b"".join(g["regs"].tolist()), dtype=np.uint8
         ).reshape(len(g), m)
-        uniq, merged = _merge_by_key(g["node"].to_numpy(), regmat)
+        keys = g["node"].to_numpy()
+        uniq, merged = _merge_by_key(keys, regmat)
+        # chg: did the node's registers grow vs its own (exactly one)
+        # self row? Aligned by sorting self rows by node — uniq is the
+        # sorted distinct key set, and every node has one self row.
+        is_self = g["self"].to_numpy() != 0
+        so = np.argsort(keys[is_self], kind="mergesort")
+        selfmat = regmat[is_self][so]
+        chg = (merged != selfmat).any(axis=1)
         return pd.DataFrame(
             {"node": pd.Series(uniq, dtype="int64"),
-             "regs": [r.tobytes() for r in merged]}
+             "regs": _bytes_rows(merged),
+             "chg": chg.astype(np.uint8)}
         )
 
+    def _regmat_of(df: pd.DataFrame) -> np.ndarray:
+        return np.frombuffer(
+            b"".join(df["regs"].tolist()), dtype=np.uint8
+        ).reshape(len(df), m)
+
     def est_rows(df: pd.DataFrame, as_acc: bool) -> pd.DataFrame:
-        ests = np.asarray(
-            [_hll_estimate(np.frombuffer(b, dtype=np.uint8))
-             for b in df["regs"]],
-            dtype=np.int64,
-        )
+        ests = _hll_estimate_rows(_regmat_of(df))
         node = df["node"].astype("int64").to_numpy()
         out = pd.DataFrame(
             {"node": node,
@@ -1715,10 +1748,7 @@ def hyperball_ds(
         return int(
             st.map_batches(
                 lambda df: pd.DataFrame(
-                    {"s": [int(sum(
-                        _hll_estimate(np.frombuffer(b, dtype=np.uint8))
-                        for b in df["regs"]
-                    ))]}
+                    {"s": [int(_hll_estimate_rows(_regmat_of(df)).sum())]}
                 ),
                 batch_format="pandas",
             ).sum("s")
@@ -1789,13 +1819,10 @@ def hyperball_ds(
         )
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
-        ests = [
-            _hll_estimate(np.frombuffer(b, dtype=np.uint8))
-            for b in df["regs"]
-        ]
         return pd.DataFrame(
             {"node": df["node"].astype("int64"),
-             "ball_est": pd.Series(ests, dtype="int64")}
+             "ball_est": pd.Series(_hll_estimate_rows(_regmat_of(df)),
+                                   dtype="int64")}
         )
 
     return state.map_batches(estimate, batch_format="pandas")

@@ -125,6 +125,55 @@ def _hll_registers(tokens_hashes: np.ndarray, p: int = 12) -> np.ndarray:
     return regs
 
 
+def _hll_register_rows(hashes: np.ndarray, p: int = 12) -> np.ndarray:
+    """(n, 2^p) uint8 — ONE single-element HLL register set per input
+    hash (row i == ``_hll_registers(hashes[i:i+1], p)``, bitwise; the
+    per-row form HyperBall's node-state init needs). Vectorized: the
+    rank loop runs once over the whole hash vector instead of once
+    per node — at 10^6 nodes this is the difference between ~2 s and
+    ~140 s of per-singleton Python calls."""
+    m = 1 << p
+    n = len(hashes)
+    out = np.zeros((n, m), dtype=np.uint8)
+    if not n:
+        return out
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)
+    ranks = np.zeros(n, dtype=np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    val = rest.copy()
+    rank = np.ones(n, dtype=np.uint8)
+    remaining = np.ones(n, dtype=bool)
+    for _ in range(64 - p + 1):
+        top = (val & mask) != 0
+        done = remaining & top
+        ranks[done] = rank[done]
+        remaining &= ~top
+        val = val << np.uint64(1)
+        rank += 1
+    ranks[remaining] = 64 - p + 1
+    out[np.arange(n), idx] = ranks
+    return out
+
+
+def _hll_estimate_rows(regmat: np.ndarray) -> np.ndarray:
+    """int64 estimates for a (n, m) register matrix — row i equals
+    ``_hll_estimate(regmat[i])`` bitwise (same exp2/sum/log kernels,
+    same banker's rounding; pinned in test_ops). The vectorized form
+    the HyperBall estimate/readout scans use instead of a per-row
+    Python loop."""
+    n, m = regmat.shape
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regmat.astype(np.float64)), axis=1)
+    zeros = (regmat == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    if small.any():
+        with np.errstate(divide="ignore"):
+            lc = m * np.log(m / np.where(zeros > 0, zeros, 1))
+        est = np.where(small, lc, est)
+    return np.rint(est).astype(np.int64)
+
+
 def _hll_estimate(regs: np.ndarray) -> int:
     """Standard HLL estimator with small-range correction."""
     m = len(regs)

@@ -254,6 +254,43 @@ def test_kmeans_partials_prereduce_bounded():
         assert np.allclose(s, np.full(d, float(expect)))
 
 
+def test_hll_vectorized_kernels_bitwise_match_scalar():
+    """The row-matrix HLL kernels HyperBall uses are bitwise equal to
+    the scalar forms the other HLL ops (and the SQL-staged oracles)
+    are pinned against: _hll_register_rows[i] == _hll_registers of the
+    single hash, and _hll_estimate_rows[i] == _hll_estimate of the row
+    — across random registers covering both the raw-estimate and
+    linear-counting branches."""
+    from dfg_gepris_crawler_ray.ops.textstats import (
+        _hll_estimate,
+        _hll_estimate_rows,
+        _hll_register_rows,
+        _hll_registers,
+    )
+
+    rng = np.random.default_rng(11)
+    hashes = rng.integers(0, 2**64, size=500, dtype=np.uint64)
+    # include adversarial hashes: zero remainder (max rank), high runs
+    hashes[:3] = [0, 1, np.uint64(0xFFFFFFFFFFFFFFFF)]
+    for p in (8, 12):
+        rows = _hll_register_rows(hashes, p)
+        for i in (0, 1, 2, 100, 499):
+            want = _hll_registers(hashes[i:i + 1], p)
+            assert np.array_equal(rows[i], want)
+    # estimates: sparse rows (linear-counting branch), dense rows
+    m = 256
+    regmat = np.zeros((300, m), dtype=np.uint8)
+    dense = rng.integers(0, 30, size=(150, m)).astype(np.uint8)
+    regmat[:150] = dense
+    sparse = np.zeros((150, m), dtype=np.uint8)
+    idx = rng.integers(0, m, size=150)
+    sparse[np.arange(150), idx] = rng.integers(1, 50, size=150).astype(np.uint8)
+    regmat[150:] = sparse
+    got = _hll_estimate_rows(regmat)
+    for i in range(0, 300, 7):
+        assert int(got[i]) == _hll_estimate(regmat[i])
+
+
 def test_hll_approx_distinct_within_error():
     import duckdb
 
