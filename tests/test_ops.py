@@ -2683,6 +2683,74 @@ def test_phash_invariances_and_banding_recovery():
     assert set(planted) <= recovered
 
 
+def test_pil_decoder_route_without_pillow():
+    """The optional 'pil' decoder is accepted by the media stages and
+    degrades to a clean NotImplementedError when Pillow is absent —
+    the same contract as the 'real' stub (this container has no image
+    libraries, so this is the branch that actually runs here)."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from dfg_gepris_crawler_ray.ops.multimodal import (
+        MediaFeatureExtractor,
+        PHashExtractor,
+        decode_media_pil,
+    )
+
+    # constructor accepts the route either way
+    MediaFeatureExtractor(decoder="pil")
+    PHashExtractor(decoder="pil")
+    if importlib.util.find_spec("PIL") is None:
+        with _pytest.raises(NotImplementedError):
+            decode_media_pil(b"\x89PNG", "png")
+
+
+def test_pil_phash_invariance_on_real_jpeg():
+    """With Pillow installed, the SAME pHash kernel runs on a real
+    JPEG through decoder='pil': hash is invariant under brightness
+    scaling and mild resize (the invariances the fake-decoder test
+    pins). Auto-skips when Pillow is absent."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from dfg_gepris_crawler_ray.ops.multimodal import (
+        PHashExtractor,
+        decode_media_pil,
+        hamming64,
+        phash64,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(40, 200, size=(96, 128)).astype(np.uint8)
+    # smooth it so JPEG compression doesn't dominate
+    base = (base[:-1, :-1] // 2 + base[1:, 1:] // 2).astype(np.uint8)
+
+    def jpeg_bytes(arr, scale=1.0, size=None):
+        im = PIL_Image.fromarray(
+            np.clip(arr.astype(np.float64) * scale, 0, 255).astype(np.uint8),
+            mode="L",
+        )
+        if size is not None:
+            im = im.resize(size)
+        buf = io.BytesIO()
+        im.save(buf, format="JPEG", quality=95)
+        return buf.getvalue()
+
+    h0 = phash64(decode_media_pil(jpeg_bytes(base), "jpeg"))
+    h_bright = phash64(decode_media_pil(jpeg_bytes(base, scale=1.2), "jpeg"))
+    h_small = phash64(decode_media_pil(jpeg_bytes(base, size=(64, 48)), "jpeg"))
+    d = hamming64(
+        np.array([h0, h0], dtype=np.uint64),
+        np.array([h_bright, h_small], dtype=np.uint64),
+    )
+    assert d[0] <= 6 and d[1] <= 6
+    # and the actor-stage route produces the same hash as the kernel
+    ex = PHashExtractor(decoder="pil")
+    img = ex._image(jpeg_bytes(base), "jpeg")
+    assert phash64(img) == h0
+
+
 def test_media_phash_pairs_plumbing():
     """End-to-end pair recovery through the actor-pool hash stage and
     the banding exchange: planted duplicate payloads come back as
