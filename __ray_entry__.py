@@ -1326,6 +1326,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (host, digit-collapsed URL template) via salted exact-distinct
         # cells; inventory-CTE oracle with the same regexp in SQL
         "crawl_trap_templates": _q_trap_templates,
+        # pre-flight robots-compliance census: per host, how much of
+        # the URL inventory / capture volume a path-prefix Disallow
+        # set cuts + integer-exact crawlable share (the fleet-planning
+        # twin of PolitenessShard.allowed); one url-hash exchange +
+        # one host-keyed exchange of additive count partials
+        "crawl_robots_audit": _q_robots_audit,
         # CDX index: the sorted, binary-searchable capture index a
         # replay/dedup service reads — SURT keys, ONE global sort,
         # positions from block partials (driver reads block counts)
@@ -2853,6 +2859,18 @@ def _q_param_hygiene(sf_dir: str):
     from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
 
     return param_hygiene(ensure_pages(sf_dir))
+
+
+def _q_robots_audit(sf_dir: str):
+    """Robots pre-flight census (ops/crawlhealth.py::robots_audit):
+    per host, URL/capture counts, the path-prefix-Disallowed subset
+    under the deterministic md5-derived policy (robots_policy_bits),
+    and the integer-exact crawlable share. Inventory-CTE oracle
+    rebuilds the same policy with DuckDB's md5()/starts_with."""
+    from dfg_gepris_crawler_ray.ops.crawlhealth import robots_audit
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return robots_audit(ensure_pages(sf_dir))
 
 
 def _q_trap_templates(sf_dir: str):
@@ -4725,6 +4743,66 @@ def oracle_sql() -> dict[str, str]:
     oracles["emb_pca"] = f"""
         SELECT vec_id, pc0, pc1, pc2, pc3
         FROM read_parquet('{_STAGE_DIR}/emb_pca.parquet')
+    """
+    oracles["crawl_robots_audit"] = """
+        WITH d AS (
+          SELECT doc_id,
+            CASE doc_id % 3 WHEN 0 THEN 'projekt' WHEN 1 THEN 'person'
+                 ELSE 'institution' END AS ctx,
+            CASE WHEN doc_id % 10 < 7 THEN 'gepris.example.org'
+                 ELSE 'host' || CAST(doc_id % 16 AS VARCHAR)
+                      || '.example.net' END AS host,
+            CAST(1000 + doc_id AS VARCHAR) AS eid,
+            CASE WHEN doc_id % 101 = 5 THEN 'moved'
+                 WHEN doc_id % 103 = 7 THEN 'error'
+                 WHEN doc_id % 97 = 3 THEN 'langretry' ELSE 'ok' END AS kind
+          FROM documents),
+        u AS (
+          SELECT 'https://' || host || '/gepris/' || ctx || '/' || eid
+                   || '?language=de' AS url,
+                 CASE WHEN kind IN ('error','langretry') THEN 2 ELSE 1
+                 END AS n_caps
+          FROM d
+          UNION ALL
+          SELECT 'https://' || host || '/gepris/projekt/' || eid
+                   || '?language=en', 1
+          FROM d WHERE ctx = 'projekt'
+          UNION ALL
+          SELECT 'https://' || host || '/gepris/projekt/' || eid
+                   || '/ergebnisse?language=' || l.lang, 1
+          FROM d, (SELECT unnest(['de','en']) AS lang) l
+          WHERE ctx = 'projekt' AND doc_id % 5 = 0
+          UNION ALL
+          SELECT 'https://gepris.example.org/gepris/OCTOPUS?context=' || ctx
+                   || '&task=doSearchExtended&hitsPerPage=200&index='
+                   || CAST(unnest(generate_series(0, total - 1, 200))
+                           AS VARCHAR),
+                 1
+          FROM (SELECT ctx, CAST(count(*) AS BIGINT) AS total
+                FROM d GROUP BY ctx)
+          UNION ALL
+          SELECT 'https://gepris.example.org/gepris/OCTOPUS?task=showMonitor',
+                 1),
+        r AS (
+          SELECT url, n_caps,
+                 split_part(url, '/', 3) AS host,
+                 substr(url, 9 + length(split_part(url, '/', 3))) AS path
+          FROM u),
+        p AS (
+          SELECT host, n_caps,
+                 ((strpos('01234567', substr(md5(host), 1, 1)) > 0
+                   AND starts_with(path, '/gepris/projekt'))
+                  OR (strpos('01234567', substr(md5(host), 2, 1)) > 0
+                   AND starts_with(path, '/gepris/OCTOPUS'))) AS dis
+          FROM r)
+        SELECT host,
+               count(*)::BIGINT AS n_urls,
+               sum(n_caps)::BIGINT AS n_captures,
+               sum(dis::INT)::BIGINT AS n_disallowed_urls,
+               sum(dis::INT * n_caps)::BIGINT AS n_disallowed_captures,
+               ((count(*) - sum(dis::INT)) * 1000000
+                // count(*))::BIGINT AS crawlable_share_ppm
+        FROM p GROUP BY host
     """
     oracles["text_hash_embed"] = f"""
         SELECT doc_id, embedding

@@ -716,3 +716,123 @@ def revisit_rate(pages_dir: str) -> "ray.data.Dataset":
         .groupby("bucket")
         .map_groups(rate, batch_format="pandas")
     )
+
+
+ROBOTS_RULES = ("/gepris/projekt", "/gepris/OCTOPUS")
+
+
+def robots_policy_bits(host: str) -> tuple[bool, bool]:
+    """Deterministic synthetic robots policy for a host — the fixture
+    the audit op and its SQL oracle share: rule r of ``ROBOTS_RULES``
+    is Disallowed iff hex digit r of md5(host) is < '8' (digit 0 for
+    the projekt prefix, digit 1 for the OCTOPUS prefix). Mirrors the
+    shape of real robots.txt data (path-prefix Disallow lines, the
+    rule form urllib.robotparser reduces to for '*' agents)."""
+    import hashlib
+
+    hx = hashlib.md5(host.encode()).hexdigest()
+    return (int(hx[0], 16) < 8, int(hx[1], 16) < 8)
+
+
+def robots_audit(pages_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
+    """(host, n_urls, n_captures, n_disallowed_urls,
+    n_disallowed_captures, crawlable_share_ppm) — the PRE-FLIGHT
+    robots-compliance census a crawl cycle runs before spending
+    budget: for each host, how much of the known URL inventory (and
+    of the historical capture volume) a path-prefix Disallow set
+    would cut, and the integer-exact crawlable share
+    (``allowed_urls × 10^6 // n_urls``). The run-time twin of
+    ``PolitenessShard.allowed`` (reference ROBOTSTXT_OBEY=True,
+    settings.py:66) — that gate asks per fetch, this op asks the
+    fleet-planning question distributed over the whole inventory.
+
+    The robots ruleset here is the deterministic synthetic policy of
+    :func:`robots_policy_bits` (per-host path-prefix Disallows derived
+    from md5(host)), so op and SQL oracle are value-comparable; a
+    production run swaps in a fetched per-host rule table broadcast
+    the same way the politeness robots cache is.
+
+    Shape: identical to ``warc_revisits`` — ONE url-hash exchange
+    collapses captures to one row per URL (the scan ships only the
+    url string), then per-batch per-host partial sums (additive:
+    each URL lives in exactly one url bucket) meet in ONE host-keyed
+    exchange of tiny count rows. A 10^9-URL host is fine: its
+    partials are pre-summed per batch, the final group task adds a
+    handful of rows."""
+    import hashlib
+
+    from ..sources.pages import read_pages
+
+    ds = read_pages(pages_dir, columns=["url"])
+    nbk = num_buckets
+
+    def url_rows(batch: pa.Table) -> pd.DataFrame:
+        urls = batch.column("url").to_pylist()
+        bucket = np.fromiter(
+            (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big",
+                            signed=True) % nbk
+             for u in urls),
+            dtype=np.int64, count=len(urls),
+        )
+        return pd.DataFrame({"url": pd.Series(urls, dtype=str),
+                             "bucket": bucket})
+
+    def per_url(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("url", sort=False).size()
+        urls = c.index.to_numpy()
+        hosts = np.array([u.split("/")[2] for u in urls])
+        # path incl. query — what robotparser prefix rules match on
+        dis = np.zeros(len(urls), dtype=bool)
+        pol: dict[str, tuple[bool, bool]] = {}
+        for i, (u, h) in enumerate(zip(urls, hosts)):
+            bits = pol.get(h)
+            if bits is None:
+                bits = pol[h] = robots_policy_bits(h)
+            path = u[8 + len(h):]  # after "https://" + host
+            dis[i] = (bits[0] and path.startswith(ROBOTS_RULES[0])) or \
+                     (bits[1] and path.startswith(ROBOTS_RULES[1]))
+        return pd.DataFrame(
+            {"host": hosts, "n_caps": c.to_numpy().astype("int64"),
+             "dis": dis}
+        )
+
+    def host_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(
+            du=df["dis"].astype("int64"),
+            dc=(df["dis"].astype("int64") * df["n_caps"]),
+        )
+        g = d.groupby("host", as_index=False).agg(
+            n_urls=("dis", "size"), n_captures=("n_caps", "sum"),
+            n_disallowed_urls=("du", "sum"),
+            n_disallowed_captures=("dc", "sum"),
+        )
+        g["hb"] = np.fromiter(
+            (int.from_bytes(hashlib.md5(h.encode()).digest()[:8], "big",
+                            signed=True) % 16
+             for h in g["host"]),
+            dtype=np.int64, count=len(g),
+        )
+        return g
+
+    def host_final(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("host", as_index=False)[
+            ["n_urls", "n_captures", "n_disallowed_urls",
+             "n_disallowed_captures"]
+        ].sum()
+        allowed = a["n_urls"] - a["n_disallowed_urls"]
+        a["crawlable_share_ppm"] = (
+            allowed * 1_000_000 // a["n_urls"]
+        ).astype("int64")
+        return a.astype({c: "int64" for c in a.columns[1:]})
+
+    return (
+        ds.map_batches(url_rows, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(nbk)
+        .groupby("bucket")
+        .map_groups(per_url, batch_format="pandas")
+        .map_batches(host_partial, batch_format="pandas")
+        .repartition(16)
+        .groupby("hb")
+        .map_groups(host_final, batch_format="pandas")
+    )

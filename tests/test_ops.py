@@ -5717,3 +5717,72 @@ def test_revisit_rate_long_history_no_int64_overflow(tmp_path):
     assert int(hot["rate_ppm_day"]) > 0  # not a wrapped negative
     cold = got.loc["https://example.org/cold"]
     assert int(cold["n_changes"]) == 0 and int(cold["rate_ppm_day"]) == 0
+
+
+def test_robots_audit_matches_bruteforce():
+    """The robots pre-flight census equals a driver-side recomputation
+    from the raw pages parquet, and the synthetic policy is
+    non-trivial on the corpus: both Disallow prefixes fire somewhere,
+    some hosts are partially cut, and the crawlable share is
+    integer-exact."""
+    import glob as _glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import (
+        ROBOTS_RULES,
+        robots_audit,
+        robots_policy_bits,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    got = (
+        robots_audit(pages_dir)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+
+    frames = [
+        pq.read_table(f, columns=["url"]).to_pandas()
+        for f in sorted(_glob.glob(f"{pages_dir}/*.parquet"))
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    caps = df.groupby("url").size()
+    rows = []
+    for url, n_caps in caps.items():
+        host = url.split("/")[2]
+        path = url[8 + len(host):]
+        b0, b1 = robots_policy_bits(host)
+        dis = (b0 and path.startswith(ROBOTS_RULES[0])) or (
+            b1 and path.startswith(ROBOTS_RULES[1])
+        )
+        rows.append((host, int(n_caps), bool(dis)))
+    b = pd.DataFrame(rows, columns=["host", "n_caps", "dis"])
+    want = (
+        b.assign(du=b["dis"].astype("int64"),
+                 dc=b["dis"].astype("int64") * b["n_caps"])
+        .groupby("host", as_index=False)
+        .agg(n_urls=("dis", "size"), n_captures=("n_caps", "sum"),
+             n_disallowed_urls=("du", "sum"),
+             n_disallowed_captures=("dc", "sum"))
+    )
+    want["crawlable_share_ppm"] = (
+        (want["n_urls"] - want["n_disallowed_urls"]) * 1_000_000
+        // want["n_urls"]
+    )
+    want = (
+        want.astype({c: "int64" for c in want.columns[1:]})
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[list(got.columns)])
+    # the corpus exercises the policy: some URLs cut, some kept, and
+    # at least one host partially disallowed (0 < share < 10^6)
+    assert got["n_disallowed_urls"].sum() > 0
+    assert (got["n_disallowed_urls"] < got["n_urls"]).any()
+    partial = got[(got["crawlable_share_ppm"] > 0)
+                  & (got["crawlable_share_ppm"] < 1_000_000)]
+    assert len(partial) > 0
