@@ -1332,6 +1332,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twin of PolitenessShard.allowed); one url-hash exchange +
         # one host-keyed exchange of additive count partials
         "crawl_robots_audit": _q_robots_audit,
+        # per-host fetch-budget YIELD: distinct canonical contents per
+        # capture (novelty_ppm, integer-exact) — the crawl-efficiency
+        # feedback signal for host_budget_allocation; url exchange →
+        # salted-distinct cells → host exchange
+        "crawl_host_novelty": _q_host_novelty,
         # CDX index: the sorted, binary-searchable capture index a
         # replay/dedup service reads — SURT keys, ONE global sort,
         # positions from block partials (driver reads block counts)
@@ -2859,6 +2864,17 @@ def _q_param_hygiene(sf_dir: str):
     from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
 
     return param_hygiene(ensure_pages(sf_dir))
+
+
+def _q_host_novelty(sf_dir: str):
+    """Per-host fetch-budget yield (ops/crawlhealth.py::host_novelty):
+    captures, distinct canonical content digests, and the
+    integer-exact novelty share — inventory-CTE oracle (the corpus
+    u-CTE carries each URL's canonical text)."""
+    from dfg_gepris_crawler_ray.ops.crawlhealth import host_novelty
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return host_novelty(ensure_pages(sf_dir))
 
 
 def _q_robots_audit(sf_dir: str):
@@ -4743,6 +4759,55 @@ def oracle_sql() -> dict[str, str]:
     oracles["emb_pca"] = f"""
         SELECT vec_id, pc0, pc1, pc2, pc3
         FROM read_parquet('{_STAGE_DIR}/emb_pca.parquet')
+    """
+    oracles["crawl_host_novelty"] = """
+        WITH d AS (
+          SELECT doc_id, text,
+            CASE doc_id % 3 WHEN 0 THEN 'projekt' WHEN 1 THEN 'person'
+                 ELSE 'institution' END AS ctx,
+            CASE WHEN doc_id % 10 < 7 THEN 'gepris.example.org'
+                 ELSE 'host' || CAST(doc_id % 16 AS VARCHAR)
+                      || '.example.net' END AS host,
+            CAST(1000 + doc_id AS VARCHAR) AS eid,
+            CASE WHEN doc_id % 101 = 5 THEN 'moved'
+                 WHEN doc_id % 103 = 7 THEN 'error'
+                 WHEN doc_id % 97 = 3 THEN 'langretry' ELSE 'ok' END AS kind
+          FROM documents),
+        u AS (
+          SELECT 'https://' || host || '/gepris/' || ctx || '/' || eid
+                   || '?language=de' AS url,
+                 text,
+                 CASE WHEN kind IN ('error','langretry') THEN 2 ELSE 1
+                 END AS n_caps
+          FROM d
+          UNION ALL
+          SELECT 'https://' || host || '/gepris/projekt/' || eid
+                   || '?language=en', text, 1
+          FROM d WHERE ctx = 'projekt'
+          UNION ALL
+          SELECT 'https://' || host || '/gepris/projekt/' || eid
+                   || '/ergebnisse?language=' || l.lang, text, 1
+          FROM d, (SELECT unnest(['de','en']) AS lang) l
+          WHERE ctx = 'projekt' AND doc_id % 5 = 0
+          UNION ALL
+          SELECT 'https://gepris.example.org/gepris/OCTOPUS?context=' || ctx
+                   || '&task=doSearchExtended&hitsPerPage=200&index='
+                   || CAST(unnest(generate_series(0, total - 1, 200))
+                           AS VARCHAR),
+                 '', 1
+          FROM (SELECT ctx, CAST(count(*) AS BIGINT) AS total
+                FROM d GROUP BY ctx)
+          UNION ALL
+          SELECT 'https://gepris.example.org/gepris/OCTOPUS?task=showMonitor',
+                 '', 1),
+        h AS (
+          SELECT split_part(url, '/', 3) AS host, text, n_caps FROM u)
+        SELECT host,
+               sum(n_caps)::BIGINT AS n_captures,
+               count(DISTINCT text)::BIGINT AS n_distinct_texts,
+               (count(DISTINCT text) * 1000000
+                // sum(n_caps))::BIGINT AS novelty_ppm
+        FROM h GROUP BY host
     """
     oracles["crawl_robots_audit"] = """
         WITH d AS (

@@ -836,3 +836,140 @@ def robots_audit(pages_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
         .groupby("hb")
         .map_groups(host_final, batch_format="pandas")
     )
+
+
+def host_novelty(pages_dir: str, num_salts: int = 16) -> "ray.data.Dataset":
+    """(host, n_captures, n_distinct_texts, novelty_ppm) — per-host
+    fetch-budget YIELD: of everything fetched from a host, how much
+    was novel content? ``n_distinct_texts`` counts distinct CANONICAL
+    content digests (a URL's canonical digest = its earliest
+    capture's extracted text, ties to the smallest digest — the
+    ``param_hygiene`` convention), ``n_captures`` counts every fetch,
+    and ``novelty_ppm = n_distinct_texts × 10^6 // n_captures``
+    (integer-exact). THE crawl-efficiency metric a scheduler feeds
+    back into ``host_budget_allocation`` — a host whose fetches are
+    95% duplicate content (calendars, mirrors, session-id spam)
+    should not keep its budget share; the mirror/trap censuses above
+    DIAGNOSE the causes this metric prices.
+
+    Distributed shape — three keyed exchanges, nothing corpus-sized
+    past the first:
+
+    1. digest scan (text never leaves the task) → url-hash exchange
+       collapses captures to one (url → canonical digest, n_caps)
+       row;
+    2. per-batch partials: additive per-host capture sums PLUS
+       (host, salt-of-digest, digest) dedup rows, keyed by
+       (host, salt) cell — the salted exact-distinct discipline of
+       ``boilerplate.host_distinct_urls``: the 70%-hot host spreads
+       its distinct space over ``num_salts`` disjoint cells, no
+       double count possible because the salt is a function of the
+       digest;
+    3. ONE host-keyed exchange sums the tiny count rows into the
+       verdict row. Output is host-cardinality."""
+    import hashlib
+
+    from ..sources.pages import read_pages
+
+    ds = read_pages(pages_dir, columns=["url", "warc_ts", "text"])
+    nsl = num_salts
+
+    def digest_scan(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        ts = batch.column("warc_ts").cast(pa.int64())
+        d64 = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big",
+                            signed=True)
+             for t in batch.column("text").to_pylist()),
+            dtype=np.int64, count=len(batch),
+        )
+        bucket = np.fromiter(
+            (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big",
+                            signed=True) % 64
+             for u in urls.to_pylist()),
+            dtype=np.int64, count=len(batch),
+        )
+        return pa.table({"url": urls, "ts_us": ts, "d64": pa.array(d64),
+                         "bucket": pa.array(bucket)})
+
+    def url_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["url", "ts_us", "d64"], kind="stable")
+        first = g.drop_duplicates("url", keep="first")
+        n_caps = g.groupby("url", sort=False).size()
+        return pd.DataFrame(
+            {"host": first["url"].str.split("/").str[2],
+             "d64": first["d64"].astype("int64"),
+             "n_caps": first["url"].map(n_caps).astype("int64")}
+        )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        caps = df.groupby("host", as_index=False)["n_caps"].sum()
+        caps = caps.rename(columns={"n_caps": "n"})
+        caps["kind"] = "c"
+        caps["salt"] = np.int64(-1)
+        caps["d64"] = np.int64(0)
+        dd = df[["host", "d64"]].drop_duplicates()
+        dd = dd.assign(salt=(dd["d64"].to_numpy() % nsl).astype("int64"),
+                       kind="d", n=np.int64(0))
+        out = pd.concat(
+            [caps[["host", "salt", "kind", "d64", "n"]],
+             dd[["host", "salt", "kind", "d64", "n"]]],
+            ignore_index=True,
+        )
+        h = pd.util.hash_pandas_object(
+            out["host"] + "\x00" + out["salt"].astype(str), index=False
+        ).to_numpy()
+        out["_c"] = (h % np.uint64(64)).astype("int32")
+        return out
+
+    def cell_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        c = g[g["kind"] == "c"]
+        if len(c):
+            sm = c.groupby("host", as_index=False)["n"].sum()
+            sm["kind"] = "c"
+            outs.append(sm)
+        d = g[g["kind"] == "d"]
+        if len(d):
+            n = (d.drop_duplicates(["host", "salt", "d64"])
+                 .groupby("host", as_index=False).size()
+                 .rename(columns={"size": "n"}))
+            n["kind"] = "d"
+            outs.append(n)
+        if not outs:
+            out = pd.DataFrame({"host": pd.Series(dtype=str),
+                                "n": pd.Series(dtype="int64"),
+                                "kind": pd.Series(dtype=str)})
+        else:
+            out = pd.concat(outs, ignore_index=True)
+        h = pd.util.hash_pandas_object(out["host"] + "\x01", index=False)
+        out["_h"] = (h.to_numpy() % np.uint64(16)).astype("int32")
+        return out
+
+    def host_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        piv = g.groupby(["host", "kind"], as_index=False)["n"].sum()
+        caps = piv[piv["kind"] == "c"].set_index("host")["n"]
+        dis = piv[piv["kind"] == "d"].set_index("host")["n"]
+        hosts = sorted(set(caps.index) | set(dis.index))
+        nc = np.array([int(caps.get(h, 0)) for h in hosts], dtype=np.int64)
+        nd = np.array([int(dis.get(h, 0)) for h in hosts], dtype=np.int64)
+        return pd.DataFrame(
+            {"host": pd.Series(hosts, dtype=str),
+             "n_captures": nc, "n_distinct_texts": nd,
+             "novelty_ppm": nd * 1_000_000 // np.maximum(nc, 1)}
+        )
+
+    return (
+        ds.map_batches(digest_scan, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .repartition(64)
+        .groupby("bucket")
+        .map_groups(url_reduce, batch_format="pandas")
+        .map_batches(partials, batch_format="pandas")
+        .repartition(64)
+        .groupby("_c")
+        .map_groups(cell_reduce, batch_format="pandas")
+        .repartition(16)
+        .groupby("_h")
+        .map_groups(host_reduce, batch_format="pandas")
+    )

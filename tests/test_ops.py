@@ -5786,3 +5786,59 @@ def test_robots_audit_matches_bruteforce():
     partial = got[(got["crawlable_share_ppm"] > 0)
                   & (got["crawlable_share_ppm"] < 1_000_000)]
     assert len(partial) > 0
+
+
+def test_host_novelty_matches_bruteforce():
+    """Per-host novelty yield equals a driver-side recomputation
+    (canonical per-URL digest → per-host distinct count vs capture
+    count), and the metric is non-trivial on the corpus: the hot host
+    is diluted by refresh copies and shared boilerplate listings, so
+    its novelty is strictly below a fully-novel host's."""
+    import glob as _glob
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import host_novelty
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    got = (
+        host_novelty(pages_dir)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    frames = [
+        pq.read_table(f, columns=["url", "warc_ts", "text"]).to_pandas()
+        for f in sorted(_glob.glob(f"{pages_dir}/*.parquet"))
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    df["d64"] = [
+        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big", signed=True)
+        for t in df["text"]
+    ]
+    df["ts"] = df["warc_ts"].astype("int64")
+    canon = (
+        df.sort_values(["url", "ts", "d64"], kind="stable")
+        .groupby("url")
+        .agg(d64=("d64", "first"), n_caps=("d64", "size"))
+        .reset_index()
+    )
+    canon["host"] = canon["url"].str.split("/").str[2]
+    want = canon.groupby("host", as_index=False).agg(
+        n_captures=("n_caps", "sum"), n_distinct_texts=("d64", "nunique")
+    )
+    want["novelty_ppm"] = (
+        want["n_distinct_texts"] * 1_000_000 // want["n_captures"]
+    )
+    want = (
+        want.astype({c: "int64" for c in want.columns[1:]})
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[list(got.columns)])
+    assert (got["novelty_ppm"] > 0).all()
+    hot = got.set_index("host").loc["gepris.example.org"]
+    assert int(hot["novelty_ppm"]) < int(got["novelty_ppm"].max())
