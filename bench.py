@@ -664,6 +664,14 @@ def main():
     from dfg_gepris_crawler_ray.ops.crawlhealth import revisit_rate
     timed("crawl_revisit_rate",
           lambda: revisit_rate(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.crawlhealth import (
+        host_novelty,
+        robots_audit,
+    )
+    timed("crawl_robots_audit",
+          lambda: robots_audit(pages_dir).materialize())
+    timed("crawl_host_novelty",
+          lambda: host_novelty(pages_dir).materialize())
     from dfg_gepris_crawler_ray.ops.graph import reference_assortativity
     timed("crawl_assortativity",
           lambda: reference_assortativity(SF_DIR))
