@@ -452,3 +452,60 @@ def test_largest_remainder_kernel_exact_and_ordered(weights, budget):
     bonus = df["host"].isin(bonus_hosts)
     if bonus.any() and (~bonus).any():
         assert df.loc[bonus, "rem"].min() >= df.loc[~bonus, "rem"].max()
+
+
+@given(
+    n_base=st.integers(0, 6),
+    n_add=st.integers(0, 6),
+    base_vals=st.booleans(),
+    add_vals=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_concat_rows_preserves_values_and_silences_all_na_warning(
+    n_base, n_add, base_vals, add_vals, data
+):
+    """_concat_rows (frontier/state.py) is a drop-in row append: same
+    rows/columns as a plain concat, never emits the pandas-3
+    empty/all-NA FutureWarning, and when one side's column is all-NA
+    the result keeps the VALUED side's dtype (the 'old behavior' the
+    warning deprecates) for numeric targets."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.frontier.state import _concat_rows
+
+    def frame(n, valued):
+        if valued:
+            num = pd.Series(
+                data.draw(st.lists(st.floats(allow_nan=False, width=32,
+                                             allow_infinity=False),
+                                   min_size=n, max_size=n)),
+                dtype="float64",
+            )
+            txt = pd.Series(["x"] * n, dtype="object")
+        else:
+            num = pd.Series([None] * n, dtype="object")
+            txt = pd.Series([None] * n, dtype="object")
+        return pd.DataFrame({"id": pd.Series(range(n), dtype="int64"),
+                             "num": num, "txt": txt})
+
+    base = frame(n_base, base_vals)
+    add = frame(n_add, add_vals)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FutureWarning)
+        out = _concat_rows(base, add)
+    assert len(out) == n_base + n_add
+    assert list(out.columns) == list(base.columns)
+    # values survive in order (NaN-aware compare on the numeric col)
+    want_num = pd.concat(
+        [base["num"].astype("float64"), add["num"].astype("float64")],
+        ignore_index=True,
+    )
+    got_num = out["num"].astype("float64")
+    assert ((got_num == want_num) | (got_num.isna() & want_num.isna())).all()
+    # an all-NA side must not degrade a valued float64 column
+    if len(base) and len(add) and base_vals != add_vals:
+        assert str(out["num"].dtype) == "float64"
