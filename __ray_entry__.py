@@ -1337,6 +1337,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # feedback signal for host_budget_allocation; url exchange →
         # salted-distinct cells → host exchange
         "crawl_host_novelty": _q_host_novelty,
+        # the EFFECTIVE frontier: fetch waves computed over only the
+        # robots-ALLOWED URLs (fetch_waves' pluggable url_filter ×
+        # robots_allowed_mask) — Disallowed URLs consume neither rank
+        # nor wave slots; window-function oracle over the filtered
+        # inventory
+        "crawl_robots_waves": _q_robots_waves,
         # CDX index: the sorted, binary-searchable capture index a
         # replay/dedup service reads — SURT keys, ONE global sort,
         # positions from block partials (driver reads block counts)
@@ -2866,6 +2872,20 @@ def _q_param_hygiene(sf_dir: str):
     return param_hygiene(ensure_pages(sf_dir))
 
 
+def _q_robots_waves(sf_dir: str):
+    """Effective frontier (robots × scheduler composition): the
+    materialized fetch waves of ``recrawl.fetch_waves`` computed over
+    only the URLs the synthetic robots policy allows
+    (``crawlhealth.robots_allowed_mask`` as the pluggable
+    ``url_filter``) — a Disallowed URL consumes neither a rank
+    position nor a wave slot, exactly the frontier the politeness
+    gate would actually execute."""
+    from dfg_gepris_crawler_ray.ops.crawlhealth import robots_allowed_mask
+    from dfg_gepris_crawler_ray.ops.recrawl import fetch_waves
+
+    return fetch_waves(sf_dir, url_filter=robots_allowed_mask)
+
+
 def _q_host_novelty(sf_dir: str):
     """Per-host fetch-budget yield (ops/crawlhealth.py::host_novelty):
     captures, distinct canonical content digests, and the
@@ -4223,6 +4243,28 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY changed DESC, latest_ts_us, url) - 1)
                 // 10 + 1)::BIGINT AS wave
            FROM allpages"""
+    )
+    oracles["crawl_robots_waves"] = (
+        "WITH " + _inventory_ctes
+        + """, rr AS (
+             SELECT url, split_part(url, '/', 3) AS host,
+                    substr(url, 9 + length(split_part(url, '/', 3)))
+                        AS path,
+                    changed, latest_ts_us
+             FROM allpages),
+           allowed AS (
+             SELECT url, host, changed, latest_ts_us FROM rr
+             WHERE NOT ((strpos('01234567', substr(md5(host), 1, 1)) > 0
+                         AND starts_with(path, '/gepris/projekt'))
+                     OR (strpos('01234567', substr(md5(host), 2, 1)) > 0
+                         AND starts_with(path, '/gepris/OCTOPUS')))
+           )
+           SELECT url, host,
+               ((row_number() OVER (
+                     PARTITION BY host
+                     ORDER BY changed DESC, latest_ts_us, url) - 1)
+                // 10 + 1)::BIGINT AS wave
+           FROM allowed"""
     )
     # adaptive refresh plan: same inventory + the integer-exact policy
     # (interval = base/2 if changed else base*2, halved again on a hot

@@ -973,3 +973,25 @@ def host_novelty(pages_dir: str, num_salts: int = 16) -> "ray.data.Dataset":
         .groupby("_h")
         .map_groups(host_reduce, batch_format="pandas")
     )
+
+
+def robots_allowed_mask(df: pd.DataFrame) -> np.ndarray:
+    """Boolean keep-mask over a frame with ``url`` and ``host``
+    columns: True where the synthetic robots policy
+    (:func:`robots_policy_bits`) ALLOWS the URL. Row-local and
+    vectorizable per batch (per-host policy bits cached within the
+    batch) — the pluggable ``url_filter`` the effective-frontier
+    composition passes into ``recrawl.fetch_waves``."""
+    pol: dict[str, tuple[bool, bool]] = {}
+    keep = np.ones(len(df), dtype=bool)
+    for i, (h, u) in enumerate(zip(df["host"].to_numpy(),
+                                   df["url"].to_numpy())):
+        bits = pol.get(h)
+        if bits is None:
+            bits = pol[h] = robots_policy_bits(h)
+        path = u[8 + len(h):]
+        keep[i] = not (
+            (bits[0] and path.startswith(ROBOTS_RULES[0]))
+            or (bits[1] and path.startswith(ROBOTS_RULES[1]))
+        )
+    return keep

@@ -297,6 +297,7 @@ def fetch_waves(
     ts_buckets: int = 1024,
     num_groups: int = 64,
     quota_by_host: dict | None = None,
+    url_filter=None,
 ) -> "ray.data.Dataset":
     """(url, host, wave) — the MATERIALIZED fetch schedule a politeness-
     bound frontier executes: within each host, URLs are ordered
@@ -343,11 +344,18 @@ def fetch_waves(
 
     # restore full width: delta's output inherits its 8-bucket block
     # layout, which would cap every downstream stage at 8 tasks
-    per_url = (
-        delta.map_batches(add_host, batch_format="pandas")
-        .repartition(64)
-        .materialize()
-    )
+    per_url = delta.map_batches(add_host, batch_format="pandas")
+    if url_filter is not None:
+        # pluggable pre-schedule gate (e.g. the robots Disallow mask,
+        # crawlhealth.robots_allowed_mask): applied row-locally BEFORE
+        # the rank machinery, so filtered URLs consume neither ts-grid
+        # range nor wave slots — the composition the effective-
+        # frontier query exercises
+        per_url = per_url.map_batches(
+            lambda df, _f=url_filter: df[_f(df)],
+            batch_format="pandas",
+        )
+    per_url = per_url.repartition(64).materialize()
 
     rng = per_url.aggregate(Min("ts_us"), Max("ts_us"))
     tmin, tmax = int(rng["min(ts_us)"]), int(rng["max(ts_us)"])

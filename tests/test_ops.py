@@ -5842,3 +5842,44 @@ def test_host_novelty_matches_bruteforce():
     assert (got["novelty_ppm"] > 0).all()
     hot = got.set_index("host").loc["gepris.example.org"]
     assert int(hot["novelty_ppm"]) < int(got["novelty_ppm"].max())
+
+
+def test_robots_waves_filters_before_ranking():
+    """The effective frontier: robots-Disallowed URLs are absent from
+    the wave schedule AND consume no rank slots — per host the
+    allowed URLs fill contiguous waves of exactly `quota`, identical
+    to running fetch_waves on a pre-filtered corpus."""
+    import pandas as pd
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import (
+        ROBOTS_RULES,
+        robots_allowed_mask,
+        robots_policy_bits,
+    )
+    from dfg_gepris_crawler_ray.ops.recrawl import fetch_waves
+
+    plain = fetch_waves(SF, quota=7).to_pandas()
+    waved = fetch_waves(
+        SF, quota=7, url_filter=robots_allowed_mask
+    ).to_pandas()
+
+    mask = robots_allowed_mask(plain)
+    assert (~mask).sum() > 0  # the policy actually cuts something
+    # exactly the allowed URLs appear
+    assert set(waved["url"]) == set(plain.loc[mask, "url"])
+    # and the ranking is recomputed over the survivors: each host's
+    # wave sizes are quota-full except the last
+    for host, g in waved.groupby("host"):
+        sizes = g.groupby("wave").size().sort_index()
+        assert (sizes.iloc[:-1] == 7).all()
+        assert 1 <= sizes.iloc[-1] <= 7
+    # a fully-allowed host keeps its plain schedule byte-identically
+    open_hosts = [
+        h for h in plain["host"].unique()
+        if robots_policy_bits(h) == (False, False)
+    ]
+    assert open_hosts
+    h = open_hosts[0]
+    a = plain[plain["host"] == h].sort_values("url").reset_index(drop=True)
+    b = waved[waved["host"] == h].sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
