@@ -5883,3 +5883,49 @@ def test_robots_waves_filters_before_ranking():
     a = plain[plain["host"] == h].sort_values("url").reset_index(drop=True)
     b = waved[waved["host"] == h].sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_robots_mask_agrees_with_urllib_robotparser():
+    """The prefix mask the audit/effective-frontier ops use is
+    semantically identical to feeding the equivalent robots.txt to
+    urllib.robotparser (the parser PolitenessShard uses): for every
+    corpus URL, can_fetch('*') == robots_allowed_mask."""
+    import glob as _glob
+    import urllib.robotparser
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import (
+        ROBOTS_RULES,
+        robots_allowed_mask,
+        robots_policy_bits,
+    )
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    urls = pd.concat(
+        [pq.read_table(f, columns=["url"]).to_pandas()
+         for f in sorted(_glob.glob(f"{pages_dir}/*.parquet"))],
+        ignore_index=True,
+    )["url"].drop_duplicates()
+    df = pd.DataFrame({"url": urls})
+    df["host"] = df["url"].str.split("/").str[2]
+    got = robots_allowed_mask(df)
+
+    parsers: dict = {}
+    for h in df["host"].unique():
+        bits = robots_policy_bits(h)
+        lines = ["User-agent: *"]
+        for rule, on in zip(ROBOTS_RULES, bits):
+            if on:
+                lines.append(f"Disallow: {rule}")
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(lines)
+        parsers[h] = rp
+    want = [
+        parsers[h].can_fetch("*", u[8 + len(h):])
+        for h, u in zip(df["host"], df["url"])
+    ]
+    assert list(got) == want
+    assert not all(want) and any(want)  # both outcomes exercised
