@@ -1507,7 +1507,8 @@ def _q_embed_semdedup(sf_dir: str):
     )
     ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
     order = np.argsort(ids)
-    texts = [tbl.column("text").to_pylist()[i] for i in order]
+    all_texts = tbl.column("text").to_pylist()
+    texts = [all_texts[i] for i in order]
     ids = ids[order]
     emb = embed_texts(texts, _projection())
     mn = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None)

@@ -696,8 +696,12 @@ def revisit_rate(pages_dir: str) -> "ray.data.Dataset":
         rate[m] = nchv[m] * C // spn[m]
         big = pos & ~fits
         if big.any():
+            I64MAX = 2**63 - 1
+            # saturate at int64 max: a true rate beyond it (>=107
+            # changes inside ~1 µs) is physically meaningless and must
+            # not crash the whole exchange with an OverflowError
             rate[big] = np.fromiter(
-                (int(n) * C // int(s)
+                (min(int(n) * C // int(s), I64MAX)
                  for n, s in zip(nchv[big], spn[big])),
                 dtype=np.int64, count=int(big.sum()),
             )
@@ -781,16 +785,12 @@ def robots_audit(pages_dir: str, num_buckets: int = 64) -> "ray.data.Dataset":
         c = g.groupby("url", sort=False).size()
         urls = c.index.to_numpy()
         hosts = np.array([u.split("/")[2] for u in urls])
-        # path incl. query — what robotparser prefix rules match on
-        dis = np.zeros(len(urls), dtype=bool)
-        pol: dict[str, tuple[bool, bool]] = {}
-        for i, (u, h) in enumerate(zip(urls, hosts)):
-            bits = pol.get(h)
-            if bits is None:
-                bits = pol[h] = robots_policy_bits(h)
-            path = u[8 + len(h):]  # after "https://" + host
-            dis[i] = (bits[0] and path.startswith(ROBOTS_RULES[0])) or \
-                     (bits[1] and path.startswith(ROBOTS_RULES[1]))
+        # ONE policy-evaluation kernel (robots_allowed_mask) shared
+        # with the effective-frontier filter — the census is its
+        # exact negation, so the two can never silently diverge
+        dis = ~robots_allowed_mask(
+            pd.DataFrame({"url": urls, "host": hosts})
+        )
         return pd.DataFrame(
             {"host": hosts, "n_caps": c.to_numpy().astype("int64"),
              "dis": dis}

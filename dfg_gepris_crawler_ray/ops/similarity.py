@@ -597,9 +597,14 @@ def pca_project(sf_dir: str, n_components: int = 4):
     3. one projection scan with the D×k loading matrix shipped via
        ``ray.put`` — row-local matmul, zero shuffle.
 
-    Floats from an eigendecomposition → rows-only gate; exactness vs
-    single-process numpy PCA is pinned in
-    test_ops::test_pca_matches_numpy.
+    Gate status: GRADUATED (round 5) to a staged brute-replay
+    value-hash oracle on a 1e-4 output grid — the `emb_pca` query
+    wrapper rounds the projection and stages the single-process numpy
+    truth; measured margins (eigengaps ≥ 2.2e-4, sign-fix top-two
+    |loading| gaps ≥ 3.9e-3, min rounding-boundary distance 1.0e-8 vs
+    ~1e-12 cross-layout drift) are pinned in
+    test_ops::test_pca_graduation_margins; full-precision parity vs
+    single-process numpy PCA in test_ops::test_pca_matches_numpy.
     """
     path = f"{sf_dir}/embeddings.parquet"
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])

@@ -1784,7 +1784,8 @@ def test_hash_embed_deterministic_and_matches_brute():
     got = hash_embed(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
     tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     order = np.argsort(np.asarray(tbl.column("doc_id")))
-    texts = [tbl.column("text").to_pylist()[i] for i in order]
+    _all_texts = tbl.column("text").to_pylist()
+    texts = [_all_texts[i] for i in order]
 
     # brute: per-doc python trigram counting through the same projection
     proj = _projection()
@@ -1849,7 +1850,8 @@ def test_embed_semdedup_graduation_margins():
         tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
         ids = np.asarray(tbl.column("doc_id"), dtype=np.int64)
         order = np.argsort(ids)
-        texts = [tbl.column("text").to_pylist()[i] for i in order]
+        _all_texts = tbl.column("text").to_pylist()
+        texts = [_all_texts[i] for i in order]
         ids = ids[order]
         emb = embed_texts(texts, proj)
         mn = emb / np.clip(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None)
@@ -5717,6 +5719,39 @@ def test_revisit_rate_long_history_no_int64_overflow(tmp_path):
     assert int(hot["rate_ppm_day"]) > 0  # not a wrapped negative
     cold = got.loc["https://example.org/cold"]
     assert int(cold["n_changes"]) == 0 and int(cold["rate_ppm_day"]) == 0
+
+
+def test_revisit_rate_saturates_instead_of_crashing(tmp_path):
+    """A pathological history whose true rate exceeds int64 (120
+    changes inside a 1 µs span) saturates at int64 max instead of
+    raising OverflowError in the group task (which would kill the
+    whole exchange)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.crawlhealth import revisit_rate
+
+    # 150 captures, 149 all at t=0 (tie-broken by digest) + one at
+    # t=1us: span = 1 us, 149 digest changes -> true rate
+    # 149 * 8.64e16 = 1.29e19 > int64 max
+    n = 150
+    df = pd.DataFrame(
+        {"url": ["https://example.org/glitch"] * n,
+         "warc_ts": pd.to_datetime([0] * (n - 1) + [1], unit="us"),
+         "html": [f"<p>{i}</p>".encode() for i in range(n)]}
+    )
+    tbl = pa.Table.from_pandas(df)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("warc_ts"), "warc_ts",
+        tbl.column("warc_ts").cast(pa.timestamp("us")),
+    )
+    pq.write_table(tbl, str(tmp_path / "pages.parquet"))
+    got = revisit_rate(str(tmp_path)).to_pandas().set_index("url")
+    r = got.loc["https://example.org/glitch"]
+    assert int(r["n_changes"]) == n - 1
+    assert int(r["span_us"]) == 1
+    assert int(r["rate_ppm_day"]) == 2**63 - 1  # saturated, not crashed
 
 
 def test_robots_audit_matches_bruteforce():
