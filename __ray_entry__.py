@@ -1343,6 +1343,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nor wave slots; window-function oracle over the filtered
         # inventory
         "crawl_robots_waves": _q_robots_waves,
+        # the host_novelty feedback loop closed: largest-remainder
+        # budget apportionment weighted by distinct CANONICAL CONTENT
+        # per host instead of raw URL inventory — duplicate-heavy
+        # hosts lose share; same exact-apportionment oracle over
+        # count(DISTINCT text)
+        "crawl_budget_novelty": _q_budget_novelty,
         # CDX index: the sorted, binary-searchable capture index a
         # replay/dedup service reads — SURT keys, ONE global sort,
         # positions from block partials (driver reads block counts)
@@ -2871,6 +2877,21 @@ def _q_param_hygiene(sf_dir: str):
     from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
 
     return param_hygiene(ensure_pages(sf_dir))
+
+
+def _q_budget_novelty(sf_dir: str):
+    """Novelty-weighted budget apportionment
+    (recrawl.host_budget_allocation(weight_source="novelty")): the
+    feedback loop host_novelty promises — per-cycle politeness slots
+    follow distinct canonical CONTENT, not raw URL inventory, so
+    duplicate-heavy hosts lose share. Same Hamilton largest-remainder
+    contract (Σ quota == budget exactly)."""
+    from dfg_gepris_crawler_ray.ops.recrawl import host_budget_allocation
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    return host_budget_allocation(
+        ensure_pages(sf_dir), weight_source="novelty"
+    )
 
 
 def _q_robots_waves(sf_dir: str):
@@ -4852,6 +4873,23 @@ def oracle_sql() -> dict[str, str]:
                 // sum(n_caps))::BIGINT AS novelty_ppm
         FROM h GROUP BY host
     """
+    oracles["crawl_budget_novelty"] = (
+        oracles["crawl_host_novelty"].split("SELECT host,")[0]
+        + """, w AS (
+             SELECT host, count(DISTINCT text)::BIGINT AS weight
+             FROM h GROUP BY host),
+           tot AS (SELECT sum(weight)::BIGINT AS W FROM w),
+           f AS (SELECT host, weight,
+                        (1000 * weight) // W AS fl,
+                        (1000 * weight) % W AS rem
+                 FROM w CROSS JOIN tot),
+           lo AS (SELECT 1000 - sum(fl)::BIGINT AS leftover FROM f)
+           SELECT host, weight,
+                  (fl + CASE WHEN row_number() OVER
+                                  (ORDER BY rem DESC, host) <= leftover
+                              THEN 1 ELSE 0 END)::BIGINT AS quota
+           FROM f CROSS JOIN lo"""
+    )
     oracles["crawl_robots_audit"] = """
         WITH d AS (
           SELECT doc_id,

@@ -490,11 +490,14 @@ def fetch_waves(
 
 
 def host_budget_allocation(
-    pages_dir: str, budget: int = 1000, k_prune: int | None = None
+    pages_dir: str, budget: int = 1000, k_prune: int | None = None,
+    weight_source: str = "urls",
 ) -> "ray.data.Dataset":
     """(host, weight, quota) — largest-remainder (Hamilton)
     apportionment of a global per-cycle fetch budget across hosts,
-    weighted by each host's distinct-URL count: ``Σ quota == budget``
+    weighted by each host's distinct-URL count (or, with
+    ``weight_source="novelty"``, by its distinct CANONICAL CONTENT
+    count — the ``host_novelty`` feedback loop): ``Σ quota == budget``
     EXACTLY, every quota is ``floor(budget × w / W)`` plus at most 1,
     and the +1s go to the largest remainders (ties broken host-asc).
     This is the scheduler step between the frontier (what COULD be
@@ -518,7 +521,24 @@ def host_budget_allocation(
       cardinality AND block count."""
     from ..ops.boilerplate import host_distinct_urls
 
-    weights = host_distinct_urls(pages_dir).materialize()
+    if weight_source == "novelty":
+        # the host_novelty feedback loop: budget follows NOVEL content
+        # (distinct canonical digests), not raw inventory size — a
+        # host full of duplicate calendars/mirrors loses share even if
+        # its URL space is huge; same salted-distinct scale shape
+        from .crawlhealth import host_novelty
+
+        weights = host_novelty(pages_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"host": df["host"],
+                 "distinct_urls": df["n_distinct_texts"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+    elif weight_source == "urls":
+        weights = host_distinct_urls(pages_dir).materialize()
+    else:
+        raise ValueError(f"unknown weight_source {weight_source!r}")
     total = int(weights.sum("distinct_urls") or 0)
     if total == 0:
         raise ValueError("empty corpus: no hosts to allocate over")

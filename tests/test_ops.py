@@ -5964,3 +5964,33 @@ def test_robots_mask_agrees_with_urllib_robotparser():
     ]
     assert list(got) == want
     assert not all(want) and any(want)  # both outcomes exercised
+
+
+def test_budget_novelty_shifts_share_from_duplicate_heavy_hosts():
+    """Novelty-weighted apportionment keeps the Hamilton contract
+    (sum == budget, floor-or-floor+1) and actually shifts share: the
+    hot host's novelty weight is its distinct canonical digests, so
+    its share drops relative to URL-weighted allocation whenever its
+    duplicate fraction exceeds the fleet average."""
+    from dfg_gepris_crawler_ray.ops.recrawl import host_budget_allocation
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    by_urls = (
+        host_budget_allocation(pages_dir, budget=1000)
+        .to_pandas().set_index("host").sort_index()
+    )
+    by_nov = (
+        host_budget_allocation(pages_dir, budget=1000,
+                               weight_source="novelty")
+        .to_pandas().set_index("host").sort_index()
+    )
+    assert int(by_nov["quota"].sum()) == 1000
+    total = int(by_nov["weight"].sum())
+    fl = (1000 * by_nov["weight"]) // total
+    assert ((by_nov["quota"] - fl).isin([0, 1])).all()
+    assert set(by_nov.index) == set(by_urls.index)
+    # weights differ somewhere (the corpus has duplicate content:
+    # listing pages share text='' across hosts? no — per host; the
+    # de/en twins of each projekt share canonical text)
+    assert (by_nov["weight"] != by_urls["weight"]).any()
