@@ -672,6 +672,13 @@ def main():
           lambda: robots_audit(pages_dir).materialize())
     timed("crawl_host_novelty",
           lambda: host_novelty(pages_dir).materialize())
+    from dfg_gepris_crawler_ray.ops.crawlhealth import robots_allowed_mask
+    timed("crawl_robots_waves",
+          lambda: fetch_waves(
+              SF_DIR, url_filter=robots_allowed_mask).materialize())
+    timed("crawl_budget_novelty",
+          lambda: host_budget_allocation(
+              pages_dir, weight_source="novelty").materialize())
     from dfg_gepris_crawler_ray.ops.graph import reference_assortativity
     timed("crawl_assortativity",
           lambda: reference_assortativity(SF_DIR))
