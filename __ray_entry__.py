@@ -4824,7 +4824,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, pc0, pc1, pc2, pc3
         FROM read_parquet('{_STAGE_DIR}/emb_pca.parquet')
     """
-    oracles["crawl_host_novelty"] = """
+    # shared by crawl_host_novelty and crawl_budget_novelty: the url
+    # inventory WITH canonical text, hosted (ends at the `h` CTE)
+    _novelty_ctes = """
         WITH d AS (
           SELECT doc_id, text,
             CASE doc_id % 3 WHEN 0 THEN 'projekt' WHEN 1 THEN 'person'
@@ -4865,7 +4867,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'https://gepris.example.org/gepris/OCTOPUS?task=showMonitor',
                  '', 1),
         h AS (
-          SELECT split_part(url, '/', 3) AS host, text, n_caps FROM u)
+          SELECT split_part(url, '/', 3) AS host, text, n_caps FROM u)"""
+    oracles["crawl_host_novelty"] = _novelty_ctes + """
         SELECT host,
                sum(n_caps)::BIGINT AS n_captures,
                count(DISTINCT text)::BIGINT AS n_distinct_texts,
@@ -4873,8 +4876,9 @@ def oracle_sql() -> dict[str, str]:
                 // sum(n_caps))::BIGINT AS novelty_ppm
         FROM h GROUP BY host
     """
+    # budget literal matches host_budget_allocation's default (1000)
     oracles["crawl_budget_novelty"] = (
-        oracles["crawl_host_novelty"].split("SELECT host,")[0]
+        _novelty_ctes
         + """, w AS (
              SELECT host, count(DISTINCT text)::BIGINT AS weight
              FROM h GROUP BY host),

@@ -685,7 +685,9 @@ def revisit_rate(pages_dir: str) -> "ray.data.Dataset":
         # n_changes >= 107 (long capture histories), so the vectorized
         # product only covers rows where it provably fits; the rare
         # overflow rows recompute with arbitrary-precision Python ints
-        # (still integer-exact, so op and oracle stay hash-identical)
+        # and SATURATE at int64 max when even the true rate exceeds it
+        # (>=107 changes inside ~1 us — physically meaningless; exact
+        # and oracle-identical everywhere below that ceiling)
         C = DAY_US * 1_000_000
         spn = span.to_numpy()
         nchv = nch.to_numpy()

@@ -490,7 +490,7 @@ def fetch_waves(
 
 
 def host_budget_allocation(
-    pages_dir: str, budget: int = 1000, k_prune: int | None = None,
+    pages_dir: str, budget: int = 1000,
     weight_source: str = "urls",
 ) -> "ray.data.Dataset":
     """(host, weight, quota) — largest-remainder (Hamilton)

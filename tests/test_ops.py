@@ -5990,7 +5990,8 @@ def test_budget_novelty_shifts_share_from_duplicate_heavy_hosts():
     fl = (1000 * by_nov["weight"]) // total
     assert ((by_nov["quota"] - fl).isin([0, 1])).all()
     assert set(by_nov.index) == set(by_urls.index)
-    # weights differ somewhere (the corpus has duplicate content:
-    # listing pages share text='' across hosts? no — per host; the
-    # de/en twins of each projekt share canonical text)
+    # the corpus guarantees the weights diverge: each projekt's de/en
+    # twin URLs carry IDENTICAL canonical text, so a host's distinct-
+    # content count is strictly below its distinct-URL count wherever
+    # it hosts projekts — novelty weighting must shift share
     assert (by_nov["weight"] != by_urls["weight"]).any()
