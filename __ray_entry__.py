@@ -1349,6 +1349,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hosts lose share; same exact-apportionment oracle over
         # count(DISTINCT text)
         "crawl_budget_novelty": _q_budget_novelty,
+        # index-freshness profile: per (host, age-bucket of the latest
+        # capture) URL counts + how many changed at their last fetch
+        # (the Cho & Garcia-Molina age/freshness planning view); one
+        # scalar Max + additive partials into one host-keyed exchange
+        "crawl_staleness_histogram": _q_staleness_histogram,
         # CDX index: the sorted, binary-searchable capture index a
         # replay/dedup service reads — SURT keys, ONE global sort,
         # positions from block partials (driver reads block counts)
@@ -2879,6 +2884,19 @@ def _q_param_hygiene(sf_dir: str):
     return param_hygiene(ensure_pages(sf_dir))
 
 
+def _q_staleness_histogram(sf_dir: str):
+    """Index-freshness histogram (recrawl.staleness_histogram): per
+    (host, age-bucket of the latest capture) URL count and
+    changed-at-last-fetch count; age is measured from the corpus's
+    max capture timestamp (a pure function of the data), so op and
+    window-free SQL oracle agree exactly. Bucket width 120 s keeps
+    the histogram non-trivial on the generated corpus (capture span
+    ~n_docs s + the 3600 s refresh offset)."""
+    from dfg_gepris_crawler_ray.ops.recrawl import staleness_histogram
+
+    return staleness_histogram(sf_dir, bucket_s=120)
+
+
 def _q_budget_novelty(sf_dir: str):
     """Novelty-weighted budget apportionment
     (recrawl.host_budget_allocation(weight_source="novelty")): the
@@ -4265,6 +4283,17 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY changed DESC, latest_ts_us, url) - 1)
                 // 10 + 1)::BIGINT AS wave
            FROM allpages"""
+    )
+    oracles["crawl_staleness_histogram"] = (
+        "WITH " + _inventory_ctes
+        + """, t AS (SELECT max(latest_ts_us) AS T FROM allpages)
+           SELECT split_part(url, '/', 3) AS host,
+                  ((t.T - latest_ts_us) // 120000000)::BIGINT
+                      AS age_bucket,
+                  count(*)::BIGINT AS n_urls,
+                  sum(changed::INT)::BIGINT AS n_changed
+           FROM allpages CROSS JOIN t
+           GROUP BY 1, 2"""
     )
     oracles["crawl_robots_waves"] = (
         "WITH " + _inventory_ctes

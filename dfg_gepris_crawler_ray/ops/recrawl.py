@@ -648,3 +648,60 @@ def decayed_activity(
         .groupby("_b")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def staleness_histogram(
+    sf_dir: str, bucket_s: int = 86_400, replicate: int = 1
+) -> "ray.data.Dataset":
+    """(host, age_bucket, n_urls, n_changed) — the index-freshness
+    profile a recrawl planner reads before allocating a cycle: per
+    host, how many URLs' LATEST captures are 0–1, 1–2, … bucket
+    widths old (``age_bucket`` = floor((T − latest_ts) / bucket_s),
+    T = the corpus's max capture timestamp — a pure function of the
+    data, so op and oracle agree exactly), and how many of each
+    bucket's URLs changed at their last fetch (stale AND churning ⇒
+    top refresh priority; the two-axis view behind Cho &
+    Garcia-Molina's age/freshness curves).
+
+    Shape: :func:`recrawl_delta`'s one scan + url exchange gives one
+    (url, changed, latest_ts_us) row per URL; ONE ``Dataset.max``
+    scalar (T); then per-batch (host, bucket) partial counts —
+    additive, each URL in exactly one partial — meet in ONE
+    host-keyed exchange of tiny count rows. Nothing corpus-sized
+    past the url exchange; the hot host's partials pre-sum per
+    batch."""
+    from ray.data.aggregate import Max
+
+    delta = recrawl_delta(sf_dir, replicate)
+    t_max = int(delta.aggregate(Max("latest_ts_us"))["max(latest_ts_us)"])
+    span_us = bucket_s * 1_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = df["url"].str.split("/").str[2]
+        age = ((t_max - df["latest_ts_us"].astype("int64")) // span_us)
+        d = pd.DataFrame(
+            {"host": host, "age_bucket": age.astype("int64"),
+             "chg": df["changed"].astype("int64")}
+        )
+        g = d.groupby(["host", "age_bucket"], as_index=False).agg(
+            n_urls=("chg", "size"), n_changed=("chg", "sum")
+        )
+        hb = np.fromiter(
+            (_h64(h.encode()) % 16 for h in g["host"]),
+            dtype=np.int64, count=len(g),
+        )
+        return g.assign(_hb=hb.astype(np.int32))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["host", "age_bucket"], as_index=False)[
+            ["n_urls", "n_changed"]
+        ].sum()
+        return out.astype({"age_bucket": "int64", "n_urls": "int64",
+                           "n_changed": "int64"})
+
+    return (
+        delta.map_batches(partial, batch_format="pandas")
+        .repartition(16)
+        .groupby("_hb")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -5995,3 +5995,61 @@ def test_budget_novelty_shifts_share_from_duplicate_heavy_hosts():
     # content count is strictly below its distinct-URL count wherever
     # it hosts projekts — novelty weighting must shift share
     assert (by_nov["weight"] != by_urls["weight"]).any()
+
+
+def test_staleness_histogram_matches_bruteforce():
+    """The freshness profile equals a driver-side recomputation from
+    the raw captures, and the corpus exercises multiple age buckets
+    (the 3600 s refresh offset splits the refresh copies from the
+    primary captures) with changed URLs concentrated where the
+    langretry refreshes land."""
+    import glob as _glob
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dfg_gepris_crawler_ray.ops.recrawl import staleness_histogram
+    from dfg_gepris_crawler_ray.testdata.gen_pages import ensure_pages
+
+    pages_dir = ensure_pages(SF)
+    got = (
+        staleness_histogram(SF, bucket_s=120)
+        .to_pandas()
+        .sort_values(["host", "age_bucket"])
+        .reset_index(drop=True)
+    )
+    frames = [
+        pq.read_table(f, columns=["url", "warc_ts", "html"]).to_pandas()
+        for f in sorted(_glob.glob(f"{pages_dir}/*.parquet"))
+    ]
+    df = pd.concat(frames, ignore_index=True)
+    df["h64"] = [
+        int.from_bytes(hashlib.md5(h).digest()[:8], "big", signed=True)
+        for h in df["html"]
+    ]
+    df["ts"] = df["warc_ts"].astype("int64")
+    per_url = []
+    for url, g in df.sort_values("ts").groupby("url"):
+        hs = g["h64"].tolist()
+        changed = len(hs) >= 2 and hs[-1] != hs[-2]
+        per_url.append((url, changed, int(g["ts"].max())))
+    b = pd.DataFrame(per_url, columns=["url", "changed", "latest_ts_us"])
+    t_max = int(b["latest_ts_us"].max())
+    b["host"] = b["url"].str.split("/").str[2]
+    b["age_bucket"] = (t_max - b["latest_ts_us"]) // (120 * 1_000_000)
+    want = (
+        b.assign(chg=b["changed"].astype("int64"))
+        .groupby(["host", "age_bucket"], as_index=False)
+        .agg(n_urls=("chg", "size"), n_changed=("chg", "sum"))
+        .astype({"age_bucket": "int64", "n_urls": "int64",
+                 "n_changed": "int64"})
+        .sort_values(["host", "age_bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[list(got.columns)])
+    assert got["age_bucket"].nunique() > 2  # non-degenerate histogram
+    assert got["n_changed"].sum() > 0
+    # bucket 0 holds the refreshed captures (they carry the +3600 s
+    # offset, so they are the NEWEST) — changed URLs live there
+    assert got.loc[got["n_changed"] > 0, "age_bucket"].min() == 0
