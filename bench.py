@@ -679,6 +679,10 @@ def main():
     timed("crawl_budget_novelty",
           lambda: host_budget_allocation(
               pages_dir, weight_source="novelty").materialize())
+    from dfg_gepris_crawler_ray.ops.recrawl import staleness_histogram
+    timed("crawl_staleness_histogram",
+          lambda: staleness_histogram(
+              SF_DIR, bucket_s=120, replicate=REPLICATE).materialize())
     from dfg_gepris_crawler_ray.ops.graph import reference_assortativity
     timed("crawl_assortativity",
           lambda: reference_assortativity(SF_DIR))
